@@ -1,0 +1,26 @@
+"""ART-TPU: a TPU-native audio resampling framework.
+
+A ground-up JAX/XLA/Pallas redesign with the full capability surface of the
+reference C library (dbry/audio-resampler): windowed-sinc resampling with a
+phase bank (interpolated or exact fixed-ratio), float->integer decimation with
+TPDF dither and ATH noise shaping, biquad IIR filtering, LPC endpoint
+extrapolation, TDHS time stretching, WAV container I/O, and the ART/ARTEST
+command-line tools.
+
+Numeric width is a dtype parameter (float32 / float64) instead of the
+reference's compile-time PATH_WIDTH typedef.
+"""
+
+from __future__ import annotations
+
+import jax as _jax
+
+# float64 offsets/queries and the 64-bit data path need x64; all kernels are
+# explicitly dtyped so the f32 fast paths are unaffected.
+_jax.config.update("jax_enable_x64", True)
+
+from .core import flags  # noqa: E402
+from .core.flags import *  # noqa: F401,F403,E402
+from .engines.resampler import Resampler, ResampleResult  # noqa: E402
+
+__version__ = "0.1.0"

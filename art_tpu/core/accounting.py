@@ -1,0 +1,227 @@
+"""Host-side consume/emit accounting for the streaming resampler.
+
+The reference interleaves input consumption and output emission one sample at
+a time inside its hot loop (reference resampler.c:494-529).  That shape is
+hostile to TPUs, so this module factors the loop into a *closed form*: within
+one process() call the emission positions are affine in the output index
+(``pos_k = output_offset + k / ratio`` — the reference recomputes
+``offset2 = k / ratio`` fresh each emission, so there is no accumulated
+error), and consumption is a monotone staircase over those positions.  Given
+(state, n_in, n_out, ratio) we can therefore compute, without touching any
+audio data:
+
+  - ``input_used`` / ``output_generated`` (the ResampleResult contract),
+  - the float64 read position of every emitted frame in a *linear* coordinate
+    system where index 0 is the oldest valid history sample,
+  - the post-call (output_offset, input_index) pair, including the reference's
+    ring-slide arithmetic (reference resampler.c:497-503), flush bookkeeping
+    (postfillAllChannels, reference resampler.c:663-685) and snap-to-grid
+    offset rounding (reference resampler.c:533-535).
+
+The device kernel then reduces to a pure gather + matvec over the emitted
+positions.  All arithmetic here is IEEE float64, the same operations the
+reference performs in C doubles; the only tolerated divergence is sub-ULP
+(ring slides shift both sides of the reference's comparisons by the same
+exact integer, which can perturb a rounding at an exact tie).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .flags import (
+    EXTRAPOLATE_PREFILL, RESAMPLE_FIXED_RATIO, RESAMPLER_FLUSHED,
+    RESAMPLER_SNAP_OFFSET,
+)
+
+
+@dataclass
+class ProcessPlan:
+    """Everything a process() call needs, resolved on the host."""
+    input_used: int
+    output_generated: int
+    flush: bool                      # this call performs the flush transition
+    # float64 emission positions, linear coords (L[0] = oldest history sample)
+    positions: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    # prefill: backwards extrapolation into leading silence at first emission.
+    # (lin_first, nvalues) — extrapolate (num_taps - nvalues) samples backwards
+    # from the nvalues real samples ending at linear index lin_first.
+    prefill: tuple[int, int] | None = None
+    # post-call engine state
+    new_output_offset: float = 0.0
+    new_input_index: int = 0
+    new_flags: int = 0
+    # how many trailing samples of the linear buffer become the new history
+    # (== new_input_index), and total linear length used
+    linear_len: int = 0
+
+
+def snap_offset(offset: float, num_filters: int) -> float:
+    """Round the fractional offset to the 1/num_filters grid
+    (reference resampler.c:533-535)."""
+    fl = math.floor(offset)
+    return fl + math.floor((offset - fl) * num_filters + 0.5) / num_filters
+
+
+def plan_process(*, output_offset: float, input_index: int, flags: int,
+                 num_taps: int, num_samples: int, num_filters: int,
+                 fixed_ratio: float, n_in: int, n_out: int,
+                 ratio: float) -> ProcessPlan:
+    """Resolve one process()/flush call.
+
+    ``output_offset``/``input_index`` are the engine's ring-coordinate state
+    (identical numbers to the reference context fields).  ``n_in < 0``
+    requests a flush.
+    """
+    half = num_taps // 2
+    slide = num_samples - num_taps   # amount removed per ring slide
+
+    if flags & RESAMPLE_FIXED_RATIO:
+        ratio = fixed_ratio
+    if flags & RESAMPLER_FLUSHED:
+        n_in = 0
+
+    flush = n_in < 0
+    o_ring = output_offset
+    i_ring = input_index
+    flush_shift = 0
+
+    if flush:
+        # postfillAllChannels: slide if the pad would not fit, then account
+        # for half-a-filter of synthetic input (reference resampler.c:663-685)
+        if num_samples - i_ring < half:
+            flush_shift = slide
+            o_ring -= slide
+            i_ring -= slide
+        i_ring += half
+        flags |= RESAMPLER_FLUSHED
+        n_in = 0
+
+    avail = max(n_in, 0)
+
+    # Ring coordinates track the reference context exactly; engine-linear
+    # coordinates index the caller's buffer L = history[0:entry_index]
+    # (++ flush pad) ++ new_input[:used].  ring + flush_shift == linear.
+    o_lin = o_ring
+    i_lin0 = i_ring
+
+    # Emission k is possible after consuming m > x_k - (i_lin0 - half) inputs,
+    # where x_k = fl(o_lin + fl(k / ratio)); count emissions with the full
+    # budget available, capped by output space.
+    if n_out > 0:
+        k = np.arange(n_out, dtype=np.float64)
+        x = o_lin + k / ratio                       # float64, same ops as C
+        emit_ok = x < (i_lin0 + avail - half)
+        # emissions are a prefix (x is nondecreasing)
+        output_generated = int(np.count_nonzero(emit_ok))
+        positions = x[:output_generated]
+    else:
+        output_generated = 0
+        positions = np.zeros(0, dtype=np.float64)
+
+    if n_out == 0:
+        input_used = 0
+    elif output_generated < n_out:
+        input_used = avail
+    else:
+        x_last = float(positions[-1])
+        m_min = math.floor(x_last) + half - i_lin0 + 1
+        input_used = min(avail, max(0, m_min))
+
+    # prefill bookkeeping: fires (and disarms) at the first emission
+    prefill = None
+    new_flags = flags
+    if (flags & EXTRAPOLATE_PREFILL) and output_generated > 0:
+        new_flags &= ~EXTRAPOLATE_PREFILL
+        x0 = float(positions[0])
+        m0 = min(avail, max(0, math.floor(x0) + half - i_lin0 + 1))
+        lin_first = i_lin0 + m0 + flush_shift
+        s0 = max(0, math.ceil((i_ring + m0 - num_samples)
+                              / (num_samples - num_taps)))
+        nvalues = (i_ring + m0 - s0 * (num_samples - num_taps)) - num_taps
+        if nvalues >= 8 and num_taps - nvalues > 0:
+            prefill = (lin_first, nvalues)
+
+    # ring slides during consumption (reference resampler.c:497-503)
+    n_slides = max(0, math.ceil((i_ring + input_used - num_samples) / slide))
+    new_input_index = i_ring + input_used - n_slides * slide
+    offset2 = output_generated / ratio if output_generated > 0 else 0.0
+    new_offset = (o_ring - n_slides * slide) + offset2
+    if flags & RESAMPLER_SNAP_OFFSET:
+        new_offset = snap_offset(new_offset, num_filters)
+
+    return ProcessPlan(
+        input_used=input_used,
+        output_generated=output_generated,
+        flush=flush,
+        # shift ring-coordinate read positions into engine-linear coordinates
+        # (exact: flush_shift is a small integer)
+        positions=positions + flush_shift if flush_shift else positions,
+        prefill=prefill,
+        new_output_offset=new_offset,
+        new_input_index=new_input_index,
+        new_flags=new_flags,
+        linear_len=i_lin0 + flush_shift + input_used,
+    )
+
+
+def simulate_required_samples(*, output_offset: float, input_index: int,
+                              num_samples: int, num_taps: int,
+                              n_out: int, ratio: float) -> int:
+    """Dry-run: inputs needed for n_out outputs
+    (reference resampler.c:853-880).  Faithful to the reference's accumulated
+    ``offset += 1/ratio`` stepping, which rounds differently from k/ratio."""
+    half = num_taps // 2
+    offset = output_offset
+    idx = input_index
+    used = 0
+    step = 1.0 / ratio
+    remaining = n_out
+    while remaining > 0:
+        if offset >= idx - half:
+            if idx == num_samples:
+                offset -= num_samples - num_taps
+                idx -= num_samples - num_taps
+            idx += 1
+            used += 1
+        else:
+            offset += step
+            remaining -= 1
+    return used
+
+
+def simulate_expected_output(*, output_offset: float, input_index: int,
+                             flags: int, num_samples: int, num_taps: int,
+                             n_in: int, ratio: float,
+                             fixed_ratio: float) -> int:
+    """Dry-run: outputs generated from n_in inputs
+    (reference resampler.c:882-918)."""
+    half = num_taps // 2
+    if flags & RESAMPLE_FIXED_RATIO:
+        ratio = fixed_ratio
+    offset = output_offset
+    idx = input_index
+    if flags & RESAMPLER_FLUSHED:
+        n_in = 0
+    elif n_in < 0:
+        idx += half
+        n_in = 0
+    generated = 0
+    step = 1.0 / ratio
+    while True:
+        if offset >= idx - half:
+            if n_in > 0:
+                if idx == num_samples:
+                    offset -= num_samples - num_taps
+                    idx -= num_samples - num_taps
+                idx += 1
+                n_in -= 1
+            else:
+                break
+        else:
+            offset += step
+            generated += 1
+    return generated

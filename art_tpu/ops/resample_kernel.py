@@ -1,0 +1,148 @@
+"""Device kernels for the windowed-sinc resampler.
+
+The host accounting (core/accounting.py) reduces every process() call to a
+batch of float64 read positions over a linear sample buffer.  This module
+turns those positions into audio:
+
+  - ``decompose_positions``: float64 host math splitting each position into
+    (window base, filter index, interpolation fraction, passthrough) exactly
+    the way the reference subsample functions do
+    (reference resampler.c:1135-1157),
+  - a numpy backend used as the bit-careful parity reference (float64
+    accumulation, lerp of the two filter outputs in float64 like the
+    reference's double-precision interpolation arithmetic),
+  - a JAX backend: one gather of [K, T] history windows + phase-bank row
+    gather + fused lerp + batched dot, jitted with bucketed shapes so
+    streaming calls hit the compile cache.
+
+The fixed-ratio steady-state path has a dedicated formulation in
+``polyphase.py`` (strided convolution onto the MXU); this module is the
+fully-general path that also serves drifting-ratio ASRC.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+try:
+    import jax
+    import jax.numpy as jnp
+    _HAVE_JAX = True
+except Exception:  # pragma: no cover
+    _HAVE_JAX = False
+
+
+def decompose_positions(positions: np.ndarray, num_filters: int,
+                        num_taps: int, interpolate: bool,
+                        include_lowpass: bool) -> dict:
+    """Split emission positions into gather/filter indices (host, float64)."""
+    half = num_taps // 2
+    ipos = np.floor(positions)
+    frac0 = positions - ipos
+    base = ipos.astype(np.int64) - half + 1
+    if interpolate:
+        ff = frac0 * num_filters
+        fi = np.floor(ff)
+        frac = ff - fi
+        fi = fi.astype(np.int64)
+        # guard the (half-ulp) case where frac0*F rounds up to exactly F
+        over = fi >= num_filters
+        fi = np.where(over, num_filters - 1, fi)
+        frac = np.where(over, 1.0, frac)
+        return dict(base=base, fi=fi, frac=frac,
+                    pass_mask=np.zeros(len(positions), dtype=bool),
+                    pass_idx=np.zeros(len(positions), dtype=np.int64))
+    fi = np.floor(frac0 * num_filters + 0.5).astype(np.int64)
+    pass_mask = (~include_lowpass) & (fi % num_filters == 0) \
+        if isinstance(include_lowpass, np.ndarray) else \
+        (not include_lowpass) & (fi % num_filters == 0)
+    pass_idx = ipos.astype(np.int64) + fi // num_filters
+    return dict(base=base, fi=fi, frac=np.zeros_like(frac0),
+                pass_mask=pass_mask, pass_idx=pass_idx)
+
+
+def apply_numpy(L: np.ndarray, bank: np.ndarray, parts: dict,
+                interpolate: bool, dtype) -> np.ndarray:
+    """Parity backend: float64-accumulated windowed dot per position.
+
+    L: [ch, S] linear buffer; bank: [F+1, T]; returns [ch, K] in ``dtype``.
+    """
+    ch, _ = L.shape
+    T = bank.shape[1]
+    K = parts["base"].shape[0]
+    if K == 0:
+        return np.zeros((ch, 0), dtype=dtype)
+    win = np.lib.stride_tricks.sliding_window_view(L, T, axis=1)
+    win = win[:, parts["base"], :]                     # [ch, K, T]
+    f1 = bank[parts["fi"]]                             # [K, T]
+    if interpolate:
+        f2 = bank[parts["fi"] + 1]
+        d1 = np.einsum("ckt,kt->ck", win, f1, dtype=np.float64)
+        d2 = np.einsum("ckt,kt->ck", win, f2, dtype=np.float64)
+        frac = parts["frac"][None, :]
+        out = d1 * (1.0 - frac) + d2 * frac
+    else:
+        out = np.einsum("ckt,kt->ck", win, f1, dtype=np.float64)
+        if parts["pass_mask"].any():
+            passthrough = L[:, parts["pass_idx"]]
+            out = np.where(parts["pass_mask"][None, :], passthrough, out)
+    return out.astype(dtype)
+
+
+if _HAVE_JAX:
+
+    @functools.partial(jax.jit, static_argnames=("interpolate", "use_pass",
+                                                 "num_taps"))
+    def _apply_jax(L, bank, base, fi, frac, pass_mask, pass_idx,
+                   interpolate: bool, use_pass: bool, num_taps: int):
+        taps_iota = jnp.arange(num_taps, dtype=base.dtype)
+        idx = base[:, None] + taps_iota[None, :]       # [K, T]
+        win = jnp.take(L, idx, axis=1)                 # [ch, K, T]
+        if interpolate:
+            fr = frac.astype(bank.dtype)[:, None]
+            w = jnp.take(bank, fi, axis=0) * (1.0 - fr) \
+                + jnp.take(bank, fi + 1, axis=0) * fr
+        else:
+            w = jnp.take(bank, fi, axis=0)
+        out = jax.lax.dot_general(
+            win, w,
+            dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32 if bank.dtype == jnp.float32
+            else jnp.float64,
+        )                                              # [K, ch]
+        out = out.T
+        if use_pass:
+            out = jnp.where(pass_mask[None, :], jnp.take(L, pass_idx, axis=1),
+                            out)
+        return out
+
+    def apply_jax(L: np.ndarray, bank_dev, parts: dict, interpolate: bool,
+                  dtype, bucket: int = 1024) -> np.ndarray:
+        """JAX backend with shape bucketing for compile-cache reuse."""
+        ch, S = L.shape
+        K = parts["base"].shape[0]
+        if K == 0:
+            return np.zeros((ch, 0), dtype=dtype)
+        T = bank_dev.shape[1]
+        Kp = -(-K // bucket) * bucket
+        Sp = -(-S // bucket) * bucket + T
+        Lp = np.zeros((ch, Sp), dtype=dtype)
+        Lp[:, :S] = L
+        base = np.zeros(Kp, dtype=np.int32)
+        base[:K] = parts["base"]
+        fi = np.zeros(Kp, dtype=np.int32)
+        fi[:K] = parts["fi"]
+        frac = np.zeros(Kp, dtype=np.float64)
+        frac[:K] = parts["frac"]
+        pass_mask = np.zeros(Kp, dtype=bool)
+        pass_mask[:K] = parts["pass_mask"]
+        pass_idx = np.zeros(Kp, dtype=np.int32)
+        pass_idx[:K] = parts["pass_idx"]
+        use_pass = bool(parts["pass_mask"].any())
+        out = _apply_jax(jnp.asarray(Lp), bank_dev, jnp.asarray(base),
+                         jnp.asarray(fi), jnp.asarray(frac),
+                         jnp.asarray(pass_mask), jnp.asarray(pass_idx),
+                         interpolate, use_pass, T)
+        return np.asarray(out)[:, :K].astype(dtype)

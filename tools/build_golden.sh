@@ -1,0 +1,13 @@
+#!/bin/sh
+# Build the golden-dump harness against the read-only reference sources.
+# Produces /tmp/art_golden/golden_dump (f32) and golden_dump64 (f64).
+set -e
+REF=${REF:-/root/reference}
+OUT=${OUT:-/tmp/art_golden}
+HERE=$(dirname "$0")
+mkdir -p "$OUT"
+FLAGS="-O2 -fno-signed-zeros -fno-trapping-math -DENABLE_THREADS -DENABLE_EXTRAPOLATION -I$REF"
+SRCS="$HERE/golden_dump.c $REF/resampler.c $REF/extrapolator.c $REF/decimator.c $REF/workers.c $REF/biquad.c"
+[ -x "$OUT/golden_dump" ] || gcc $FLAGS -mavx2 -fassociative-math $SRCS -lm -pthread -o "$OUT/golden_dump"
+[ -x "$OUT/golden_dump64" ] || gcc -DPATH_WIDTH=64 $FLAGS -mavx2 -fassociative-math $SRCS -lm -pthread -o "$OUT/golden_dump64"
+echo "$OUT"
