@@ -1,0 +1,130 @@
+"""API-contract tests for the resampler engine (no C reference needed)."""
+
+import numpy as np
+import pytest
+
+from art_tpu import Resampler
+from art_tpu.core.flags import (BLACKMAN_HARRIS, RESAMPLER_FLUSHED,
+                                SUBSAMPLE_INTERPOLATE)
+
+IB = SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS
+
+
+def test_invalid_configs_rejected():
+    for taps, filt in [(7, 10), (0, 10), (1028, 10), (8, 0), (8, 2000)]:
+        with pytest.raises(ValueError):
+            Resampler(1, taps, filt, 0.0, IB)
+
+
+def test_flush_latch_and_reset():
+    r = Resampler.fixed_ratio(1, 48, 48, 44100, 48000, 0, IB)
+    x = np.random.default_rng(0).standard_normal((1, 500)).astype(np.float32)
+    _, res = r.process(x, 500, 4000, 0.0)
+    assert res.input_used == 500
+    _, res = r.process(None, -1, 4000, 0.0)
+    assert res.output_generated > 0
+    assert r.flags & RESAMPLER_FLUSHED
+    _, res = r.process(None, -1, 4000, 0.0)
+    assert res.output_generated == 0
+    _, res = r.process(x, 500, 4000, 0.0)
+    assert res.input_used == 0
+    r.reset()
+    assert not (r.flags & RESAMPLER_FLUSHED)
+    _, res = r.process(x, 500, 4000, 0.0)
+    assert res.input_used == 500
+
+
+def test_zero_output_space():
+    r = Resampler.fixed_ratio(1, 48, 48, 44100, 48000, 0, IB)
+    x = np.zeros((1, 100), np.float32)
+    out, res = r.process(x, 100, 0, 0.0)
+    assert (res.input_used, res.output_generated) == (0, 0)
+    assert out.shape == (1, 0)
+
+
+def test_advance_guards():
+    r = Resampler(1, 48, 48, 0.0, 0)
+    with pytest.raises(ValueError):
+        r.advance_position(1.5)
+    with pytest.raises(ValueError):
+        r.advance_position(-1.0)
+    r.advance_position(2.0)
+    r2 = Resampler(1, 48, 48, 0.0, SUBSAMPLE_INTERPOLATE)
+    r2.advance_position(1.5)
+
+
+def test_chunk_size_invariance():
+    def run(block):
+        r = Resampler.fixed_ratio(2, 48, 48, 44100, 48000, 0, IB)
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((2, 8192)).astype(np.float32)
+        outs = []
+        for i in range(0, 8192, block):
+            o, _ = r.process(x[:, i:i + block], min(block, 8192 - i),
+                             20000, 0.0)
+            outs.append(o)
+        o, _ = r.process(None, -1, 20000, 0.0)
+        outs.append(o)
+        return np.concatenate(outs, axis=1)
+
+    a, b = run(64), run(4096)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() < 3e-7
+
+
+def test_dry_run_queries_match_actual():
+    r = Resampler.fixed_ratio(1, 48, 48, 44100, 48000, 0, IB)
+    exp = r.get_expected_output(1000, 0.0)
+    need = r.get_required_samples(exp, 0.0)
+    _, res = r.process(np.zeros((1, 1000), np.float32), 1000, 99999, 0.0)
+    assert res.output_generated == exp
+    assert need <= 1000
+
+
+def test_position_recurrence():
+    """resampleGetPosition pseudo-code contract
+    (reference resampler.c:950-963): negative position => an output sample
+    is ready without further input."""
+    r = Resampler(1, 48, 48, 0.0, IB)
+    r.advance_position(24.0)
+    assert r.get_position() == pytest.approx(24.0)
+    x = np.ones((1, 30), np.float32)
+    _, res = r.process(x, 30, 1000, 1.0)
+    assert res.input_used == 30
+    # consumed 30, emitted res.output_generated at unity ratio
+    assert r.get_position() == pytest.approx(
+        24.0 + res.output_generated - 30.0)
+
+
+def test_state_serializable_resume():
+    """Streaming state is a plain pytree: save/restore mid-stream must
+    continue the stream identically (the checkpoint/resume story)."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 4000)).astype(np.float32)
+
+    r1 = Resampler.fixed_ratio(1, 48, 48, 44100, 48000, 0, IB)
+    o1a, _ = r1.process(x[:, :2000], 2000, 9000, 0.0)
+    saved = (r1.history.copy(), r1.output_offset, r1.input_index, r1.flags)
+    o1b, _ = r1.process(x[:, 2000:], 2000, 9000, 0.0)
+
+    r2 = Resampler.fixed_ratio(1, 48, 48, 44100, 48000, 0, IB)
+    r2.history, r2.output_offset, r2.input_index, r2.flags = \
+        saved[0].copy(), saved[1], saved[2], saved[3]
+    o2b, _ = r2.process(x[:, 2000:], 2000, 9000, 0.0)
+    np.testing.assert_array_equal(o1b, o2b)
+
+
+def test_interleaved_vs_planar_equivalence():
+    """The reference A/Bs its interleaved and non-interleaved APIs by
+    checksum (reference artest.c:658-687); ours must agree bit-exactly."""
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((3, 3000)).astype(np.float32)
+
+    rp = Resampler.fixed_ratio(3, 48, 48, 44100, 48000, 0, IB)
+    ri = Resampler.fixed_ratio(3, 48, 48, 44100, 48000, 0, IB)
+    op, resp = rp.process(x, 3000, 9000, 0.0)
+    oi, resi = ri.process_interleaved(np.ascontiguousarray(x.T), 3000,
+                                      9000, 0.0)
+    assert (resp.input_used, resp.output_generated) == \
+        (resi.input_used, resi.output_generated)
+    np.testing.assert_array_equal(op, oi.T)
