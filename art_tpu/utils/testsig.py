@@ -1,0 +1,160 @@
+"""Deterministic test signals and checksums (ARTEST-compatible).
+
+The reference benchmark harness generates white noise with a 64-bit LCG
+(``s = ((s<<4) - s) ^ 1`` stepped 3x per sample, reference artest.c:744-754),
+sine tones with an accumulated phase (reference artest.c:758-774), raised
+cosine fades (reference artest.c:776-798), and an order-sensitive
+multiplicative checksum over raw sample bits (reference artest.c:90-104).
+
+Every generator here reproduces the reference *bit-exactly* but is fully
+vectorized.  The LCG looks sequential but is actually affine with a
+deterministic sign pattern: ``(15*s)^1 == 15*s + 1 - 2*(s&1)`` and the parity
+of the state flips every step, so the whole sequence has the closed form
+``s_k = 15^k * (s_0 + sum_j c_j * 15^{-(j+1)})`` over Z/2^64 — computed with
+cumulative products/sums and the modular inverse of 15.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LCG_SEED = 0x3141592653589793
+_INV15 = pow(15, -1, 1 << 64)
+
+
+class NoiseLCG:
+    """Bit-exact, vectorized ARTEST noise source (+/-0.5 white noise)."""
+
+    def __init__(self, seed: int = LCG_SEED):
+        self.state = seed & 0xFFFFFFFFFFFFFFFF
+
+    def _raw_states(self, nsteps: int) -> np.ndarray:
+        """States after steps 1..nsteps of s -> (15*s)^1 (mod 2^64)."""
+        s0 = np.uint64(self.state)
+        j = np.arange(nsteps, dtype=np.uint64)
+        parity = (np.uint64(self.state & 1) ^ (j & np.uint64(1)))
+        c = np.where(parity == 0, np.uint64(1), np.uint64(0xFFFFFFFFFFFFFFFF))
+        with np.errstate(over="ignore"):
+            B = np.cumprod(np.full(nsteps, _INV15, dtype=np.uint64))
+            V = np.cumsum(c * B)
+            A = np.cumprod(np.full(nsteps, 15, dtype=np.uint64))
+            states = A * s0 + A * V
+        return states
+
+    def fill(self, count: int, dtype=np.float32) -> np.ndarray:
+        states = self._raw_states(3 * count)
+        picks = states[2::3]
+        self.state = int(picks[-1]) if count else self.state
+        vals = (picks >> np.uint64(32)).astype(np.int64)
+        vals = np.where(vals >= 1 << 31, vals - (1 << 32), vals)
+        return (vals.astype(np.float64) / 4294967296.0).astype(dtype)
+
+
+class ToneGenerator:
+    """Bit-exact ARTEST tone source (reference artest.c:758-774)."""
+
+    def __init__(self):
+        self.phase_angle = 0.0
+
+    def fill(self, count: int, chans: int, freq: float,
+             dtype=np.float32) -> np.ndarray:
+        chan_offset = 2.0 * np.pi / chans if chans > 2 else np.pi / 2.0
+        # cumsum reproduces the reference's accumulated `phase += 2*pi*f`
+        phases = self.phase_angle + np.cumsum(
+            np.full(count, 2.0 * np.pi * freq, dtype=np.float64))
+        self.phase_angle = float(phases[-1]) if count else self.phase_angle
+        out = np.empty((count, chans), dtype=np.float64)
+        out[:, 0] = np.sin(phases) * 0.5
+        for c in range(1, chans):
+            out[:, c] = np.sin(phases + chan_offset * c) * 0.5
+        return out.astype(dtype)
+
+
+def fade_in(data: np.ndarray) -> None:
+    """In-place raised-cosine fade-in over a flat buffer
+    (reference artest.c:776-786)."""
+    count = data.size
+    zcount = count // 4
+    fcount = count - zcount
+    flat = data.reshape(-1)
+    flat[:zcount] = 0.0
+    i = np.arange(fcount, dtype=np.float64)
+    flat[zcount:] = (flat[zcount:].astype(np.float64)
+                     * (np.cos((fcount - i) * np.pi / fcount) + 1.0) / 2.0
+                     ).astype(data.dtype)
+
+
+def fade_out(data: np.ndarray) -> None:
+    """In-place raised-cosine fade-out (reference artest.c:788-798)."""
+    count = data.size
+    zcount = count // 4
+    fcount = count - zcount
+    flat = data.reshape(-1)
+    i = np.arange(fcount, dtype=np.float64)
+    flat[:fcount] = (flat[:fcount].astype(np.float64)
+                     * (np.cos(i * np.pi / fcount) + 1.0) / 2.0
+                     ).astype(data.dtype)
+    flat[fcount:] = 0.0
+
+
+class Stats:
+    """Running stream statistics (reference artest.c:83-114)."""
+
+    def __init__(self, chans: int):
+        self.count = 0
+        self.checksum = 0
+        self.min = 1e20
+        self.max = -1e20
+        self.rms = 0.0
+        self.chans = chans
+
+    def update(self, data: np.ndarray) -> None:
+        flat = np.ascontiguousarray(data).reshape(-1)
+        self.count += flat.size
+        if flat.size == 0:
+            return
+        self.checksum = checksum_bits(flat, self.checksum)
+        self.min = min(self.min, float(flat.min()))
+        self.max = max(self.max, float(flat.max()))
+        self.rms += float((flat.astype(np.float64) ** 2).sum())
+
+    def rms_db(self) -> float:
+        return float(np.log10(self.rms / self.count * 2.0) * 10.0)
+
+    def display(self) -> str:
+        return (f"count = {self.count // self.chans:9d}, "
+                f"checksum = {self.checksum:016x}, "
+                f"range = {self.min:.7f} to {self.max:.7f}, "
+                f"RMS = {self.rms_db():.2f} dB")
+
+
+def checksum_bits(data: np.ndarray, initial: int = 0) -> int:
+    """Order-sensitive checksum ``c = c*3 + bits`` over the low 32 bits of
+    each sample's storage (reference artest.c:98).  Vectorized via
+    ``c_N = c_0*3^N + sum_i b_i*3^(N-1-i)`` mod 2^64."""
+    flat = np.ascontiguousarray(data).reshape(-1)
+    if flat.dtype == np.float32:
+        bits = flat.view(np.uint32).astype(np.uint64)
+    elif flat.dtype == np.float64:
+        # the reference reads a uint32 through the sample pointer: low word
+        bits = (flat.view(np.uint64) & np.uint64(0xFFFFFFFF))
+    else:
+        bits = flat.astype(np.uint64)
+    n = bits.size
+    if n == 0:
+        return initial
+    # c_N = c0*3^N + sum_i b_i * 3^(N-1-i), all mod 2^64
+    with np.errstate(over="ignore"):
+        pows = np.cumprod(np.full(n, 3, dtype=np.uint64))  # 3^1..3^n
+        weights = np.empty(n, dtype=np.uint64)
+        weights[-1] = 1
+        if n > 1:
+            weights[:-1] = pows[:n - 1][::-1]
+        out = np.uint64(initial) * pows[-1] + (bits * weights).sum()
+    return int(out)
+
+
+def checksum_bytes(data: np.ndarray, initial: int = 0) -> int:
+    """Byte-stream checksum (reference artest.c:587-588)."""
+    return checksum_bits(np.ascontiguousarray(data).reshape(-1).view(np.uint8),
+                         initial)
