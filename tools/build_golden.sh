@@ -6,8 +6,11 @@ REF=${REF:-/root/reference}
 OUT=${OUT:-/tmp/art_golden}
 HERE=$(dirname "$0")
 mkdir -p "$OUT"
-FLAGS="-O2 -fno-signed-zeros -fno-trapping-math -DENABLE_THREADS -DENABLE_EXTRAPOLATION -I$REF"
+# strict IEEE (no reassociation, no FMA contraction) so float op order is
+# exactly the source order — the parity target is the reference's *math*,
+# not its fast-math build artifacts
+FLAGS="-O2 -ffp-contract=off -DENABLE_THREADS -DENABLE_EXTRAPOLATION -I$REF"
 SRCS="$HERE/golden_dump.c $REF/resampler.c $REF/extrapolator.c $REF/decimator.c $REF/workers.c $REF/biquad.c"
-[ -x "$OUT/golden_dump" ] || gcc $FLAGS -mavx2 -fassociative-math $SRCS -lm -pthread -o "$OUT/golden_dump"
-[ -x "$OUT/golden_dump64" ] || gcc -DPATH_WIDTH=64 $FLAGS -mavx2 -fassociative-math $SRCS -lm -pthread -o "$OUT/golden_dump64"
+[ -x "$OUT/golden_dump" ] || gcc $FLAGS $SRCS -lm -pthread -o "$OUT/golden_dump"
+[ -x "$OUT/golden_dump64" ] || gcc -DPATH_WIDTH=64 $FLAGS $SRCS -lm -pthread -o "$OUT/golden_dump64"
 echo "$OUT"

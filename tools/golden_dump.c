@@ -109,6 +109,14 @@ int main (int argc, char **argv)
         return 0;
     }
 
+    if (!strcmp (argv[1], "noise")) {
+        int n = atoi (argv[2]);
+        artsample_t *buf = malloc (n * sizeof (artsample_t));
+        noise_fill (buf, n);
+        fwrite (buf, sizeof (artsample_t), n, stdout);
+        return 0;
+    }
+
     if (!strcmp (argv[1], "decimate")) {
         int chans = atoi (argv[2]), bits = atoi (argv[3]), bytes = atoi (argv[4]);
         double gain = atof (argv[5]);
