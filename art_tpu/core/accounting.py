@@ -57,6 +57,9 @@ class ProcessPlan:
     # how many trailing samples of the linear buffer become the new history
     # (== new_input_index), and total linear length used
     linear_len: int = 0
+    # linear-coordinate read position of emission 0 (valid even when
+    # positions were not materialized); emission k reads at this + k/ratio
+    first_position: float = 0.0
 
 
 def snap_offset(offset: float, num_filters: int) -> float:
@@ -66,10 +69,41 @@ def snap_offset(offset: float, num_filters: int) -> float:
     return fl + math.floor((offset - fl) * num_filters + 0.5) / num_filters
 
 
+def _count_emissions(o_lin: float, ratio: float, bound: float,
+                     n_out: int) -> int:
+    """Largest prefix m <= n_out with fl(o_lin + fl(k/ratio)) < bound for all
+    k < m, without materializing the position array.  A closed-form estimate
+    is corrected by evaluating the exact float condition near the boundary."""
+    if n_out <= 0:
+        return 0
+    if not (o_lin < bound):          # first emission already blocked
+        return 0
+    est = int(math.floor((bound - o_lin) * ratio))
+    lo = max(0, est - 4)
+    hi = min(n_out, est + 4)
+
+    def ok(k: int) -> bool:
+        return (o_lin + (k / ratio)) < bound
+
+    # ensure the bracket actually brackets the boundary
+    while lo > 0 and not ok(lo):
+        hi = lo
+        lo = max(0, lo - 64)
+    while hi < n_out and ok(hi):
+        lo = hi
+        hi = min(n_out, hi + 64)
+    m = lo
+    for k in range(lo, hi):
+        if not ok(k):
+            break
+        m = k + 1
+    return m
+
+
 def plan_process(*, output_offset: float, input_index: int, flags: int,
                  num_taps: int, num_samples: int, num_filters: int,
                  fixed_ratio: float, n_in: int, n_out: int,
-                 ratio: float) -> ProcessPlan:
+                 ratio: float, materialize: bool = True) -> ProcessPlan:
     """Resolve one process()/flush call.
 
     ``output_offset``/``input_index`` are the engine's ring-coordinate state
@@ -111,15 +145,16 @@ def plan_process(*, output_offset: float, input_index: int, flags: int,
     # Emission k is possible after consuming m > x_k - (i_lin0 - half) inputs,
     # where x_k = fl(o_lin + fl(k / ratio)); count emissions with the full
     # budget available, capped by output space.
-    if n_out > 0:
+    bound = i_lin0 + avail - half
+    if n_out > 0 and materialize:
         k = np.arange(n_out, dtype=np.float64)
         x = o_lin + k / ratio                       # float64, same ops as C
-        emit_ok = x < (i_lin0 + avail - half)
+        emit_ok = x < bound
         # emissions are a prefix (x is nondecreasing)
         output_generated = int(np.count_nonzero(emit_ok))
         positions = x[:output_generated]
     else:
-        output_generated = 0
+        output_generated = _count_emissions(o_lin, ratio, bound, n_out)
         positions = np.zeros(0, dtype=np.float64)
 
     if n_out == 0:
@@ -127,7 +162,7 @@ def plan_process(*, output_offset: float, input_index: int, flags: int,
     elif output_generated < n_out:
         input_used = avail
     else:
-        x_last = float(positions[-1])
+        x_last = o_lin + ((output_generated - 1) / ratio)
         m_min = math.floor(x_last) + half - i_lin0 + 1
         input_used = min(avail, max(0, m_min))
 
@@ -136,7 +171,7 @@ def plan_process(*, output_offset: float, input_index: int, flags: int,
     new_flags = flags
     if (flags & EXTRAPOLATE_PREFILL) and output_generated > 0:
         new_flags &= ~EXTRAPOLATE_PREFILL
-        x0 = float(positions[0])
+        x0 = o_lin                      # emission 0 reads at exactly o_lin
         m0 = min(avail, max(0, math.floor(x0) + half - i_lin0 + 1))
         lin_first = i_lin0 + m0 + flush_shift
         s0 = max(0, math.ceil((i_ring + m0 - num_samples)
@@ -165,6 +200,7 @@ def plan_process(*, output_offset: float, input_index: int, flags: int,
         new_input_index=new_input_index,
         new_flags=new_flags,
         linear_len=i_lin0 + flush_shift + input_used,
+        first_position=o_lin + flush_shift,
     )
 
 

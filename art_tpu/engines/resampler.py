@@ -73,6 +73,7 @@ class Resampler:
         self.bank = make_filter_bank(num_taps, num_filters, lowpass_ratio,
                                      bool(flags & 0x2), self.dtype.type)
         self._bank_dev = None
+        self._poly = None
         if backend == "jax":
             import jax.numpy as jnp
             self._bank_dev = jnp.asarray(self.bank)
@@ -195,6 +196,14 @@ class Resampler:
 
     def _compute(self, L: np.ndarray, positions: np.ndarray) -> np.ndarray:
         interp = bool(self.flags & SUBSAMPLE_INTERPOLATE)
+        if (self.backend == "jax" and not interp
+                and (self.flags & RESAMPLE_FIXED_RATIO)
+                and positions.size):
+            poly = self._polyphase()
+            if poly is not None and poly.eligible(float(positions[0]),
+                                                  positions.size):
+                return poly.apply(L, float(positions[0]), positions.size,
+                                  self.dtype)
         parts = resample_kernel.decompose_positions(
             positions, self.num_filters, self.num_taps, interp,
             bool(self.flags & INCLUDE_LOWPASS))
@@ -203,6 +212,17 @@ class Resampler:
                                              interp, self.dtype)
         return resample_kernel.apply_numpy(L, self.bank, parts, interp,
                                            self.dtype)
+
+    def _polyphase(self):
+        """Lazy MXU fast path (ops/polyphase.py) for reduced fixed ratios."""
+        if self._poly is None and self.fixed_ratio:
+            from ..ops.polyphase import PolyphaseKernel
+            M = self.num_filters / self.fixed_ratio
+            if abs(M - round(M)) < 1e-9 and round(M) >= 1:
+                self._poly = PolyphaseKernel(
+                    self.bank, self.num_filters,
+                    bool(self.flags & INCLUDE_LOWPASS), self.fixed_ratio)
+        return self._poly
 
     def process_interleaved(self, inputs, n_in: int, n_out: int,
                             ratio: float) -> tuple[np.ndarray, ResampleResult]:

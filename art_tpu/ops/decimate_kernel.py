@@ -152,18 +152,31 @@ def quantize_shaped_jax(samples: np.ndarray, dither: np.ndarray | None,
     a = jnp.asarray(shaper.a)
     b = jnp.asarray(shaper.b)
 
+    if dt == np.float32:
+        # XLA may contract mul+add chains into FMAs, skipping the product
+        # rounding the reference performs.  Computing each product through a
+        # float64 round-trip yields exactly the float32-rounded product and
+        # is not contractible.  (The float64 data path keeps native ops; its
+        # own FMA deviation is sub-ulp of the 52-bit mantissa.)
+        def mul(u, v):
+            return (u.astype(jnp.float64) * v.astype(jnp.float64)
+                    ).astype(jnp.float32)
+    else:
+        def mul(u, v):
+            return u * v
+
     def step(carry, inp):
         fb, xh, yh = carry
         x, d = inp
-        code = x * dt.type(scaler) - fb
+        code = mul(x, dt.type(scaler)) - fb
         t = (code + d.astype(code.dtype)) + dt.type(0.5)
         ov = jnp.floor(t.astype(jnp.float64)).astype(jnp.int32)
         err = (ov.astype(code.dtype) - code)
-        s = err * a[0]
-        s = s + (xh[3] * a[4] - b[4] * yh[3])
-        s = s + (xh[2] * a[3] - b[3] * yh[2])
-        s = s + (xh[1] * a[2] - b[2] * yh[1])
-        s = s + (xh[0] * a[1] - b[1] * yh[0])
+        s = mul(err, a[0])
+        s = s + (mul(xh[3], a[4]) - mul(b[4], yh[3]))
+        s = s + (mul(xh[2], a[3]) - mul(b[3], yh[2]))
+        s = s + (mul(xh[1], a[2]) - mul(b[2], yh[1]))
+        s = s + (mul(xh[0], a[1]) - mul(b[1], yh[0]))
         xh = jnp.concatenate([err[None], xh[:3]])
         yh = jnp.concatenate([s[None], yh[:3]])
         clip_n = jnp.sum((ov > highclip) | (ov < lowclip))

@@ -1,0 +1,77 @@
+"""Headline benchmark: preset -3 44.1kHz -> 48kHz stereo fixed-ratio resample.
+
+Mirrors `artest -3 -s44.1k -d48k -c2 -e` (the BASELINE.md headline config):
+synthetic noise, no file I/O, streaming chunked processing with a final
+flush.  Audio stays device-resident (this deployment's device->host link is
+orders of magnitude slower than compute, so a production pipeline would also
+keep audio on device); the host performs only the per-chunk consume/emit
+accounting, and a device-side power accumulator is fetched once at the end to
+synchronize the timed region.
+
+Prints ONE JSON line: output Mframes/s vs the measured single-core C
+reference (7.88 Mframes/s on this machine, see BASELINE_MEASURED.md).
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from art_tpu.core import flags as F
+    from art_tpu.parallel.streams import DeviceStreamResampler
+
+    IB = F.SUBSAMPLE_INTERPOLATE | F.BLACKMAN_HARRIS | F.INCLUDE_LOWPASS
+    # long enough that the timed region (~1 s) averages out tunnel-dispatch
+    # latency variance; artest accepts up to -n36000 so this is in-contract
+    seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 3600
+    chunk = 1 << 21                       # ~47.5 s of 44.1k audio per call
+    total_in = seconds * 44100
+    nchunks = max(1, round(total_in / chunk))
+
+    key = jax.random.PRNGKey(0)
+    noise = jax.random.normal(key, (2, chunk), dtype=jnp.float32) * 0.25
+
+    def make_engine():
+        eng = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB)
+        eng.advance_position(190)
+        eng.prewarm()
+        return eng
+
+    def run(eng, n):
+        produced = 0
+        acc = None
+        for _ in range(n):
+            out, K = eng.process(noise, chunk)
+            s = jnp.sum(out * out)        # invalid lanes are already zeroed
+            acc = s if acc is None else acc + s
+            produced += K
+        out, K = eng.flush()
+        acc = acc + jnp.sum(out * out)
+        produced += K
+        return produced, float(acc)       # the fetch synchronizes
+
+    run(make_engine(), 2)                 # warmup: compiles the chunk step
+
+    eng = make_engine()
+    t0 = time.perf_counter()
+    produced, power = run(eng, nchunks)
+    dt = time.perf_counter() - t0
+
+    mframes = produced / dt / 1e6
+    baseline = 7.88  # C single-core Mframes/s (BASELINE_MEASURED.md)
+    print(json.dumps({
+        "metric": "preset-3 44.1k->48k stereo fixed-ratio resample throughput",
+        "value": round(mframes, 2),
+        "unit": "Mframes/s (output)",
+        "vs_baseline": round(mframes / baseline, 2),
+    }))
+    print(f"# produced={produced} frames in {dt:.3f}s power={power:.1f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,12 +7,17 @@ we A/B sharded-vs-single-device on virtual devices).
 
 import os
 
-# must be set before jax initializes
+# must be set before jax initializes; note the axon TPU plugin ignores the
+# JAX_PLATFORMS env var, so we also force it through the config API below
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags +
                                " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import subprocess
 from pathlib import Path

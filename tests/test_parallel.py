@@ -1,0 +1,101 @@
+"""Device-resident streaming engine and multi-chip sharding tests (run on a
+virtual 8-device CPU mesh; see conftest)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from art_tpu.core.flags import (BLACKMAN_HARRIS, INCLUDE_LOWPASS,
+                                SUBSAMPLE_INTERPOLATE)
+from art_tpu.engines.resampler import Resampler
+from art_tpu.parallel.streams import DeviceStreamResampler
+from art_tpu.utils.testsig import NoiseLCG
+
+IBL = SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS | INCLUDE_LOWPASS
+
+
+def test_device_stream_matches_host_engine():
+    lcg = NoiseLCG()
+    chunks = [lcg.fill(20000 * 2).reshape(20000, 2).T.copy()
+              for _ in range(4)]
+    r = Resampler.fixed_ratio(2, 380, 380, 44100, 48000, 0, IBL,
+                              backend="numpy")
+    r.advance_position(190)
+    d = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IBL)
+    d.advance_position(190)
+    md = 0.0
+    for c in chunks:
+        ho, res = r.process(c, c.shape[1], 30000, 0.0)
+        do, K = d.process(jnp.asarray(c), c.shape[1])
+        assert K == res.output_generated
+        md = max(md, float(np.abs(ho - np.asarray(do)[:, :K]).max()))
+    ho, res = r.process(None, -1, 30000, 0.0)
+    do, K = d.flush()
+    assert K == res.output_generated
+    md = max(md, float(np.abs(ho - np.asarray(do)[:, :K]).max()))
+    assert md < 2e-6
+    assert abs(r.get_position() - d.get_position()) < 1e-9
+
+
+def test_device_stream_downsample():
+    lcg = NoiseLCG()
+    r = Resampler.fixed_ratio(1, 156, 320, 96000, 44100, 0, IBL,
+                              backend="numpy")
+    d = DeviceStreamResampler(1, 156, 320, 96000, 44100, 0, IBL)
+    md = 0.0
+    for _ in range(3):
+        c = lcg.fill(8192).reshape(1, 8192)
+        ho, res = r.process(c, 8192, 8192, 0.0)
+        do, K = d.process(jnp.asarray(c), 8192)
+        assert K == res.output_generated
+        md = max(md, float(np.abs(ho - np.asarray(do)[:, :K]).max()))
+    assert md < 2e-6
+
+
+def test_device_stream_rejects_interpolated_config():
+    from art_tpu.core.flags import NO_FILTER_REDUCTION
+    with pytest.raises(ValueError):
+        DeviceStreamResampler(2, 380, 380, 44100, 48000, 0,
+                              IBL | NO_FILTER_REDUCTION)
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 8])
+def test_dryrun_multichip(n_devices):
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as g
+    g.dryrun_multichip(n_devices)
+
+
+def test_sharded_pipeline_matches_single_device():
+    """Sharded (streams x taps) result must equal the unsharded math — the
+    TPU analog of the reference's threaded-vs-unthreaded A/B."""
+    from art_tpu.parallel.sharding import (batched_pipeline_step,
+                                           example_batch, make_mesh)
+    mesh = make_mesh(4, 2)
+    step = batched_pipeline_step(mesh, M=3, L=2, nb=4, qn=4, hist_len=32,
+                                 scaler=32768.0, highclip=32767,
+                                 lowclip=-32768)
+    x, hist, Pmat, start = example_batch(mesh, n_streams=8)
+    out, nh, clips, power = step(x, hist, Pmat, start)
+
+    mesh1 = make_mesh(1, 1)
+    step1 = batched_pipeline_step(mesh1, M=3, L=2, nb=4, qn=4, hist_len=32,
+                                  scaler=32768.0, highclip=32767,
+                                  lowclip=-32768)
+    out1, nh1, clips1, power1 = step1(x, hist, Pmat, start)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out1), atol=1e-6)
+    assert int(clips) == int(clips1)
+    assert abs(float(power) - float(power1)) < 1e-3
+
+
+def test_entry_compiles():
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == 2 and np.isfinite(np.asarray(out)).all()

@@ -62,7 +62,7 @@ def test_stream_parity_jax_backend(golden_bin, case):
     compare_stream(golden_bin, chans=chans, taps=taps, filters=filters,
                    flags=flags, mode=mode, src=src, dst=dst, lowpass=lowpass,
                    ratio=ratio, block=block, nblocks=nblocks, advance=advance,
-                   atol=3e-7, backend="jax")
+                   atol=1e-6, backend="jax")
 
 
 def test_varying_ratio_asrc(golden_bin):
