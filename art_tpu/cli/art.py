@@ -1,0 +1,484 @@
+"""ART — Audio Resampling Tool (CLI).
+
+Command-line-compatible port of the reference `art` tool (reference
+art.c): same options (presets -1..-4, -r/-g/-s/-l/-f/-t/-o/-d/-n/-a/-b/-h/
+-m/-e/-p/-q/-v/-x/-y, --pitch/--tempo/--duration), same pipeline
+(stretch -> pre-biquad -> resample -> post-biquad -> decimate), same WAV
+behaviors.  The numeric width switch is `-o64`-style output plus `--f64`
+for the full 64-bit data path (the reference's ART64 build).
+
+The compute backend defaults to host numpy (bit-careful parity path); pass
+`--backend jax` to run the resampling hot path on the accelerator.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+
+from ..core.flags import (BLACKMAN_HARRIS, DECIMATE_MULTITHREADED,
+                          DITHER_FLAT, DITHER_HIGHPASS, DITHER_LOWPASS,
+                          EXTRAPOLATE_ENDPOINTS, INCLUDE_LOWPASS,
+                          NO_FILTER_REDUCTION, RESAMPLE_MULTITHREADED,
+                          SHAPING_1ST_ORDER, SHAPING_2ND_ORDER,
+                          SHAPING_3RD_ORDER, SHAPING_ATH_CURVE,
+                          STRETCH_DUAL_FLAG, SUBSAMPLE_INTERPOLATE)
+from ..engines.biquad import Biquad, biquad_lowpass
+from ..engines.decimator import Decimator
+from ..engines.resampler import Resampler
+from ..engines.stretch import Stretcher
+from ..io import wavfile
+from ..ops.decimate_kernel import pack_bytes  # noqa: F401  (used via Decimator)
+
+VERSION = 0.7
+BUFFER_SAMPLES = 16384
+
+USAGE = """
+ Usage:     ART [-options] infile.wav outfile.wav
+
+ Options:  -1|2|3|4    = quality presets, default = 3
+           -r<Hz>      = resample to specified rate in Hz ('k' for kHz)
+           -g<dB>      = apply gain (default = 0 dB)
+           -s<degrees> = add specified phase shift (+/-360 degrees)
+           -l<Hz>      = specify alternate lowpass frequency in Hz
+           -f<num>     = number of sinc filters (1-1024)
+           -t<num>     = number of sinc taps (4-1024, multiples of 4)
+           -o<bits>    = output bitdepth (4-24, 32, or 64 with --f64)
+           -d<sel>     = dither override: 0=none 1=flat 2=LP (default HP)
+           -n<sel>     = noise-shaping override: 0-3 (default ATH)
+           -a          = allpass sinc (no lowpass, even downsampling)
+           -b          = Blackman-Harris windowing (best stopband)
+           -h          = Hann windowing (fastest transition)
+           -m          = accepted for compatibility (XLA schedules channels)
+           -e          = extended math resolution for convolution
+           -p          = pre/post filtering (cascaded biquads)
+           -q          = quiet mode   -v = verbose
+           -x          = do NOT extrapolate audio samples at endpoints
+           -y          = overwrite outfile if it exists
+           --pitch=<cents>   --tempo=<ratio>
+           --duration=<[+|-][[hh:]mm:]ss.ss>
+           --f64       = 64-bit float data path (the reference's ART64)
+           --backend=<numpy|jax>
+"""
+
+
+class Options:
+    def __init__(self):
+        self.num_taps = 380
+        self.num_filters = 380
+        self.outbits = 0
+        self.verbosity = 0
+        self.pre_post_filter = False
+        self.allpass = False
+        self.dither = DITHER_HIGHPASS
+        self.noise_shaping = SHAPING_ATH_CURVE
+        self.extrapolation = True
+        self.extended_math = False
+        self.multithreaded = False
+        self.pitch_ratio = 1.0
+        self.tempo_ratio = 1.0
+        self.resample_rate = 0
+        self.lowpass_freq = 0
+        self.phase_shift = 0.0
+        self.gain = 1.0
+        self.bh4_window = False
+        self.hann_window = False
+        self.overwrite = False
+        self.duration = None           # (is_relative, seconds)
+        self.dtype = np.float32
+        self.backend = "numpy"
+        self.infile = None
+        self.outfile = None
+
+
+def parse_time_spec(src: str):
+    """[+|-][[hh:]mm:]ss.ss (reference art.c:400-430)."""
+    rel = 0
+    if src[:1] in "+-":
+        rel = 1 if src[0] == "+" else -1
+        src = src[1:]
+    parts = src.split(":")
+    if len(parts) > 3 or not src:
+        return None
+    value = 0.0
+    try:
+        for i, p in enumerate(parts):
+            v = float(p) if p else 0.0
+            if v < 0.0 or (i > 0 and v >= 60.0):
+                return None
+            if i < len(parts) - 1 and v != math.floor(v):
+                return None
+            value = value * 60.0 + v
+    except ValueError:
+        return None
+    return rel, value
+
+
+def _num_suffix(s: str) -> float:
+    if s and s[-1] in "kK":
+        return float(s[:-1]) * 1000.0
+    return float(s)
+
+
+def parse_args(argv, opt: Options):
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        i += 1
+        if arg.startswith("--"):
+            name, _, val = arg[2:].partition("=")
+            if name == "pitch":
+                cents = float(val)
+                if not -2400 <= cents <= 2400:
+                    raise SystemExit("invalid pitch shift, must be +/- 2400 "
+                                     "cents (2 octaves)!")
+                opt.pitch_ratio = 2.0 ** (cents / 1200.0)
+            elif name == "tempo":
+                opt.tempo_ratio = float(val)
+                if not 0.25 <= opt.tempo_ratio <= 4.0:
+                    raise SystemExit("invalid tempo, must be 0.25 to 4.0!")
+            elif name == "duration":
+                opt.duration = parse_time_spec(val)
+                if opt.duration is None:
+                    raise SystemExit("invalid --duration parameter!")
+            elif name == "f64":
+                opt.dtype = np.float64
+            elif name == "backend":
+                opt.backend = val
+            else:
+                raise SystemExit(f"unknown option: {name} !")
+        elif arg.startswith("-") and len(arg) > 1:
+            j = 1
+            while j < len(arg):
+                c = arg[j]
+                rest = arg[j + 1:]
+
+                def take_num():
+                    nonlocal j
+                    k = 0
+                    while k < len(rest) and (rest[k].isdigit()
+                                             or rest[k] in ".+-kK"):
+                        k += 1
+                    j += k
+                    return rest[:k]
+
+                cl = c.lower()
+                if c in "1234":
+                    opt.num_filters, opt.num_taps = {
+                        "1": (48, 48), "2": (320, 156), "3": (380, 380),
+                        "4": (988, 988)}[c]
+                elif cl == "a":
+                    opt.allpass = True
+                elif cl == "m":
+                    opt.multithreaded = True
+                elif cl == "p":
+                    opt.pre_post_filter = True
+                elif cl == "q":
+                    opt.verbosity = -1
+                elif cl == "v":
+                    opt.verbosity = 1
+                elif cl == "e":
+                    opt.extended_math = True
+                elif cl == "x":
+                    opt.extrapolation = False
+                elif cl == "y":
+                    opt.overwrite = True
+                elif cl == "r":
+                    opt.resample_rate = int(_num_suffix(take_num()))
+                elif cl == "d":
+                    sel = int(take_num())
+                    opt.dither = {0: 0, 1: DITHER_FLAT,
+                                  2: DITHER_LOWPASS}.get(sel)
+                    if opt.dither is None:
+                        raise SystemExit("dither override must be 0, 1, "
+                                         "or 2!")
+                elif cl == "n":
+                    sel = int(take_num())
+                    opt.noise_shaping = {
+                        0: 0, 1: SHAPING_1ST_ORDER, 2: SHAPING_2ND_ORDER,
+                        3: SHAPING_3RD_ORDER}.get(sel)
+                    if opt.noise_shaping is None:
+                        raise SystemExit("noise-shaping override must be "
+                                         "0, 1, 2, or 3!")
+                elif cl == "s":
+                    opt.phase_shift = float(take_num()) / 360.0
+                    if not -1.0 < opt.phase_shift < 1.0:
+                        raise SystemExit("phase shift must be less than "
+                                         "+/- 1 sample!")
+                elif cl == "g":
+                    opt.gain = 10.0 ** (float(take_num()) / 20.0)
+                elif cl == "l":
+                    opt.lowpass_freq = int(_num_suffix(take_num()))
+                elif cl == "f":
+                    opt.num_filters = int(take_num())
+                    if not 1 <= opt.num_filters <= 1024:
+                        raise SystemExit("num of filters must be 1 - 1024!")
+                elif cl == "o":
+                    opt.outbits = int(take_num())
+                    valid = opt.outbits == 32 or 4 <= opt.outbits <= 24 or \
+                        (opt.outbits == 64 and opt.dtype == np.float64)
+                    if not valid and opt.outbits == 64:
+                        opt.dtype = np.float64  # -o64 implies the f64 path
+                        valid = True
+                    if not valid:
+                        raise SystemExit("outbits must be 4 - 24 (integer) "
+                                         "or 32/64 (float)!")
+                elif cl == "t":
+                    opt.num_taps = int(take_num())
+                    if (opt.num_taps & 3) or not 4 <= opt.num_taps <= 1024:
+                        raise SystemExit("num of taps must be 4 - 1024 and "
+                                         "a multiple of 4!")
+                elif cl == "b":
+                    opt.bh4_window = True
+                elif cl == "h":
+                    opt.hann_window = True
+                else:
+                    raise SystemExit(f"illegal option: {c} !")
+                j += 1
+        elif opt.infile is None:
+            opt.infile = arg
+        elif opt.outfile is None:
+            opt.outfile = arg
+        else:
+            raise SystemExit(f"extra unknown argument: {arg} !")
+
+    if opt.lowpass_freq and opt.allpass:
+        raise SystemExit("error: can't specify BOTH the allpass option and "
+                         "a lowpass frequency!")
+    if opt.duration is not None and opt.tempo_ratio != 1.0:
+        raise SystemExit("error: can't specify BOTH a tempo change and a "
+                         "target duration!")
+    return opt
+
+
+def process_file(opt: Options) -> int:
+    """The wav_process + process_audio pipeline (reference art.c:473-1155)."""
+    dt = np.dtype(opt.dtype)
+    with open(opt.infile, "rb") as f:
+        info = wavfile.read_wav_header(f)
+        sample_rate = info.sample_rate
+        num_channels = info.num_channels
+        num_samples = info.num_frames
+        inbits = info.bits_per_sample
+
+        resample_rate = opt.resample_rate or sample_rate
+        outbits = opt.outbits or inbits
+
+        if opt.verbosity >= 0:
+            print(f"resampling {num_channels}-channel file "
+                  f"\"{opt.infile}\" ({inbits}b/"
+                  f"{(sample_rate + 500) // 1000}k) to \"{opt.outfile}\" "
+                  f"({outbits}b/{(resample_rate + 500) // 1000}k)...",
+                  file=sys.stderr)
+
+        sample_ratio = resample_rate / sample_rate
+        stretch_ratio = 1.0
+        tempo_ratio = opt.tempo_ratio
+
+        if opt.duration is not None:
+            rel, value = opt.duration
+            source_seconds = num_samples / sample_rate
+            target = {1: source_seconds + value,
+                      -1: source_seconds - value}.get(rel, value)
+            if target <= 0.0:
+                raise SystemExit("error: invalid relative duration "
+                                 "specified!")
+            tempo_ratio = source_seconds / target
+
+        stretcher = None
+        if opt.pitch_ratio != 1.0 or tempo_ratio != 1.0:
+            stretch_ratio = opt.pitch_ratio / tempo_ratio
+            sample_ratio /= opt.pitch_ratio
+            if stretch_ratio != 1.0:
+                if num_channels > 2:
+                    raise SystemExit("error: audio stretch only works with "
+                                     "mono or stereo")
+                if not 0.25 <= stretch_ratio <= 4.0:
+                    raise SystemExit("error: audio stretch requires "
+                                     f"excessive ratio {stretch_ratio:g}")
+                flags = (STRETCH_DUAL_FLAG
+                         if stretch_ratio < 0.5 or stretch_ratio > 2.0
+                         else 0)
+                stretcher = Stretcher(sample_rate // 350, sample_rate // 50,
+                                      num_channels, flags, dtype=dt)
+
+        target_output = int(math.floor(
+            num_samples * stretch_ratio * sample_ratio + 0.5))
+
+        resampler = None
+        if opt.num_filters and (sample_ratio != 1.0 or opt.lowpass_freq
+                                or opt.phase_shift != 0.0):
+            flags = SUBSAMPLE_INTERPOLATE | INCLUDE_LOWPASS
+            if opt.multithreaded:
+                flags |= RESAMPLE_MULTITHREADED
+            if opt.bh4_window or not opt.hann_window:
+                flags |= BLACKMAN_HARRIS
+            if opt.phase_shift != 0.0:
+                flags |= NO_FILTER_REDUCTION
+            if opt.allpass:
+                flags &= ~INCLUDE_LOWPASS
+            if opt.extrapolation:
+                flags |= EXTRAPOLATE_ENDPOINTS
+            resampler = Resampler.fixed_ratio(
+                num_channels, opt.num_taps, opt.num_filters,
+                sample_rate * opt.pitch_ratio, resample_rate,
+                opt.lowpass_freq, flags, dtype=dt, backend=opt.backend)
+            if opt.verbosity > 0:
+                lr = resampler.get_lowpass_ratio()
+                nf = resampler.get_num_filters()
+                interp = "with" if resampler.interpolation_used() else "no"
+                if lr == 1.0:
+                    print(f"{nf} {opt.num_taps}-tap fixed-ratio sinc "
+                          f"resampler{'s' if nf > 1 else ''}, no lowpass, "
+                          f"{interp} interpolation", file=sys.stderr)
+                else:
+                    lp = int(lr * (sample_rate * opt.pitch_ratio / 2.0))
+                    print(f"{nf} {opt.num_taps}-tap fixed-rate sinc "
+                          f"resampler{'s' if nf > 1 else ''} with lowpass "
+                          f"at {lp} Hz, {interp} interpolation",
+                          file=sys.stderr)
+
+        pre_filter = post_filter = False
+        lowpass1 = lowpass2 = None
+        if opt.pre_post_filter:
+            if resample_rate <= sample_rate:
+                cutoff = resample_rate * 0.45 / sample_rate
+                pre_filter = True
+            else:
+                cutoff = sample_rate * 0.45 / resample_rate
+                post_filter = True
+            coeffs = biquad_lowpass(cutoff)
+            lowpass1 = Biquad.init(coeffs, 1.0, num_channels, dt)
+            lowpass2 = Biquad.init(coeffs, 1.0, num_channels, dt)
+
+        decimator = None
+        if outbits < 32:
+            dec_flags = opt.dither | opt.noise_shaping
+            if opt.multithreaded:
+                dec_flags |= DECIMATE_MULTITHREADED
+            decimator = Decimator(num_channels, outbits, (outbits + 7) // 8,
+                                  1.0, resample_rate, dec_flags, dtype=dt,
+                                  backend="native")
+
+        if resampler is not None:
+            resampler.advance_position(opt.num_taps / 2.0 + opt.phase_shift)
+
+        outcap = int((BUFFER_SAMPLES + opt.num_taps // 2) * sample_ratio
+                     + 100.0)
+        if stretcher is not None:
+            stretch_cap = stretcher.get_output_capacity(BUFFER_SAMPLES,
+                                                        stretch_ratio)
+            outcap = int((stretch_cap + opt.num_taps // 2) * sample_ratio
+                         + 100.0)
+
+        with open(opt.outfile, "wb") as out:
+            wavfile.write_wav_header(
+                out, bits=outbits, num_channels=num_channels,
+                num_frames=num_samples, sample_rate=resample_rate,
+                channel_mask=info.channel_mask)
+
+            remaining = num_samples
+            output_samples = 0
+            clipped = 0
+            frame_bytes = num_channels * info.bytes_per_sample
+
+            while output_samples < target_output:
+                to_read = min(remaining, BUFFER_SAMPLES)
+                raw = f.read(to_read * frame_bytes)
+                frames_read = len(raw) // frame_bytes
+                remaining -= frames_read
+                frames = wavfile.decode_frames(
+                    raw[:frames_read * frame_bytes], info, opt.gain, dt) \
+                    if frames_read else np.zeros((0, num_channels), dt)
+
+                if stretcher is not None:
+                    if frames_read:
+                        flat = stretcher.process(frames.reshape(-1),
+                                                 frames_read, stretch_ratio)
+                    else:
+                        flat = stretcher.flush()
+                    frames = flat.reshape(-1, num_channels)
+
+                if pre_filter and frames.shape[0]:
+                    frames = lowpass2.apply_buffer(
+                        lowpass1.apply_buffer(frames))
+
+                if resampler is not None:
+                    outbuf, res = resampler.process_interleaved(
+                        frames if frames.shape[0] else None,
+                        frames.shape[0] if frames.shape[0] else -1,
+                        outcap, sample_ratio)
+                    generated = res.output_generated
+                else:
+                    outbuf = frames
+                    generated = frames.shape[0]
+
+                if (not frames.shape[0] and not generated
+                        and output_samples < target_output):
+                    generated = min(target_output - output_samples, outcap)
+                    outbuf = np.zeros((generated, num_channels), dt)
+
+                if post_filter and generated:
+                    outbuf = lowpass2.apply_buffer(
+                        lowpass1.apply_buffer(outbuf[:generated]))
+
+                if output_samples + generated > target_output:
+                    generated = target_output - output_samples
+                outbuf = outbuf[:generated]
+
+                if outbits < 32:
+                    packed, c = decimator.process_interleaved(outbuf)
+                    clipped += c
+                    out.write(packed.tobytes())
+                else:
+                    out.write(wavfile.encode_float_frames(outbuf, outbits))
+
+                output_samples += generated
+
+            data_bytes = output_samples * num_channels * ((outbits + 7) // 8)
+            if data_bytes & 1:
+                out.write(b"\x00")
+            out.seek(0)
+            wavfile.write_wav_header(
+                out, bits=outbits, num_channels=num_channels,
+                num_frames=output_samples, sample_rate=resample_rate,
+                channel_mask=info.channel_mask)
+
+    if opt.verbosity >= 0:
+        print("...completed successfully", file=sys.stderr)
+    if opt.verbosity > 0:
+        print(f"info: {output_samples} samples were generated",
+              file=sys.stderr)
+    if clipped:
+        print(f"warning: {clipped} samples were clipped, suggest reducing "
+              "gain!", file=sys.stderr)
+    if remaining:
+        print("warning: file terminated early!", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    opt = parse_args(argv if argv is not None else sys.argv[1:], Options())
+    if opt.verbosity >= 0:
+        bits = np.dtype(opt.dtype).itemsize * 8
+        print(f"\n ART-TPU  Audio Resampling Tool  {bits}-bit Version "
+              f"{VERSION}\n", file=sys.stderr)
+    if not opt.outfile:
+        print(USAGE)
+        return 0
+    if opt.infile == opt.outfile:
+        print("can't overwrite input file (specify different/new output "
+              "file name)", file=sys.stderr)
+        return -1
+    if not opt.overwrite and os.path.exists(opt.outfile):
+        print(f"output file \"{opt.outfile}\" exists (use -y to overwrite)",
+              file=sys.stderr)
+        return -1
+    return process_file(opt)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

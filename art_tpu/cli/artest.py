@@ -1,0 +1,369 @@
+"""ARTEST — Audio Resampling Tester (CLI).
+
+Command-line-compatible port of the reference `artest` harness (reference
+artest.c): benchmark and fidelity testing with synthetic LCG noise or tones,
+round-trip inverse resampling with time-aligned subtraction (-i), decimation
+checksums (-o), planar-vs-interleaved equivalence (-v), raw stream taps
+(-w1..5), and the same stats block (count / multiplicative checksum / range /
+RMS dB).  The noise source, fades, and checksums are bit-identical to the
+reference, so input-stream stats lines match the C binary exactly.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.flags import (BLACKMAN_HARRIS, DITHER_HIGHPASS,
+                          EXTRAPOLATE_ENDPOINTS, INCLUDE_LOWPASS,
+                          SHAPING_ATH_CURVE, SUBSAMPLE_INTERPOLATE)
+from ..engines.decimator import Decimator
+from ..engines.resampler import Resampler
+from ..utils.testsig import (NoiseLCG, Stats, ToneGenerator, checksum_bytes,
+                             fade_in, fade_out)
+
+USAGE = """
+ Usage:    ARTEST [-options] [< infile.raw] [> outfile.raw]
+
+ Options:  -1|2|3|4    = quality presets, default = 3
+           -b<num>     = inbuffer samples (default 4096)
+           -c<num>     = number of channels (1-256, default 2)
+           -n<num>     = number of seconds (1-36000, default 60)
+           -h[<Hz>]    = use tone instead of white noise
+           -s<Hz>      = source sample rate   -d<Hz> = destination rate
+           -l<Hz>      = lowpass frequency in Hz
+           -f<num>     = sinc filters   -t<num> = sinc taps
+           -o<bits>    = decimate to bitdepth (4-24)
+           -z          = Hann windowing instead of Blackman-Harris
+           -e          = calc exact filters / no interpolation
+           -r          = read input from stdin
+           -w<num>     = write raw stream 1..5 to stdout
+           -m          = accepted for compatibility
+           -i          = inverse-resample and compare to source
+           -a          = do not fade audio endpoints
+           -x          = extrapolate audio endpoints
+           -p          = precise (doubles) convolution
+           -v          = test non-interleaved (planar) API path
+           --f64       = 64-bit data path     --backend=<numpy|jax>
+"""
+
+
+def _num_suffix(s: str) -> float:
+    if s and s[-1] in "kK":
+        return float(s[:-1]) * 1000.0
+    return float(s)
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    inbuffer_samples = 4096
+    chans, taps, filters, seconds = 2, 380, 380, 60
+    outbits, outbytes = 32, 4
+    source_rate = destin_rate = lowpass_freq = 0
+    flags = BLACKMAN_HARRIS | SUBSAMPLE_INTERPOLATE
+    dither = DITHER_HIGHPASS
+    noise_shaping = SHAPING_ATH_CURVE
+    exact = inv_resample = non_interleaved = False
+    fades = True
+    read_stdin = False
+    write_stdout = 0
+    tone_freq = 0.0
+    dtype = np.float32
+    backend = "numpy"
+
+    if not argv:
+        sys.stderr.write(USAGE)
+        return 0
+
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        i += 1
+        if arg.startswith("--"):
+            name, _, val = arg[2:].partition("=")
+            if name == "f64":
+                dtype = np.float64
+            elif name == "backend":
+                backend = val
+            else:
+                raise SystemExit(f"unknown option: {name}")
+            continue
+        if not arg.startswith("-") or len(arg) < 2:
+            raise SystemExit(f"extra unknown argument: {arg} !")
+        j = 1
+        while j < len(arg):
+            c = arg[j]
+            rest = arg[j + 1:]
+
+            def take_num():
+                nonlocal j
+                k = 0
+                while k < len(rest) and (rest[k].isdigit()
+                                         or rest[k] in ".+-kK"):
+                    k += 1
+                j += k
+                return rest[:k]
+
+            if c in "1234":
+                filters, taps = {"1": (48, 48), "2": (320, 156),
+                                 "3": (380, 380), "4": (988, 988)}[c]
+            elif c == "a":
+                fades = False
+            elif c == "e":
+                exact = True
+            elif c == "r":
+                read_stdin = True
+            elif c == "w":
+                write_stdout = int(take_num())
+                if not 0 <= write_stdout <= 5:
+                    raise SystemExit("written stream must be 0 - 5!")
+            elif c == "z":
+                flags &= ~BLACKMAN_HARRIS
+            elif c == "i":
+                inv_resample = True
+            elif c == "v":
+                non_interleaved = True
+            elif c == "x":
+                flags |= EXTRAPOLATE_ENDPOINTS
+            elif c == "p":
+                pass  # float64 accumulation is the default convolution here
+            elif c == "m":
+                pass
+            elif c in "Hh":
+                num = take_num()
+                tone_freq = _num_suffix(num) if num else 1000.0
+                if tone_freq == 0.0:
+                    tone_freq = 1000.0
+            elif c in "Ss":
+                source_rate = int(_num_suffix(take_num()))
+            elif c in "Dd":
+                destin_rate = int(_num_suffix(take_num()))
+            elif c in "Ll":
+                lowpass_freq = int(_num_suffix(take_num()))
+                flags |= INCLUDE_LOWPASS
+            elif c in "Bb":
+                inbuffer_samples = int(take_num())
+                if not 256 <= inbuffer_samples <= 65536:
+                    raise SystemExit("inbuffer samples must be 256 - 65536!")
+            elif c in "Cc":
+                chans = int(take_num())
+                if not 1 <= chans <= 256:
+                    raise SystemExit("num of chans must be 1 - 256!")
+            elif c in "Ff":
+                filters = int(take_num())
+            elif c in "Nn":
+                seconds = int(take_num())
+                if not 1 <= seconds <= 36000:
+                    raise SystemExit("number of seconds must be 1 - 36000!")
+            elif c in "Oo":
+                outbits = int(take_num())
+                if outbits != 32 and not 4 <= outbits <= 24:
+                    raise SystemExit("outbits must be 4 - 24 (for integer) "
+                                     "or 32 (for float)!")
+                outbytes = (outbits + 7) // 8
+            elif c in "Tt":
+                taps = int(take_num())
+                if (taps & 3) or not 4 <= taps <= 1024:
+                    raise SystemExit("num of taps must be 4 - 1024 and a "
+                                     "multiple of 4!")
+            else:
+                raise SystemExit(f"illegal option: {c} !")
+            j += 1
+
+    if not (destin_rate and source_rate) or not filters or not taps \
+            or not chans:
+        raise SystemExit("something is missing!")
+    if (flags & INCLUDE_LOWPASS) and not lowpass_freq and not exact:
+        raise SystemExit("specify lowpass frequency, auto lowpass can only "
+                         "be used with exact resampling (-e)!")
+
+    ratio = destin_rate / source_rate
+    outbuffer_samples = int((inbuffer_samples + taps // 2) * ratio + 10)
+    buffers = int(np.ceil(seconds * source_rate / inbuffer_samples))
+    inv_ratio = source_rate / destin_rate if inv_resample else 0.0
+
+    def describe(r, src, dst, w):
+        nf = r.get_num_filters()
+        interp = "with" if r.interpolation_used() else "no"
+        lr = r.get_lowpass_ratio()
+        if lr == 1.0:
+            print(f"{w}: {nf} {taps}-tap fixed-ratio sinc resampler"
+                  f"{'s' if nf > 1 else ''}, no lowpass, {interp} "
+                  "interpolation", file=sys.stderr)
+        else:
+            print(f"{w}: {nf} {taps}-tap fixed-rate sinc resampler"
+                  f"{'s' if nf > 1 else ''} with lowpass at "
+                  f"{int(lr * src / 2.0)} Hz, {interp} interpolation",
+                  file=sys.stderr)
+
+    resampler = inv_resampler = None
+    if ratio != 1.0 or lowpass_freq:
+        if exact:
+            resampler = Resampler.fixed_ratio(
+                chans, taps, filters, source_rate, destin_rate, lowpass_freq,
+                flags, dtype=dtype, backend=backend)
+            describe(resampler, source_rate, destin_rate, "w1 --> w2")
+            if inv_resample:
+                inv_resampler = Resampler.fixed_ratio(
+                    chans, taps, filters, destin_rate, source_rate,
+                    lowpass_freq, flags, dtype=dtype, backend=backend)
+                describe(inv_resampler, destin_rate, source_rate,
+                         "w2 --> w4")
+            inv_ratio = ratio = 0.0
+        else:
+            resampler = Resampler(chans, taps, filters,
+                                  lowpass_freq * 2.0 / source_rate, flags,
+                                  dtype=dtype, backend=backend)
+            describe(resampler, source_rate, destin_rate, "w1 --> w2")
+            if inv_resample:
+                inv_resampler = Resampler(chans, taps, filters,
+                                          lowpass_freq * 2.0 / destin_rate,
+                                          flags, dtype=dtype,
+                                          backend=backend)
+                describe(inv_resampler, destin_rate, source_rate,
+                         "w2 --> w4")
+        resampler.advance_position(taps / 2.0)
+        if inv_resampler is not None:
+            inv_resampler.advance_position(taps / 2.0)
+
+    decimator = None
+    if outbits != 32:
+        decimator = Decimator(chans, outbits, outbytes, 1.0, destin_rate,
+                              dither | noise_shaping, dtype=dtype,
+                              backend="native")
+
+    in_stats, out_stats = Stats(chans), Stats(chans)
+    inv_stats, diff_stats = Stats(chans), Stats(chans)
+    dec_checksum = 0
+    out_bytes = 0
+    clipped = 0
+    rembuffer = np.zeros((0, chans), dtype=dtype)
+    noise = NoiseLCG()
+    tone = ToneGenerator()
+    stdout = sys.stdout.buffer
+
+    def run_resampler(r, data, n_in, outcap, rr, last):
+        """Chunk through the engine, planar (-v) or interleaved."""
+        if non_interleaved:
+            planar = None if data is None else \
+                np.ascontiguousarray(data.T)
+            if last:
+                out, res = r.process_and_flush(planar, n_in, outcap, rr)
+            else:
+                out, res = r.process(planar, n_in, outcap, rr)
+            return np.ascontiguousarray(out.T), res
+        if last:
+            return r.process_and_flush_interleaved(data, n_in, outcap, rr)
+        return r.process_interleaved(data, n_in, outcap, rr)
+
+    bi = 0
+    n = inbuffer_samples
+    while (bi < buffers or read_stdin) and n:
+        if read_stdin:
+            raw = sys.stdin.buffer.read(
+                inbuffer_samples * chans * np.dtype(dtype).itemsize)
+            n = len(raw) // (chans * np.dtype(dtype).itemsize)
+            inbuf = np.frombuffer(raw[:n * chans * np.dtype(dtype).itemsize],
+                                  dtype=dtype).reshape(n, chans).copy()
+        else:
+            n = inbuffer_samples
+            if tone_freq:
+                inbuf = tone.fill(n, chans, tone_freq / source_rate, dtype)
+            else:
+                inbuf = noise.fill(n * chans, dtype).reshape(n, chans)
+            if fades:
+                if bi == 0:
+                    fade_in(inbuf)
+                elif bi == buffers - 1:
+                    fade_out(inbuf)
+        if not n:
+            break
+
+        in_stats.update(inbuf)
+        if write_stdout == 1:
+            stdout.write(inbuf.tobytes())
+
+        last = bi == buffers - 1 and not read_stdin
+        if resampler is None:
+            outbuf = inbuf
+            used, generated = n, n
+        else:
+            outbuf, res = run_resampler(resampler, inbuf, n,
+                                        outbuffer_samples, ratio, last)
+            used, generated = res.input_used, res.output_generated
+            if used != n or generated == outbuffer_samples:
+                raise SystemExit("fatal error in resample results!")
+            outbuf = outbuf[:generated]
+
+        out_stats.update(outbuf)
+        if write_stdout == 2:
+            stdout.write(outbuf.tobytes())
+
+        if inv_resample:
+            invcap = int((outbuffer_samples + taps // 2)
+                         / (ratio if ratio else 1.0 / 1) + 10) \
+                if ratio else int((outbuffer_samples + taps // 2)
+                                  * (source_rate / destin_rate) + 10)
+            if inv_resampler is None:
+                invbuf = outbuf
+                inv_used = inv_gen = generated
+            else:
+                invbuf, ires = run_resampler(inv_resampler, outbuf,
+                                             generated, invcap, inv_ratio,
+                                             last)
+                inv_used, inv_gen = ires.input_used, ires.output_generated
+                if inv_used != generated or inv_gen == invcap:
+                    raise SystemExit("fatal error in inverse resample "
+                                     "results!")
+                invbuf = invbuf[:inv_gen]
+
+            pending = rembuffer.shape[0] + n
+            if inv_gen > pending:
+                print(f"info: we generated {inv_gen - pending} extra "
+                      "sample(s) on round-trip resample", file=sys.stderr)
+                inv_gen = pending
+                invbuf = invbuf[:inv_gen]
+            elif last and inv_gen < pending:
+                print(f"info: we generated {pending - inv_gen} fewer "
+                      "sample(s) on round-trip resample", file=sys.stderr)
+
+            inv_stats.update(invbuf)
+            if write_stdout == 4:
+                stdout.write(invbuf.tobytes())
+
+            # subtract the time-aligned source (rembuffer bookkeeping,
+            # reference artest.c:529-565)
+            avail = np.concatenate([rembuffer, inbuf], axis=0)
+            diff = invbuf - avail[:inv_gen]
+            rembuffer = avail[inv_gen:]
+            diff_stats.update(diff)
+            if write_stdout == 5:
+                stdout.write(diff.tobytes())
+
+        if decimator is not None:
+            packed, c = decimator.process_interleaved(outbuf)
+            clipped += c
+            out_bytes += packed.size
+            if write_stdout == 3:
+                stdout.write(packed.tobytes())
+            dec_checksum = checksum_bytes(packed.reshape(-1), dec_checksum)
+
+        bi += 1
+
+    print(file=sys.stderr)
+    print(f"   input (-w1): {in_stats.display()}", file=sys.stderr)
+    print(f"  output (-w2): {out_stats.display()}", file=sys.stderr)
+    if inv_resample:
+        print(f" inverse (-w4): {inv_stats.display()}", file=sys.stderr)
+        print(f"    diff (-w5): {diff_stats.display()}", file=sys.stderr)
+    if out_bytes:
+        print(f"decimate (-w3): count = {out_bytes:9d}, checksum = "
+              f"{dec_checksum:016x}, clipped samples = {clipped}",
+              file=sys.stderr)
+    print(file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

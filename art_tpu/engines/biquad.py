@@ -115,10 +115,19 @@ class Biquad:
         self.yh = np.concatenate([s[None], yh[:3]])
         return s
 
-    def apply_buffer(self, buffer: np.ndarray) -> np.ndarray:
+    def apply_buffer(self, buffer: np.ndarray, *,
+                     use_native: bool = True) -> np.ndarray:
         """Buffer path, newest-term-first sum order
         (reference biquad.c:106-163).  buffer: [n] or [n, channels];
-        processed in place semantics — returns the filtered buffer."""
+        processed in place semantics — returns the filtered buffer.
+
+        Uses the native runtime when available (bit-identical, strict IEEE
+        build); the Python loop below is the fallback/parity reference."""
+        if use_native:
+            from .. import native
+            if native.available():
+                return native.biquad_buffer(
+                    self, np.asarray(buffer, dtype=self.a.dtype))
         a, b = self.a, self.b
         xh, yh = self.xh, self.yh
         buf = np.asarray(buffer)

@@ -129,6 +129,20 @@ class Decimator:
     def _run(self, frames: np.ndarray) -> tuple[np.ndarray, int]:
         n = frames.shape[0]
         frames = frames.astype(self.dtype, copy=False)
+
+        if self.backend == "native" and n:
+            from .. import native
+            if native.available():
+                gens = self.tpdf_generators \
+                    if self.flags & DITHER_ENABLED else None
+                outv, clipped = native.quantize(
+                    np.ascontiguousarray(frames), self.scaler, self.feedback,
+                    gens, self.dither_type, self.noise_shaper,
+                    self.highclip, self.lowclip)
+                packed = native.pack_le(outv, self.output_bits,
+                                        self.output_bytes)
+                return packed.reshape(n, -1), clipped
+
         dither = None
         if self.flags & DITHER_ENABLED and n:
             dither, self.tpdf_generators = dk.tpdf_dither_block(

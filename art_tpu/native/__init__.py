@@ -1,0 +1,162 @@
+"""ctypes bindings for the artnative host runtime.
+
+Builds the shared library on first use (gcc with strict IEEE flags) into the
+package directory; every entry point has a pure-Python fallback, so the
+package works without a compiler — just slower on the host file path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "artnative.cpp"
+_LIB = _HERE / "libartnative.so"
+_CXXFLAGS = ["-O2", "-ffp-contract=off", "-fPIC", "-shared", "-std=c++17"]
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(["g++", *_CXXFLAGS, str(_SRC), "-o", str(_LIB)],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(str(_LIB))
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+    i8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    ll = ctypes.c_longlong
+
+    lib.art_quantize_f32.restype = ll
+    lib.art_quantize_f32.argtypes = [
+        f32p, ll, ctypes.c_int, ctypes.c_float, f32p, u32p, ctypes.c_int,
+        f32p, f32p, f32p, f32p, ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.art_quantize_f64.restype = ll
+    lib.art_quantize_f64.argtypes = [
+        f64p, ll, ctypes.c_int, ctypes.c_double, f64p, u32p, ctypes.c_int,
+        f64p, f64p, f64p, f64p, ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.art_biquad_buffer_f32.restype = None
+    lib.art_biquad_buffer_f32.argtypes = [f32p, ll, ctypes.c_int, f32p, f32p,
+                                          f32p, f32p]
+    lib.art_biquad_buffer_f64.restype = None
+    lib.art_biquad_buffer_f64.argtypes = [f64p, ll, ctypes.c_int, f64p, f64p,
+                                          f64p, f64p]
+    lib.art_pack_le.restype = None
+    lib.art_pack_le.argtypes = [i32p, ll, ctypes.c_int, ctypes.c_int, i8p]
+    lib.art_unpack_le_f32.restype = None
+    lib.art_unpack_le_f32.argtypes = [i8p, ctypes.c_double, ctypes.c_int,
+                                      ctypes.c_int, f32p, ll]
+    lib.art_unpack_le_f64.restype = None
+    lib.art_unpack_le_f64.argtypes = [i8p, ctypes.c_double, ctypes.c_int,
+                                      ctypes.c_int, f64p, ll]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr, ct):
+    return arr.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def quantize(frames: np.ndarray, scaler, feedback: np.ndarray,
+             gens: np.ndarray | None, dither_type: int, shaper,
+             highclip: int, lowclip: int):
+    """Native shaped/dithered quantization.  Mutates feedback/gens/shaper
+    state in place.  Returns (outvalues int32 [n, ch], clipped count)."""
+    lib = _load()
+    n, ch = frames.shape
+    dt = frames.dtype
+    outv = np.empty((n, ch), dtype=np.int32)
+    frames = np.ascontiguousarray(frames)
+    if shaper is not None:
+        a = np.ascontiguousarray(shaper.a, dtype=dt)
+        b = np.ascontiguousarray(shaper.b, dtype=dt)
+        xh = np.ascontiguousarray(shaper.xh, dtype=dt)
+        yh = np.ascontiguousarray(shaper.yh, dtype=dt)
+    fb = np.ascontiguousarray(feedback, dtype=dt)
+
+    if dt == np.float32:
+        fn, ct = lib.art_quantize_f32, ctypes.c_float
+    else:
+        fn, ct = lib.art_quantize_f64, ctypes.c_double
+    null = ctypes.POINTER(ct)()
+    clipped = fn(
+        _ptr(frames, ct), n, ch, dt.type(scaler), _ptr(fb, ct),
+        _ptr(gens, ctypes.c_uint32) if gens is not None
+        else ctypes.POINTER(ctypes.c_uint32)(),
+        dither_type,
+        _ptr(a, ct) if shaper is not None else null,
+        _ptr(b, ct) if shaper is not None else null,
+        _ptr(xh, ct) if shaper is not None else null,
+        _ptr(yh, ct) if shaper is not None else null,
+        highclip, lowclip, _ptr(outv, ctypes.c_int32))
+    feedback[:] = fb
+    if shaper is not None:
+        shaper.xh, shaper.yh = xh, yh
+    return outv, int(clipped)
+
+
+def biquad_buffer(biquad, buffer: np.ndarray) -> np.ndarray:
+    """Native buffer-order biquad; mutates biquad state, returns filtered."""
+    lib = _load()
+    buf = np.array(buffer, copy=True, order="C")  # non-mutating API
+    squeeze = buf.ndim == 1
+    if squeeze:
+        buf = buf[:, None]
+    n, ch = buf.shape
+    dt = buf.dtype
+    a = np.ascontiguousarray(biquad.a, dtype=dt)
+    b = np.ascontiguousarray(biquad.b, dtype=dt)
+    xh = np.ascontiguousarray(biquad.xh, dtype=dt)
+    yh = np.ascontiguousarray(biquad.yh, dtype=dt)
+    if dt == np.float32:
+        fn, ct = lib.art_biquad_buffer_f32, ctypes.c_float
+    else:
+        fn, ct = lib.art_biquad_buffer_f64, ctypes.c_double
+    fn(_ptr(buf, ct), n, ch, _ptr(a, ct), _ptr(b, ct), _ptr(xh, ct),
+       _ptr(yh, ct))
+    biquad.xh, biquad.yh = xh, yh
+    return buf[:, 0] if squeeze else buf
+
+
+def pack_le(vals: np.ndarray, bits: int, nbytes: int) -> np.ndarray:
+    lib = _load()
+    vals = np.ascontiguousarray(vals, dtype=np.int32)
+    out = np.empty(vals.size * nbytes, dtype=np.uint8)
+    lib.art_pack_le(_ptr(vals, ctypes.c_int32), vals.size, bits, nbytes,
+                    _ptr(out, ctypes.c_uint8))
+    return out
+
+
+def unpack_le(raw: np.ndarray, gain: float, bits: int, nbytes: int,
+              dtype=np.float32) -> np.ndarray:
+    lib = _load()
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    count = raw.size // nbytes
+    dt = np.dtype(dtype)
+    out = np.empty(count, dtype=dt)
+    if dt == np.float32:
+        lib.art_unpack_le_f32(_ptr(raw, ctypes.c_uint8), gain, bits, nbytes,
+                              _ptr(out, ctypes.c_float), count)
+    else:
+        lib.art_unpack_le_f64(_ptr(raw, ctypes.c_uint8), gain, bits, nbytes,
+                              _ptr(out, ctypes.c_double), count)
+    return out

@@ -1,0 +1,216 @@
+// artnative — host-side native runtime for ART-TPU.
+//
+// The TPU owns the heavy math (resampling on the MXU); this library owns the
+// strictly-sequential per-sample recurrences and byte-level packing that sit
+// on the host side of the file pipeline, where Python loops are too slow and
+// where bit-exact IEEE ordering matters:
+//
+//   * noise-shaped dithered quantization (the decimator engine's inner
+//     recurrence; behavior per reference decimator.c:152-194, 370-409)
+//   * biquad buffer filtering in both of the reference's summation orders
+//     (reference biquad.c:78-163)
+//   * 4..24-bit little-endian sample pack/unpack (reference
+//     decimator.c:416-450)
+//
+// Build with strict IEEE flags (no -ffast-math, -ffp-contract=off): parity
+// with the float32/float64 data paths depends on every product and sum
+// rounding exactly once, in source order.
+//
+// Exposed as a plain C ABI consumed via ctypes (art_tpu/native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+
+
+// ---------------------------------------------------------------- dither
+
+// One TPDF draw; 5 LCG steps per draw, type selects intersample correlation.
+static inline double tpdf_draw(uint32_t *state, int type) {
+    uint32_t g = *state;
+    uint32_t r = g;
+    r = ((r << 4) - r) ^ 1u;
+    r = ((r << 4) - r) ^ 1u;
+    uint32_t first;
+    if (type < 0)       first = ~g;
+    else if (type > 0)  first = g;
+    else                first = ~r;
+    r = ((r << 4) - r) ^ 1u;
+    r = ((r << 4) - r) ^ 1u;
+    r = ((r << 4) - r) ^ 1u;
+    *state = r;
+    return (((first >> 1) + (r >> 1)) / 2147483648.0) - 1.0;
+}
+
+// ------------------------------------------------------------- quantizer
+
+// Interleaved shaped/dithered quantization, templated on the data path.
+// in:        [n, ch] samples
+// feedback:  [ch] error-feedback state
+// gens:      [ch] dither LCG states (may be null -> no dither)
+// a, b:      [5] decoupled-H(z) shaper coefficients (may be null -> no
+//            shaping; then feedback stays constant)
+// xh, yh:    [4, ch] shaper histories, newest first
+// outv:      [n, ch] quantized values (pre-packing, post-clip)
+// returns:   clipped-sample count
+template <typename S>
+static long long quantize_run(const S *in, long long n, int ch, S scaler,
+                              S *feedback, uint32_t *gens, int dither_type,
+                              const S *a, const S *b, S *xh, S *yh,
+                              int32_t highclip, int32_t lowclip,
+                              int32_t *outv) {
+    long long clipped = 0;
+    for (long long i = 0; i < n; ++i) {
+        for (int c = 0; c < ch; ++c) {
+            double dither = gens ? tpdf_draw(&gens[c], dither_type) : 0.0;
+            S code = (S)(in[i * ch + c] * scaler) - feedback[c];
+            // the sum rounds at data-path precision: dither is stored into
+            // the sample type before the additions
+            S t = (S)(code + (S)dither) + (S)0.5;
+            int32_t q = (int32_t)std::floor((double)t);
+            if (a) {
+                S err = (S)((S)q - code);
+                S s = (S)(err * a[0]);
+                s = (S)(s + (S)((S)(xh[3 * ch + c] * a[4]) -
+                                (S)(b[4] * yh[3 * ch + c])));
+                s = (S)(s + (S)((S)(xh[2 * ch + c] * a[3]) -
+                                (S)(b[3] * yh[2 * ch + c])));
+                s = (S)(s + (S)((S)(xh[1 * ch + c] * a[2]) -
+                                (S)(b[2] * yh[1 * ch + c])));
+                s = (S)(s + (S)((S)(xh[0 * ch + c] * a[1]) -
+                                (S)(b[1] * yh[0 * ch + c])));
+                for (int k = 3; k > 0; --k) {
+                    xh[k * ch + c] = xh[(k - 1) * ch + c];
+                    yh[k * ch + c] = yh[(k - 1) * ch + c];
+                }
+                xh[c] = err;
+                yh[c] = s;
+                feedback[c] = s;
+            }
+            if (q > highclip) { q = highclip; ++clipped; }
+            else if (q < lowclip) { q = lowclip; ++clipped; }
+            outv[i * ch + c] = q;
+        }
+    }
+    return clipped;
+}
+
+extern "C" long long art_quantize_f32(const float *in, long long n, int ch,
+                           float scaler, float *feedback, uint32_t *gens,
+                           int dither_type, const float *a, const float *b,
+                           float *xh, float *yh, int32_t highclip,
+                           int32_t lowclip, int32_t *outv) {
+    return quantize_run<float>(in, n, ch, scaler, feedback, gens,
+                               dither_type, a, b, xh, yh, highclip, lowclip,
+                               outv);
+}
+
+extern "C" long long art_quantize_f64(const double *in, long long n, int ch,
+                           double scaler, double *feedback, uint32_t *gens,
+                           int dither_type, const double *a, const double *b,
+                           double *xh, double *yh, int32_t highclip,
+                           int32_t lowclip, int32_t *outv) {
+    return quantize_run<double>(in, n, ch, scaler, feedback, gens,
+                                dither_type, a, b, xh, yh, highclip, lowclip,
+                                outv);
+}
+
+// --------------------------------------------------------------- biquads
+
+// Buffer-order biquad over an interleaved [n, ch] buffer, in place.
+// Summation order is the reference's buffer loop: newest term first,
+// alternating +feedforward/-feedback (reference biquad.c:106-163).
+template <typename S>
+static void biquad_buffer_run(S *buf, long long n, int ch, const S *a,
+                              const S *b, S *xh, S *yh) {
+    for (long long i = 0; i < n; ++i) {
+        for (int c = 0; c < ch; ++c) {
+            S x = buf[i * ch + c];
+            S s = (S)(x * a[0]);
+            s = (S)(s + (S)(xh[0 * ch + c] * a[1]));
+            s = (S)(s - (S)(b[1] * yh[0 * ch + c]));
+            s = (S)(s + (S)(xh[1 * ch + c] * a[2]));
+            s = (S)(s - (S)(b[2] * yh[1 * ch + c]));
+            s = (S)(s + (S)(xh[2 * ch + c] * a[3]));
+            s = (S)(s - (S)(b[3] * yh[2 * ch + c]));
+            s = (S)(s + (S)(xh[3 * ch + c] * a[4]));
+            s = (S)(s - (S)(b[4] * yh[3 * ch + c]));
+            for (int k = 3; k > 0; --k) {
+                xh[k * ch + c] = xh[(k - 1) * ch + c];
+                yh[k * ch + c] = yh[(k - 1) * ch + c];
+            }
+            xh[c] = x;
+            yh[c] = s;
+            buf[i * ch + c] = s;
+        }
+    }
+}
+
+extern "C" void art_biquad_buffer_f32(float *buf, long long n, int ch, const float *a,
+                           const float *b, float *xh, float *yh) {
+    biquad_buffer_run<float>(buf, n, ch, a, b, xh, yh);
+}
+
+extern "C" void art_biquad_buffer_f64(double *buf, long long n, int ch, const double *a,
+                           const double *b, double *xh, double *yh) {
+    biquad_buffer_run<double>(buf, n, ch, a, b, xh, yh);
+}
+
+// ------------------------------------------------------------ byte pack
+
+// Quantized int32 values -> little-endian packed bytes with pre-zero pad.
+extern "C" void art_pack_le(const int32_t *vals, long long count, int output_bits,
+                 int output_bytes, uint8_t *out) {
+    int pre = output_bytes - ((output_bits + 7) / 8);
+    int shift = (24 - output_bits) % 8;
+    int32_t offset = (output_bits <= 8) ? 128 : 0;
+    for (long long i = 0; i < count; ++i) {
+        uint8_t *p = out + i * output_bytes;
+        for (int j = 0; j < pre; ++j) *p++ = 0;
+        uint32_t v = ((uint32_t)vals[i] << shift) + (uint32_t)offset;
+        *p++ = (uint8_t)v;
+        if (output_bits > 8) {
+            *p++ = (uint8_t)(v >> 8);
+            if (output_bits > 16)
+                *p++ = (uint8_t)(v >> 16);
+        }
+    }
+}
+
+// Packed little-endian bytes -> float samples with gain, 4..24 bits.
+template <typename S>
+static void unpack_run(const uint8_t *in, double gain, int bits, int bytes,
+                       S *out, long long count) {
+    int skip = bytes - ((bits + 7) / 8);
+    if (bits <= 8) {
+        S gf = (S)(gain / 128.0);
+        for (long long i = 0; i < count; ++i)
+            out[i] = (S)(((int)in[i * bytes + skip] - 128) * gf);
+    } else if (bits <= 16) {
+        S gf = (S)(gain / 32768.0);
+        for (long long i = 0; i < count; ++i) {
+            const uint8_t *p = in + i * bytes + skip;
+            int16_t v = (int16_t)(p[0] | (p[1] << 8));
+            out[i] = (S)(v * gf);
+        }
+    } else {
+        S gf = (S)(gain / 8388608.0);
+        for (long long i = 0; i < count; ++i) {
+            const uint8_t *p = in + i * bytes + skip;
+            int32_t v = (int32_t)(p[0] | (p[1] << 8) |
+                                  ((uint32_t)(int8_t)p[2] << 16));
+            out[i] = (S)(v * gf);
+        }
+    }
+}
+
+extern "C" void art_unpack_le_f32(const uint8_t *in, double gain, int bits, int bytes,
+                       float *out, long long count) {
+    unpack_run<float>(in, gain, bits, bytes, out, count);
+}
+
+extern "C" void art_unpack_le_f64(const uint8_t *in, double gain, int bits, int bytes,
+                       double *out, long long count) {
+    unpack_run<double>(in, gain, bits, bytes, out, count);
+}
+

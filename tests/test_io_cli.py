@@ -1,0 +1,225 @@
+"""WAV container, native runtime, stretch, and CLI end-to-end tests."""
+
+import io
+import math
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from art_tpu.io import wavfile
+from art_tpu.utils.testsig import NoiseLCG
+
+REF = Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def art_ref(tmp_path_factory):
+    """Reference `art` binary built strict-IEEE out-of-tree."""
+    if not REF.exists():
+        pytest.skip("reference unavailable")
+    out = Path("/tmp/art_golden/art_ref")
+    if not out.exists():
+        srcs = [REF / s for s in ["art.c", "stretch.c", "resampler.c",
+                                  "extrapolator.c", "decimator.c",
+                                  "workers.c", "biquad.c"]]
+        out.parent.mkdir(exist_ok=True)
+        subprocess.run(["gcc", "-O2", "-ffp-contract=off",
+                        "-DENABLE_THREADS", "-DENABLE_EXTRAPOLATION",
+                        f"-I{REF}", *map(str, srcs), "-lm", "-pthread",
+                        "-o", str(out)], check=True, capture_output=True)
+    return out
+
+
+@pytest.fixture()
+def test_wav(tmp_path):
+    n = 44100
+    x = NoiseLCG().fill(n * 2).reshape(n, 2)
+    ints = np.clip(np.round(x.astype(np.float64) * 32768.0),
+                   -32768, 32767).astype("<i2")
+    p = tmp_path / "in.wav"
+    with open(p, "wb") as f:
+        wavfile.write_wav_header(f, bits=16, num_channels=2, num_frames=n,
+                                 sample_rate=44100, channel_mask=3)
+        f.write(ints.tobytes())
+    return p, ints
+
+
+# ------------------------------------------------------------------ wavfile
+def test_wav_header_roundtrip():
+    for bits, ch, mask in [(16, 2, 3), (24, 6, 0x3F), (32, 1, 4), (8, 3, 7)]:
+        buf = io.BytesIO()
+        wavfile.write_wav_header(buf, bits=bits, num_channels=ch,
+                                 num_frames=1000, sample_rate=48000,
+                                 channel_mask=mask)
+        buf.write(b"\x00" * (1000 * ch * ((bits + 7) // 8)))
+        buf.seek(0)
+        info = wavfile.read_wav_header(buf)
+        assert (info.num_channels, info.sample_rate, info.bits_per_sample,
+                info.num_frames) == (ch, 48000, bits, 1000)
+        assert info.channel_mask == mask
+        assert info.is_float == (bits >= 32)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(wavfile.WavFormatError):
+        wavfile.read_wav_header(io.BytesIO(b"RIFXxxxxWAVE"))
+    with pytest.raises(wavfile.WavFormatError):
+        wavfile.read_wav_header(io.BytesIO(b"RIFF\x00\x00\x00\x00WAVE"))
+
+
+def test_wav_skips_unknown_chunks():
+    buf = io.BytesIO()
+    wavfile.write_wav_header(buf, bits=16, num_channels=1, num_frames=4,
+                             sample_rate=8000, channel_mask=4)
+    hdr = buf.getvalue()
+    # splice a junk chunk between fmt and data
+    data_at = hdr.index(b"data")
+    junk = b"JUNK" + (7).to_bytes(4, "little") + b"1234567\x00"
+    spliced = hdr[:data_at] + junk + hdr[data_at:] + b"\x00" * 8
+    info = wavfile.read_wav_header(io.BytesIO(spliced))
+    assert info.num_frames == 4
+
+
+# ------------------------------------------------------------------- native
+def test_native_runtime_available_and_bit_exact():
+    from art_tpu import native
+    if not native.available():
+        pytest.skip("no compiler for native runtime")
+    from art_tpu.core.flags import DITHER_HIGHPASS, SHAPING_ATH_CURVE
+    from art_tpu.engines.decimator import Decimator
+    x = NoiseLCG().fill(4000).reshape(2000, 2)
+    flags = DITHER_HIGHPASS | SHAPING_ATH_CURVE
+    pn, cn = Decimator(2, 16, 2, 2.5, 44100, flags,
+                       backend="numpy").process_interleaved(x)
+    pv, cv = Decimator(2, 16, 2, 2.5, 44100, flags,
+                       backend="native").process_interleaved(x)
+    np.testing.assert_array_equal(pn, pv)
+    assert cn == cv
+
+
+def test_native_biquad_bit_exact():
+    from art_tpu import native
+    if not native.available():
+        pytest.skip("no compiler for native runtime")
+    from art_tpu.engines.biquad import Biquad, biquad_lowpass
+    x = NoiseLCG().fill(3000).reshape(1500, 2)
+    c = biquad_lowpass(0.3)
+    f1, f2 = Biquad.init(c, 1.0, 2), Biquad.init(c, 1.0, 2)
+    np.testing.assert_array_equal(f1.apply_buffer(x.copy()),
+                                  f2.apply_buffer(x.copy(),
+                                                  use_native=False))
+
+
+# ------------------------------------------------------------------ stretch
+def test_stretch_ratio_accuracy():
+    from art_tpu.engines.stretch import Stretcher
+    x = NoiseLCG().fill(44100 * 2).reshape(-1, 2)
+    for ratio in (0.5, 0.8, 1.25, 2.0):
+        s = Stretcher(44100 // 350, 44100 // 50, 2, 0)
+        out = s.process(x.reshape(-1), x.shape[0], ratio)
+        out2 = s.flush()
+        got = (out.size + out2.size) / x.size
+        assert abs(got - ratio) < 0.06, (ratio, got)
+
+
+def test_stretch_dual_extends_range():
+    from art_tpu.core.flags import STRETCH_DUAL_FLAG
+    from art_tpu.engines.stretch import Stretcher
+    x = NoiseLCG().fill(44100).reshape(-1, 1)
+    s = Stretcher(44100 // 350, 44100 // 50, 1, STRETCH_DUAL_FLAG)
+    out = s.process(x.reshape(-1), x.shape[0], 3.0)
+    total = out.size
+    for _ in range(3):
+        total += s.flush().size
+    assert abs(total / x.size - 3.0) < 0.15
+
+
+def test_stretch_unity_passthrough_exact():
+    from art_tpu.engines.stretch import Stretcher
+    x = NoiseLCG().fill(20000).reshape(-1, 2)
+    s = Stretcher(44100 // 350, 44100 // 50, 2, 0)
+    out = s.process(x.reshape(-1), x.shape[0], 1.0)
+    out2 = s.flush()
+    full = np.concatenate([out, out2])
+    np.testing.assert_array_equal(full, x.reshape(-1))
+
+
+# ---------------------------------------------------------------------- CLI
+def _run_art_cli(args):
+    from art_tpu.cli import art as artcli
+    return artcli.main(args)
+
+
+def _read_wav(path):
+    with open(path, "rb") as f:
+        info = wavfile.read_wav_header(f)
+        data = f.read(info.num_frames * info.num_channels
+                      * info.bytes_per_sample)
+    return info, data
+
+
+@pytest.mark.parametrize("args,max_db", [
+    (["-3", "-r48k"], -70.0),
+    (["-1", "-r48k"], -70.0),
+    (["-2", "-r22.05k"], -70.0),
+    (["-3", "-r48k", "-o32"], -140.0),
+    (["-3", "-r48k", "-p"], -70.0),
+])
+def test_art_cli_matches_reference(art_ref, test_wav, tmp_path, args,
+                                   max_db):
+    wav_in, _ = test_wav
+    ref_out = tmp_path / "ref.wav"
+    my_out = tmp_path / "mine.wav"
+    subprocess.run([str(art_ref), *args, "-y", "-q", str(wav_in),
+                    str(ref_out)], check=True, capture_output=True)
+    assert _run_art_cli([*args, "-y", "-q", str(wav_in), str(my_out)]) == 0
+    ia, da = _read_wav(ref_out)
+    ib, db = _read_wav(my_out)
+    assert ia.num_frames == ib.num_frames
+    if ia.bits_per_sample == 16:
+        va = np.frombuffer(da, "<i2").astype(np.float64) / 32768
+        vb = np.frombuffer(db, "<i2").astype(np.float64) / 32768
+    else:
+        va = np.frombuffer(da, "<f4").astype(np.float64)
+        vb = np.frombuffer(db, "<f4").astype(np.float64)
+    d = va - vb
+    rms = math.sqrt(float((d ** 2).mean()))
+    sig = math.sqrt(float((va ** 2).mean()))
+    rel_db = 20 * math.log10(rms / sig) if rms > 0 else -999.0
+    assert rel_db < max_db, rel_db
+
+
+def test_art_cli_stretch_bit_identical(art_ref, test_wav, tmp_path):
+    """Stretch-only paths (no resampler, no decimator randomness coupling)
+    are bit-identical to the reference."""
+    wav_in, _ = test_wav
+    for args in (["--tempo=1.5"], ["--duration=0.7"]):
+        ref_out = tmp_path / "ref.wav"
+        my_out = tmp_path / "mine.wav"
+        subprocess.run([str(art_ref), *args, "-y", "-q", str(wav_in),
+                        str(ref_out)], check=True, capture_output=True)
+        _run_art_cli([*args, "-y", "-q", str(wav_in), str(my_out)])
+        assert ref_out.read_bytes() == my_out.read_bytes(), args
+
+
+def test_artest_cli_input_stats_bit_identical(art_ref):
+    """ARTEST input-stream stats (count/checksum/range/RMS) must match the C
+    binary exactly — the noise source and stats are bit-exact ports."""
+    import io as _io
+    from contextlib import redirect_stderr
+    from art_tpu.cli import artest as at
+    artest_bin = Path("/tmp/refbuild/artest")
+    if not artest_bin.exists():
+        pytest.skip("reference artest not built")
+    args = ["-3", "-s44.1k", "-d48k", "-c2", "-n5", "-e"]
+    ref = subprocess.run([str(artest_bin), *args], capture_output=True,
+                         text=True).stderr
+    buf = _io.StringIO()
+    with redirect_stderr(buf):
+        at.main(args)
+    ref_line = next(l for l in ref.splitlines() if "input (-w1)" in l)
+    my_line = next(l for l in buf.getvalue().splitlines()
+                   if "input (-w1)" in l)
+    assert ref_line.strip() == my_line.strip()
