@@ -1,0 +1,72 @@
+"""Batched drifting-ratio ASRC tests (BASELINE config 5)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from art_tpu.core.flags import BLACKMAN_HARRIS, SUBSAMPLE_INTERPOLATE
+from art_tpu.engines.resampler import Resampler
+from art_tpu.parallel.asrc import BatchedASRC
+from art_tpu.utils.testsig import NoiseLCG
+
+
+def test_batched_asrc_matches_per_stream_engines():
+    S, taps, filters = 8, 48, 64
+    rng = np.random.default_rng(0)
+    lcg = NoiseLCG()
+    b = BatchedASRC(S, taps, filters)
+    b.advance_position(24.0)
+    singles = []
+    for _ in range(S):
+        r = Resampler(1, taps, filters, 0.0,
+                      SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS,
+                      backend="numpy")
+        r.advance_position(24.0)
+        singles.append(r)
+    md = 0.0
+    for _ in range(6):
+        x = lcg.fill(S * 512).reshape(S, 512)
+        ratios = 1.0 + rng.uniform(-0.01, 0.01, S)
+        out, Ks = b.process(jnp.asarray(x), ratios)
+        out = np.asarray(out)
+        for s in range(S):
+            ho, res = singles[s].process(x[s:s + 1], 512, 2000,
+                                         float(ratios[s]))
+            assert res.input_used == 512
+            assert res.output_generated == Ks[s]
+            md = max(md, float(np.abs(ho[0] - out[s, :Ks[s]]).max()))
+            assert abs(b.get_position()[s]
+                       - singles[s].get_position()) < 1e-9
+    assert md < 1e-6
+
+
+def test_batched_asrc_per_stream_independent_ratios():
+    """Streams with different ratios produce different output counts, and
+    position drift tracks the cumulative ratio per stream."""
+    S = 4
+    b = BatchedASRC(S, 48, 64)
+    b.advance_position(24.0)
+    lcg = NoiseLCG()
+    ratios = np.array([0.98, 1.0, 1.02, 1.005])
+    total = np.zeros(S, dtype=np.int64)
+    for _ in range(10):
+        x = lcg.fill(S * 512).reshape(S, 512)
+        out, Ks = b.process(jnp.asarray(x), ratios)
+        total += Ks
+    expect = 10 * 512 * ratios
+    assert np.all(np.abs(total - expect) < 30)
+    pos = b.get_position()
+    assert np.all(np.isfinite(pos)) and np.all(np.abs(pos) < 513)
+
+
+def test_batched_asrc_phase_query_contract():
+    """Negative position => an output is ready without more input
+    (reference resampler.c:950-963)."""
+    b = BatchedASRC(2, 48, 64)
+    np.testing.assert_allclose(b.get_position(), 0.0, atol=0)
+    b.advance_position(np.array([24.0, 10.0]))
+    np.testing.assert_allclose(b.get_position(), [24.0, 10.0])
+    x = np.ones((2, 100), np.float32)
+    out, Ks = b.process(jnp.asarray(x), np.array([1.0, 1.0]))
+    pos = b.get_position()
+    np.testing.assert_allclose(pos, [24.0, 10.0] + Ks - 100.0, atol=1e-12)
