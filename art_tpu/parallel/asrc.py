@@ -55,13 +55,32 @@ def _asrc_step(hist, x, bank, offsets, inv_ratios, Ks, shift, num_taps: int,
     base = ipos.astype(jnp.int32) - half + 1 + shift
 
     taps_iota = jnp.arange(num_taps, dtype=jnp.int32)
-    idx = base[:, :, None] + taps_iota[None, None, :]           # [S, K, T]
-    win = jnp.take_along_axis(buf[:, None, :],
-                              jnp.clip(idx, 0, buf.shape[1] - 1),
-                              axis=2)                           # [S, K, T]
-    w = (jnp.take(bank, fi, axis=0) * (1.0 - frac)[:, :, None]
-         + jnp.take(bank, fi + 1, axis=0) * frac[:, :, None])
-    out = jnp.sum(win * w, axis=2)
+
+    # tile the output axis so the [S, tile, T] gather intermediates stay
+    # bounded regardless of chunk size
+    tile = 128
+    n_tiles = -(-k_max // tile)
+    kp = n_tiles * tile
+    base_p = jnp.pad(base, ((0, 0), (0, kp - k_max)))
+    fi_p = jnp.pad(fi, ((0, 0), (0, kp - k_max)))
+    frac_p = jnp.pad(frac, ((0, 0), (0, kp - k_max)))
+
+    def tile_body(t, out):
+        k0 = t * tile
+        b = jax.lax.dynamic_slice(base_p, (0, k0), (S, tile))
+        f = jax.lax.dynamic_slice(fi_p, (0, k0), (S, tile))
+        fr = jax.lax.dynamic_slice(frac_p, (0, k0), (S, tile))
+        idx = b[:, :, None] + taps_iota[None, None, :]          # [S, t, T]
+        win = jnp.take_along_axis(buf[:, None, :],
+                                  jnp.clip(idx, 0, buf.shape[1] - 1),
+                                  axis=2)
+        w = (jnp.take(bank, f, axis=0) * (1.0 - fr)[:, :, None]
+             + jnp.take(bank, f + 1, axis=0) * fr[:, :, None])
+        res = jnp.sum(win * w, axis=2)
+        return jax.lax.dynamic_update_slice(out, res, (0, k0))
+
+    out = jax.lax.fori_loop(0, n_tiles, tile_body,
+                            jnp.zeros((S, kp), dtype=buf.dtype))[:, :k_max]
     valid = (jnp.arange(k_max, dtype=jnp.int32)[None, :] < Ks[:, None])
     out = out * valid.astype(out.dtype)
     new_hist = buf[:, buf.shape[1] - hist_len:]
@@ -72,16 +91,22 @@ class BatchedASRC:
     """S independent drifting-ratio resampler streams, device-resident."""
 
     def __init__(self, num_streams: int, num_taps: int, num_filters: int,
-                 *, dtype=np.float32, blackman_harris: bool = True):
+                 *, dtype=np.float32, blackman_harris: bool = True,
+                 kernel: str = "xla"):
         validate_taps_filters(num_taps, num_filters)
         self.dtype = np.dtype(dtype)
         self.S = num_streams
         self.num_taps = num_taps
         self.num_filters = num_filters
         self.num_samples = num_taps * HISTORY_MULTIPLE
+        self.kernel = kernel
         self.bank = make_filter_bank(num_taps, num_filters, 1.0,
                                      blackman_harris, self.dtype.type)
         self._bank_dev = jnp.asarray(self.bank)
+        self._bank_pallas = None
+        if kernel == "pallas":
+            from ..ops.pallas_kernels import pad_bank_for_pallas
+            self._bank_pallas = jnp.asarray(pad_bank_for_pallas(self.bank))
         self.offsets = np.full(num_streams, float(num_taps // 2),
                                dtype=np.float64)
         self.input_index = num_taps
@@ -116,11 +141,16 @@ class BatchedASRC:
         if int(Ks.max(initial=0)) >= k_max:
             raise ValueError("k_max too small for requested chunk")
 
-        new_hist, out = _asrc_step(
-            self.hist, x, self._bank_dev, jnp.asarray(self.offsets),
-            jnp.asarray(1.0 / ratios), jnp.asarray(Ks),
-            jnp.int32(self.num_samples - self.input_index), self.num_taps,
-            self.num_filters, k_max, self.num_samples)
+        if self.kernel == "pallas":
+            out, new_hist = self._process_pallas(x, pos_host, k_max)
+            valid = (np.arange(k_max)[None, :] < Ks[:, None])
+            out = out * jnp.asarray(valid.astype(self.dtype.type))
+        else:
+            new_hist, out = _asrc_step(
+                self.hist, x, self._bank_dev, jnp.asarray(self.offsets),
+                jnp.asarray(1.0 / ratios), jnp.asarray(Ks),
+                jnp.int32(self.num_samples - self.input_index),
+                self.num_taps, self.num_filters, k_max, self.num_samples)
         self.hist = new_hist
 
         # advance per-stream offsets with the shared history shift
@@ -130,3 +160,35 @@ class BatchedASRC:
         self.offsets = (self.offsets - shift) + Ks / ratios
         self.input_index = new_index
         return out, Ks
+
+    def _process_pallas(self, x, pos_host: np.ndarray, k_max: int):
+        """Host-side position decomposition + the VMEM-resident kernel."""
+        from ..ops.pallas_kernels import asrc_apply_pallas
+        half = self.num_taps // 2
+        shift = self.num_samples - self.input_index
+        tp = self._bank_pallas.shape[1]
+
+        kb = 256
+        kp = -(-k_max // kb) * kb
+        ipos = np.floor(pos_host)
+        ff = (pos_host - ipos) * self.num_filters
+        fi = np.minimum(np.floor(ff), self.num_filters - 1)
+        frac = (ff - fi).astype(self.dtype)
+        base = np.zeros((self.S, kp), np.int32)
+        base[:, :k_max] = ipos.astype(np.int32) - half + 1 + shift
+        fip = np.zeros((self.S, kp), np.int32)
+        fip[:, :k_max] = fi.astype(np.int32)
+        frp = np.zeros((self.S, kp), self.dtype)
+        frp[:, :k_max] = frac
+
+        buf = jnp.concatenate([self.hist, x], axis=1)
+        blen = buf.shape[1]
+        pad = (-(-(blen + tp + 128) // 128) * 128) - blen
+        bufp = jnp.concatenate(
+            [buf, jnp.zeros((self.S, pad), dtype=self.dtype)], axis=1)
+        interpret = jax.default_backend() != "tpu"
+        out = asrc_apply_pallas(bufp, self._bank_pallas, jnp.asarray(base),
+                                jnp.asarray(fip), jnp.asarray(frp), kb=kb,
+                                interpret=interpret)
+        new_hist = buf[:, blen - self.num_samples:]
+        return out[:, :k_max], new_hist
