@@ -58,8 +58,10 @@ class ProcessPlan:
     # (== new_input_index), and total linear length used
     linear_len: int = 0
     # linear-coordinate read position of emission 0 (valid even when
-    # positions were not materialized); emission k reads at this + k/ratio
+    # positions were not materialized); emission k reads at
+    # (first_position - flush_shift) + fl(k/ratio) + flush_shift
     first_position: float = 0.0
+    flush_shift: int = 0
 
 
 def snap_offset(offset: float, num_filters: int) -> float:
@@ -201,6 +203,7 @@ def plan_process(*, output_offset: float, input_index: int, flags: int,
         new_flags=new_flags,
         linear_len=i_lin0 + flush_shift + input_used,
         first_position=o_lin + flush_shift,
+        flush_shift=flush_shift,
     )
 
 

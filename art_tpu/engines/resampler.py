@@ -159,7 +159,8 @@ class Resampler:
             output_offset=self.output_offset, input_index=self.input_index,
             flags=self.flags, num_taps=self.num_taps,
             num_samples=self.num_samples, num_filters=self.num_filters,
-            fixed_ratio=self.fixed_ratio, n_in=n_in, n_out=n_out, ratio=ratio)
+            fixed_ratio=self.fixed_ratio, n_in=n_in, n_out=n_out,
+            ratio=ratio, materialize=False)
 
         entry_index = self.input_index
         parts_len = entry_index + (half if plan.flush else 0) + plan.input_used
@@ -183,7 +184,7 @@ class Resampler:
                 L[c, lin_first - nvalues - n_extrap:lin_first - nvalues] = \
                     extrapolator.extrapolate_reverse(real, n_extrap)
 
-        out = self._compute(L, plan.positions)
+        out = self._compute(L, plan, ratio)
 
         # persist state
         new_index = plan.new_input_index
@@ -194,16 +195,24 @@ class Resampler:
 
         return out, ResampleResult(plan.input_used, plan.output_generated)
 
-    def _compute(self, L: np.ndarray, positions: np.ndarray) -> np.ndarray:
+    def _compute(self, L: np.ndarray, plan, ratio: float) -> np.ndarray:
         interp = bool(self.flags & SUBSAMPLE_INTERPOLATE)
+        K = plan.output_generated
         if (self.backend == "jax" and not interp
-                and (self.flags & RESAMPLE_FIXED_RATIO)
-                and positions.size):
+                and (self.flags & RESAMPLE_FIXED_RATIO) and K):
             poly = self._polyphase()
-            if poly is not None and poly.eligible(float(positions[0]),
-                                                  positions.size):
-                return poly.apply(L, float(positions[0]), positions.size,
-                                  self.dtype)
+            if poly is not None and poly.eligible(plan.first_position, K):
+                return poly.apply(L, plan.first_position, K, self.dtype)
+        # reconstruct the emission positions with the accounting's exact
+        # float op order: fl(o_lin + fl(k/ratio)) + integer flush shift
+        if self.flags & RESAMPLE_FIXED_RATIO:
+            ratio = self.fixed_ratio
+        if K:
+            o_lin = plan.first_position - plan.flush_shift
+            positions = (o_lin + np.arange(K, dtype=np.float64) / ratio) \
+                + plan.flush_shift
+        else:
+            positions = np.zeros(0, dtype=np.float64)
         parts = resample_kernel.decompose_positions(
             positions, self.num_filters, self.num_taps, interp,
             bool(self.flags & INCLUDE_LOWPASS))

@@ -31,6 +31,7 @@
 #include <string.h>
 
 #include "resampler.h"
+#include "extrapolator.h"
 #include "decimator.h"
 #include "biquad.h"
 
@@ -106,6 +107,32 @@ int main (int argc, char **argv)
         double pos = resampleGetPosition (cxt);
         fwrite (&pos, sizeof (double), 1, stdout);
         resampleFree (cxt);
+        return 0;
+    }
+
+    if (!strcmp (argv[1], "extrap")) {
+        /* extrap <mode fwd|rev> <nvalues> <n_extrap> <signal sine|noise> <freq> */
+        int nvalues = atoi (argv[3]), nx = atoi (argv[4]);
+        double freq = argc > 6 ? atof (argv[6]) : 0.05;
+        artsample_t *buf = calloc (nvalues + nx + 4, sizeof (artsample_t));
+        if (!strcmp (argv[5], "sine"))
+            for (int i = 0; i < nvalues; ++i)
+                buf [i] = 0.4 * sin (i * freq) + 0.1 * sin (i * freq * 3.1);
+        else
+            noise_fill (buf, nvalues);
+
+        if (!strcmp (argv[2], "rev")) {
+            /* layout: [nx extrapolation area][nvalues real samples], pointer
+               one past the real samples */
+            artsample_t *area = calloc (nvalues + nx + 4, sizeof (artsample_t));
+            for (int i = 0; i < nvalues; ++i)
+                area [nx + i] = buf [i];
+            extrapolate_reverse (area + nx + nvalues, nvalues, nx);
+            fwrite (area, sizeof (artsample_t), nx, stdout);
+        } else {
+            extrapolate_forward (buf, nvalues, nx);
+            fwrite (buf + nvalues, sizeof (artsample_t), nx, stdout);
+        }
         return 0;
     }
 
