@@ -384,6 +384,10 @@ def process_file(opt: Options) -> int:
             output_samples = 0
             clipped = 0
             frame_bytes = num_channels * info.bytes_per_sample
+            progress_divider = ((num_samples + 50) // 100
+                                if opt.verbosity >= 0 and num_samples > 1000
+                                else 0)
+            percent = -1
 
             while output_samples < target_output:
                 to_read = min(remaining, BUFFER_SAMPLES)
@@ -437,6 +441,12 @@ def process_file(opt: Options) -> int:
                     out.write(wavfile.encode_float_frames(outbuf, outbits))
 
                 output_samples += generated
+                if progress_divider:
+                    new_pct = 100 - remaining // progress_divider
+                    if new_pct != percent:
+                        percent = new_pct
+                        print(f"\rprogress: {percent}% ", end="",
+                              file=sys.stderr, flush=True)
 
             data_bytes = output_samples * num_channels * ((outbits + 7) // 8)
             if data_bytes & 1:
@@ -448,7 +458,7 @@ def process_file(opt: Options) -> int:
                 channel_mask=info.channel_mask)
 
     if opt.verbosity >= 0:
-        print("...completed successfully", file=sys.stderr)
+        print("\r...completed successfully", file=sys.stderr)
     if opt.verbosity > 0:
         print(f"info: {output_samples} samples were generated",
               file=sys.stderr)
