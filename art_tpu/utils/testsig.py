@@ -50,6 +50,37 @@ class NoiseLCG:
         return (vals.astype(np.float64) / 4294967296.0).astype(dtype)
 
 
+def _libm_fn(name):
+    """glibc's sin/cos differ from numpy's vectorized versions in the last
+    ulp; checksum parity with the C harness needs the same libm."""
+    import ctypes
+    import ctypes.util
+    try:
+        lib = ctypes.CDLL(ctypes.util.find_library("m") or "libm.so.6")
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_double
+        fn.argtypes = [ctypes.c_double]
+        return np.frompyfunc(fn, 1, 1)
+    except OSError:  # pragma: no cover
+        return None
+
+
+_LIBM_SIN = _libm_fn("sin")
+_LIBM_COS = _libm_fn("cos")
+
+
+def _sin64(x: np.ndarray) -> np.ndarray:
+    if _LIBM_SIN is not None:
+        return _LIBM_SIN(x).astype(np.float64)
+    return np.sin(x)
+
+
+def _cos64(x: np.ndarray) -> np.ndarray:
+    if _LIBM_COS is not None:
+        return _LIBM_COS(x).astype(np.float64)
+    return np.cos(x)
+
+
 class ToneGenerator:
     """Bit-exact ARTEST tone source (reference artest.c:758-774)."""
 
@@ -59,14 +90,17 @@ class ToneGenerator:
     def fill(self, count: int, chans: int, freq: float,
              dtype=np.float32) -> np.ndarray:
         chan_offset = 2.0 * np.pi / chans if chans > 2 else np.pi / 2.0
-        # cumsum reproduces the reference's accumulated `phase += 2*pi*f`
-        phases = self.phase_angle + np.cumsum(
-            np.full(count, 2.0 * np.pi * freq, dtype=np.float64))
+        # cumsum with the carried angle as element 0 reproduces the
+        # reference's running `phase += 2*pi*f` rounding chain exactly
+        steps = np.empty(count + 1, dtype=np.float64)
+        steps[0] = self.phase_angle
+        steps[1:] = 2.0 * np.pi * freq
+        phases = np.cumsum(steps)[1:]
         self.phase_angle = float(phases[-1]) if count else self.phase_angle
         out = np.empty((count, chans), dtype=np.float64)
-        out[:, 0] = np.sin(phases) * 0.5
+        out[:, 0] = _sin64(phases) * 0.5
         for c in range(1, chans):
-            out[:, c] = np.sin(phases + chan_offset * c) * 0.5
+            out[:, c] = _sin64(phases + chan_offset * c) * 0.5
         return out.astype(dtype)
 
 
@@ -80,7 +114,7 @@ def fade_in(data: np.ndarray) -> None:
     flat[:zcount] = 0.0
     i = np.arange(fcount, dtype=np.float64)
     flat[zcount:] = (flat[zcount:].astype(np.float64)
-                     * (np.cos((fcount - i) * np.pi / fcount) + 1.0) / 2.0
+                     * (_cos64((fcount - i) * np.pi / fcount) + 1.0) / 2.0
                      ).astype(data.dtype)
 
 
@@ -92,7 +126,7 @@ def fade_out(data: np.ndarray) -> None:
     flat = data.reshape(-1)
     i = np.arange(fcount, dtype=np.float64)
     flat[:fcount] = (flat[:fcount].astype(np.float64)
-                     * (np.cos(i * np.pi / fcount) + 1.0) / 2.0
+                     * (_cos64(i * np.pi / fcount) + 1.0) / 2.0
                      ).astype(data.dtype)
     flat[fcount:] = 0.0
 

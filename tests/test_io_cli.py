@@ -223,3 +223,27 @@ def test_artest_cli_input_stats_bit_identical(art_ref):
     my_line = next(l for l in buf.getvalue().splitlines()
                    if "input (-w1)" in l)
     assert ref_line.strip() == my_line.strip()
+
+
+@pytest.mark.parametrize("args", [
+    ["-3", "-s44.1k", "-d48k", "-c2", "-n3", "-e", "-h1k"],
+    ["-3", "-s44.1k", "-d48k", "-c6", "-n2", "-e", "-h440"],
+])
+def test_artest_tone_input_bit_identical(art_ref, args):
+    """Tone generator (accumulated phase, per-channel offsets, libm trig)
+    matches the C harness bit-for-bit, including the fade windows."""
+    import io as _io
+    from contextlib import redirect_stderr
+    from art_tpu.cli import artest as at
+    artest_bin = Path("/tmp/refbuild/artest")
+    if not artest_bin.exists():
+        pytest.skip("reference artest not built")
+    ref = subprocess.run([str(artest_bin), *args], capture_output=True,
+                         text=True).stderr
+    buf = _io.StringIO()
+    with redirect_stderr(buf):
+        at.main(args)
+    ref_line = next(l for l in ref.splitlines() if "input (-w1)" in l)
+    my_line = next(l for l in buf.getvalue().splitlines()
+                   if "input (-w1)" in l)
+    assert ref_line.strip() == my_line.strip()
