@@ -39,14 +39,15 @@ from ..ops.polyphase import PolyphaseMatrix
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
                                              "hist_len"))
-def _chunk_step(hist, x, P, start, K, M: int, L: int, nb: int, qn: int,
-                hist_len: int):
+def _chunk_step(hist, x, P, start, K, acc, M: int, L: int, nb: int,
+                qn: int, hist_len: int):
     """One fused streaming step.
 
     hist: [ch, hist_len]; x: [ch, chunk]; P: [qn*M, L] padded phase matrix
     (transposed polyphase block matrix); start: window origin in the padded
-    buffer; K: valid output count (outputs beyond K are zeroed).
-    Returns (new_hist, out [ch, nb*L]).
+    buffer; K: valid output count (outputs beyond K are zeroed); acc: running
+    output-power accumulator (folded in here so streaming statistics add no
+    extra dispatches).  Returns (new_hist, out [ch, nb*L], acc').
     """
     ch = x.shape[0]
     nbq = nb + qn
@@ -64,9 +65,10 @@ def _chunk_step(hist, x, P, start, K, M: int, L: int, nb: int, qn: int,
                      preferred_element_type=x.dtype).reshape(ch, nb * L)
     valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
     out = out * valid[None, :]
+    acc = acc + jnp.sum(out * out)
     new_hist = jax.lax.dynamic_slice(
         buf, (0, buf.shape[1] - hist_len), (ch, hist_len))
-    return new_hist, out
+    return new_hist, out, acc
 
 
 class DeviceStreamResampler:
@@ -178,13 +180,18 @@ class DeviceStreamResampler:
         self.input_index = new_index
         return K, start, j0
 
-    def process(self, x, n_in: int):
+    def process(self, x, n_in: int, acc=None):
         """x: device array [ch, n_in].  Returns (out_dev [ch, nb*L] with
-        entries beyond K zeroed, K).  All n_in inputs are consumed."""
+        entries beyond K zeroed, K) — or (out, K, acc') when a running
+        output-power accumulator is passed (computed in the same dispatch).
+        All n_in inputs are consumed."""
         K, start, j0 = self._plan(n_in)
         nb = -(-K // self.L) if K else 1
-        new_hist, out = _chunk_step(
+        acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
+        new_hist, out, acc_out = _chunk_step(
             self.hist, x, self._matrix(j0), jnp.int32(start), jnp.int32(K),
-            self.M, self.L, nb, self.qn, self.num_samples)
+            acc_in, self.M, self.L, nb, self.qn, self.num_samples)
         self.hist = new_hist
-        return out, K
+        if acc is None:
+            return out, K
+        return out, K, acc_out
