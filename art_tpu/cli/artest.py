@@ -342,7 +342,12 @@ def main(argv=None) -> int:
                 stdout.write(diff.tobytes())
 
         if decimator is not None:
-            packed, c = decimator.process_interleaved(outbuf)
+            if non_interleaved:
+                # A/B the planar decimator API (reference artest.c:620-653)
+                packed, c = decimator.process(
+                    np.ascontiguousarray(outbuf.T))
+            else:
+                packed, c = decimator.process_interleaved(outbuf)
             clipped += c
             out_bytes += packed.size
             if write_stdout == 3:

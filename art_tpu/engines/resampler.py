@@ -131,6 +131,20 @@ class Resampler:
             self.flags |= EXTRAPOLATE_PREFILL
         self.flags &= ~RESAMPLER_FLUSHED
 
+    def state_dict(self) -> dict:
+        """Full streaming state (the reference context's buffers /
+        outputOffset / inputIndex / flags tuple) as plain arrays — the
+        checkpoint/resume story."""
+        return dict(history=self.history.copy(),
+                    output_offset=self.output_offset,
+                    input_index=self.input_index, flags=self.flags)
+
+    def load_state(self, state: dict) -> None:
+        self.history = state["history"].copy()
+        self.output_offset = state["output_offset"]
+        self.input_index = state["input_index"]
+        self.flags = state["flags"]
+
     def get_required_samples(self, n_out: int, ratio: float) -> int:
         if self.flags & RESAMPLE_FIXED_RATIO:
             ratio = self.fixed_ratio

@@ -55,9 +55,7 @@ def decompose_positions(positions: np.ndarray, num_filters: int,
                     pass_mask=np.zeros(len(positions), dtype=bool),
                     pass_idx=np.zeros(len(positions), dtype=np.int64))
     fi = np.floor(frac0 * num_filters + 0.5).astype(np.int64)
-    pass_mask = (~include_lowpass) & (fi % num_filters == 0) \
-        if isinstance(include_lowpass, np.ndarray) else \
-        (not include_lowpass) & (fi % num_filters == 0)
+    pass_mask = (not include_lowpass) & (fi % num_filters == 0)
     pass_idx = ipos.astype(np.int64) + fi // num_filters
     return dict(base=base, fi=fi, frac=np.zeros_like(frac0),
                 pass_mask=pass_mask, pass_idx=pass_idx)

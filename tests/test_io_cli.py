@@ -225,6 +225,24 @@ def test_artest_cli_input_stats_bit_identical(art_ref):
     assert ref_line.strip() == my_line.strip()
 
 
+def test_artest_planar_vs_interleaved_identical():
+    """The -v equivalence oracle (reference artest.c:658-740): planar and
+    interleaved paths must produce identical stats/checksums."""
+    import io as _io
+    from contextlib import redirect_stderr
+    from art_tpu.cli import artest as at
+
+    def run(args):
+        buf = _io.StringIO()
+        with redirect_stderr(buf):
+            at.main(args)
+        return [l.strip() for l in buf.getvalue().splitlines()
+                if "(-w" in l]
+
+    base = ["-1", "-s44.1k", "-d48k", "-c2", "-n2", "-e", "-i", "-o16"]
+    assert run(base) == run(base + ["-v"])
+
+
 @pytest.mark.parametrize("args", [
     ["-3", "-s44.1k", "-d48k", "-c2", "-n3", "-e", "-h1k"],
     ["-3", "-s44.1k", "-d48k", "-c6", "-n2", "-e", "-h440"],
