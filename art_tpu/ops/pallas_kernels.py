@@ -33,6 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _RS = 8         # stream rows per grid program (one sublane tile)
+_RK = 4         # consecutive outputs processed per loop step ([RK*RS, Tp]
+#                 tiles amortize the scalar addressing overhead)
 
 
 def _asrc_kernel(base_ref, fi_ref, frac_t_ref, buf_ref, bank_ref, out_ref,
@@ -40,29 +42,31 @@ def _asrc_kernel(base_ref, fi_ref, frac_t_ref, buf_ref, bank_ref, out_ref,
     c128 = jnp.int32(128)
     one = jnp.int32(1)
 
-    def step(k, carry):
+    def step(it, carry):
+        k0 = it * jnp.int32(_RK)
         wins, f1s, f2s = [], [], []
-        for j in range(_RS):
-            b = base_ref[j, k]
-            fi = fi_ref[j, k]
-            # vector loads need lane-aligned starts: load an aligned
-            # superspan, rotate the misalignment away (the wrapped tail
-            # lands beyond tp and is sliced off)
-            b0 = pl.multiple_of((b // c128) * c128, 128)
-            span = buf_ref[pl.ds(j, 1), pl.ds(b0, tp + 128)]  # [1, Tp+128]
-            wins.append(pltpu.roll(span, b0 - b, 1)[:, :tp])
-            f1s.append(bank_ref[pl.ds(fi, 1), :])
-            f2s.append(bank_ref[pl.ds(fi + one, 1), :])
-        win = jnp.concatenate(wins, axis=0)        # [RS, Tp]
-        d1_ref[pl.ds(k, 1), :] = jnp.sum(
-            win * jnp.concatenate(f1s, axis=0), axis=1)[None, :]
-        d2_ref[pl.ds(k, 1), :] = jnp.sum(
-            win * jnp.concatenate(f2s, axis=0), axis=1)[None, :]
+        for r in range(_RK):
+            for j in range(_RS):
+                b = base_ref[j, k0 + r]
+                fi = fi_ref[j, k0 + r]
+                # vector loads need lane-aligned starts: load an aligned
+                # superspan, rotate the misalignment away (the wrapped tail
+                # lands beyond tp and is sliced off)
+                b0 = pl.multiple_of((b // c128) * c128, 128)
+                span = buf_ref[pl.ds(j, 1), pl.ds(b0, tp + 128)]
+                wins.append(pltpu.roll(span, b0 - b, 1)[:, :tp])
+                f1s.append(bank_ref[pl.ds(fi, 1), :])
+                f2s.append(bank_ref[pl.ds(fi + one, 1), :])
+        win = jnp.concatenate(wins, axis=0)        # [RK*RS, Tp], k-major
+        d1_ref[pl.ds(k0, _RK), :] = jnp.sum(
+            win * jnp.concatenate(f1s, axis=0), axis=1).reshape(_RK, _RS)
+        d2_ref[pl.ds(k0, _RK), :] = jnp.sum(
+            win * jnp.concatenate(f2s, axis=0), axis=1).reshape(_RK, _RS)
         return carry
 
     # carry pinned to int32: under jax_enable_x64 a weak-int carry becomes
     # int64, which Mosaic cannot lower
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(kb), step, jnp.int32(0))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(kb // _RK), step, jnp.int32(0))
     # two-phase interpolation as one aligned block op
     fr = frac_t_ref[0]
     out_ref[0] = d1_ref[:, :] * (1.0 - fr) + d2_ref[:, :] * fr
