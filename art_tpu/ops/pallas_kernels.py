@@ -88,6 +88,7 @@ def asrc_apply_pallas(buf, bank, base, fi, frac, *, kb: int = 512,
     K = base.shape[1]
     tp = bank.shape[1]
     assert S % _RS == 0 and K % kb == 0 and B % 128 == 0
+    assert kb % _RK == 0, "output block size must be a multiple of _RK"
 
     grid = (S // _RS, K // kb)
     scalar_spec = pl.BlockSpec((_RS, kb), lambda s, k: (s, k),
