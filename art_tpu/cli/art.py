@@ -29,9 +29,9 @@ from ..core.flags import (BLACKMAN_HARRIS, DECIMATE_MULTITHREADED,
 from ..engines.biquad import Biquad, biquad_lowpass
 from ..engines.decimator import Decimator
 from ..engines.resampler import Resampler
+from ..core.flags import PRESETS
 from ..engines.stretch import Stretcher
 from ..io import wavfile
-from ..ops.decimate_kernel import pack_bytes  # noqa: F401  (used via Decimator)
 
 VERSION = 0.7
 BUFFER_SAMPLES = 16384
@@ -167,9 +167,7 @@ def parse_args(argv, opt: Options):
 
                 cl = c.lower()
                 if c in "1234":
-                    opt.num_filters, opt.num_taps = {
-                        "1": (48, 48), "2": (320, 156), "3": (380, 380),
-                        "4": (988, 988)}[c]
+                    opt.num_filters, opt.num_taps = PRESETS[int(c)]
                 elif cl == "a":
                     opt.allpass = True
                 elif cl == "m":

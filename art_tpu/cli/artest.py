@@ -16,7 +16,7 @@ import sys
 import numpy as np
 
 from ..core.flags import (BLACKMAN_HARRIS, DITHER_HIGHPASS,
-                          EXTRAPOLATE_ENDPOINTS, INCLUDE_LOWPASS,
+                          EXTRAPOLATE_ENDPOINTS, INCLUDE_LOWPASS, PRESETS,
                           SHAPING_ATH_CURVE, SUBSAMPLE_INTERPOLATE)
 from ..engines.decimator import Decimator
 from ..engines.resampler import Resampler
@@ -106,8 +106,7 @@ def main(argv=None) -> int:
                 return rest[:k]
 
             if c in "1234":
-                filters, taps = {"1": (48, 48), "2": (320, 156),
-                                 "3": (380, 380), "4": (988, 988)}[c]
+                filters, taps = PRESETS[int(c)]
             elif c == "a":
                 fades = False
             elif c == "e":
@@ -284,7 +283,9 @@ def main(argv=None) -> int:
         if write_stdout == 1:
             stdout.write(inbuf.tobytes())
 
-        last = bi == buffers - 1 and not read_stdin
+        # the reference flushes once bi reaches the final buffer even when
+        # reading stdin (reference artest.c:477-484)
+        last = bi >= buffers - 1
         if resampler is None:
             outbuf = inbuf
             used, generated = n, n
@@ -301,10 +302,9 @@ def main(argv=None) -> int:
             stdout.write(outbuf.tobytes())
 
         if inv_resample:
+            # worst-case inverse output sizing (reference artest.c:375)
             invcap = int((outbuffer_samples + taps // 2)
-                         / (ratio if ratio else 1.0 / 1) + 10) \
-                if ratio else int((outbuffer_samples + taps // 2)
-                                  * (source_rate / destin_rate) + 10)
+                         * (source_rate / destin_rate) + 10)
             if inv_resampler is None:
                 invbuf = outbuf
                 inv_used = inv_gen = generated

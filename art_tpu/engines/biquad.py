@@ -15,8 +15,9 @@ exact in IEEE arithmetic, so both paths evaluate all four taps generically
 and still reproduce the reference's per-order specializations bit-for-bit.
 
 The recurrence is sequential by nature; the scalar path here is the parity
-reference.  Device execution uses ops/biquad_kernel.py (lax.scan with exact
-op order, and an associative-scan formulation for throughput).
+reference.  The native runtime (art_tpu/native) provides the fast host path,
+and the decimator's noise-shaper runs the same recurrence as a lax.scan on
+device (ops/decimate_kernel.quantize_shaped_jax) with exact op order.
 """
 
 from __future__ import annotations

@@ -81,8 +81,10 @@ def batched_pipeline_step(mesh: Mesh, *, M: int, L: int, nb: int, qn: int,
         # quantization epilogue + global stats
         code = out * out.dtype.type(scaler)
         q = jnp.floor(code.astype(jnp.float64) + 0.5).astype(jnp.int32)
+        # `out` is already taps-replicated by the psum above, so the clip
+        # count only reduces over streams
         clips_local = jnp.sum((q > highclip) | (q < lowclip))
-        clips = jax.lax.psum(jax.lax.psum(clips_local, "streams"), "taps")
+        clips = jax.lax.psum(clips_local, "streams")
         power = jax.lax.psum(jnp.sum(out * out), "streams")
         new_hist = jax.lax.dynamic_slice(
             buf, (0, buf.shape[1] - hist_len), (x.shape[0], hist_len))
@@ -107,4 +109,5 @@ def example_batch(mesh: Mesh, *, M: int = 3, L: int = 2, nb: int = 4,
     hist = jnp.zeros((S, hist_len), dtype=dtype)
     Pmat = jax.random.normal(jax.random.PRNGKey(1), (qn * M, L),
                              dtype=dtype) * 0.1
-    return x, hist, Pmat, jnp.int32(4)
+    # window origin near the history/input seam so outputs see live data
+    return x, hist, Pmat, jnp.int32(hist_len - 8)

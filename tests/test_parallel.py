@@ -74,19 +74,20 @@ def test_sharded_pipeline_matches_single_device():
     TPU analog of the reference's threaded-vs-unthreaded A/B."""
     from art_tpu.parallel.sharding import (batched_pipeline_step,
                                            example_batch, make_mesh)
+    # scaler chosen so some samples genuinely clip (guards the clip-count
+    # collective against double reduction over the taps axis)
+    kw = dict(M=3, L=2, nb=4, qn=4, hist_len=32, scaler=3e5,
+              highclip=32767, lowclip=-32768)
     mesh = make_mesh(4, 2)
-    step = batched_pipeline_step(mesh, M=3, L=2, nb=4, qn=4, hist_len=32,
-                                 scaler=32768.0, highclip=32767,
-                                 lowclip=-32768)
+    step = batched_pipeline_step(mesh, **kw)
     x, hist, Pmat, start = example_batch(mesh, n_streams=8)
     out, nh, clips, power = step(x, hist, Pmat, start)
 
     mesh1 = make_mesh(1, 1)
-    step1 = batched_pipeline_step(mesh1, M=3, L=2, nb=4, qn=4, hist_len=32,
-                                  scaler=32768.0, highclip=32767,
-                                  lowclip=-32768)
+    step1 = batched_pipeline_step(mesh1, **kw)
     out1, nh1, clips1, power1 = step1(x, hist, Pmat, start)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out1), atol=1e-6)
+    assert int(clips1) > 0
     assert int(clips) == int(clips1)
     assert abs(float(power) - float(power1)) < 1e-3
 
