@@ -15,9 +15,11 @@ exact in IEEE arithmetic, so both paths evaluate all four taps generically
 and still reproduce the reference's per-order specializations bit-for-bit.
 
 The recurrence is sequential by nature; the scalar path here is the parity
-reference.  The native runtime (art_tpu/native) provides the fast host path,
-and the decimator's noise-shaper runs the same recurrence as a lax.scan on
-device (ops/decimate_kernel.quantize_shaped_jax) with exact op order.
+reference.  The native runtime (art_tpu/native) provides the fast host path;
+ops/biquad_kernel.py provides the device path (companion-matrix
+associative_scan, O(log n) depth); and the decimator's noise-shaper runs the
+same recurrence as a lax.scan with exact op order
+(ops/decimate_kernel.quantize_shaped_jax).
 """
 
 from __future__ import annotations
