@@ -46,6 +46,8 @@ USAGE = """
            -p          = precise (doubles) convolution
            -v          = test non-interleaved (planar) API path
            --f64       = 64-bit data path     --backend=<numpy|jax>
+           --timing    = per-stage wall-clock summary
+           --profile=<dir> = write a jax.profiler trace of the run
 """
 
 
@@ -71,6 +73,8 @@ def main(argv=None) -> int:
     tone_freq = 0.0
     dtype = np.float32
     backend = "numpy"
+    timing = False
+    profile_dir = None
 
     if not argv:
         sys.stderr.write(USAGE)
@@ -86,6 +90,10 @@ def main(argv=None) -> int:
                 dtype = np.float64
             elif name == "backend":
                 backend = val
+            elif name == "timing":
+                timing = True
+            elif name == "profile":
+                profile_dir = val
             else:
                 raise SystemExit(f"unknown option: {name}")
             continue
@@ -256,6 +264,28 @@ def main(argv=None) -> int:
             return r.process_and_flush_interleaved(data, n_in, outcap, rr)
         return r.process_interleaved(data, n_in, outcap, rr)
 
+    # per-stage timing + optional device trace (the observability analog of
+    # the reference's wall-clock benchmarking, SURVEY §5)
+    import time as _time
+    stage_t = {"generate": 0.0, "resample": 0.0, "inverse": 0.0,
+               "decimate": 0.0}
+
+    class _Stage:
+        def __init__(self, key):
+            self.key = key
+
+        def __enter__(self):
+            self.t0 = _time.perf_counter()
+
+        def __exit__(self, *exc):
+            stage_t[self.key] += _time.perf_counter() - self.t0
+
+    profiler_cm = None
+    if profile_dir:
+        import jax
+        profiler_cm = jax.profiler.trace(profile_dir)
+        profiler_cm.__enter__()
+
     bi = 0
     n = inbuffer_samples
     while (bi < buffers or read_stdin) and n:
@@ -267,15 +297,17 @@ def main(argv=None) -> int:
                                   dtype=dtype).reshape(n, chans).copy()
         else:
             n = inbuffer_samples
-            if tone_freq:
-                inbuf = tone.fill(n, chans, tone_freq / source_rate, dtype)
-            else:
-                inbuf = noise.fill(n * chans, dtype).reshape(n, chans)
-            if fades:
-                if bi == 0:
-                    fade_in(inbuf)
-                elif bi == buffers - 1:
-                    fade_out(inbuf)
+            with _Stage("generate"):
+                if tone_freq:
+                    inbuf = tone.fill(n, chans, tone_freq / source_rate,
+                                      dtype)
+                else:
+                    inbuf = noise.fill(n * chans, dtype).reshape(n, chans)
+                if fades:
+                    if bi == 0:
+                        fade_in(inbuf)
+                    elif bi == buffers - 1:
+                        fade_out(inbuf)
         if not n:
             break
 
@@ -290,8 +322,9 @@ def main(argv=None) -> int:
             outbuf = inbuf
             used, generated = n, n
         else:
-            outbuf, res = run_resampler(resampler, inbuf, n,
-                                        outbuffer_samples, ratio, last)
+            with _Stage("resample"):
+                outbuf, res = run_resampler(resampler, inbuf, n,
+                                            outbuffer_samples, ratio, last)
             used, generated = res.input_used, res.output_generated
             if used != n or generated == outbuffer_samples:
                 raise SystemExit("fatal error in resample results!")
@@ -309,9 +342,10 @@ def main(argv=None) -> int:
                 invbuf = outbuf
                 inv_used = inv_gen = generated
             else:
-                invbuf, ires = run_resampler(inv_resampler, outbuf,
-                                             generated, invcap, inv_ratio,
-                                             last)
+                with _Stage("inverse"):
+                    invbuf, ires = run_resampler(inv_resampler, outbuf,
+                                                 generated, invcap,
+                                                 inv_ratio, last)
                 inv_used, inv_gen = ires.input_used, ires.output_generated
                 if inv_used != generated or inv_gen == invcap:
                     raise SystemExit("fatal error in inverse resample "
@@ -342,12 +376,13 @@ def main(argv=None) -> int:
                 stdout.write(diff.tobytes())
 
         if decimator is not None:
-            if non_interleaved:
-                # A/B the planar decimator API (reference artest.c:620-653)
-                packed, c = decimator.process(
-                    np.ascontiguousarray(outbuf.T))
-            else:
-                packed, c = decimator.process_interleaved(outbuf)
+            with _Stage("decimate"):
+                if non_interleaved:
+                    # A/B the planar decimator API (reference artest.c:620-653)
+                    packed, c = decimator.process(
+                        np.ascontiguousarray(outbuf.T))
+                else:
+                    packed, c = decimator.process_interleaved(outbuf)
             clipped += c
             out_bytes += packed.size
             if write_stdout == 3:
@@ -355,6 +390,14 @@ def main(argv=None) -> int:
             dec_checksum = checksum_bytes(packed.reshape(-1), dec_checksum)
 
         bi += 1
+
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
+        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
+    if timing:
+        total = sum(stage_t.values())
+        parts = ", ".join(f"{k} {v:.3f}s" for k, v in stage_t.items())
+        print(f"timing: {parts} (total {total:.3f}s)", file=sys.stderr)
 
     print(file=sys.stderr)
     print(f"   input (-w1): {in_stats.display()}", file=sys.stderr)
