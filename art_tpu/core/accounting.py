@@ -80,7 +80,7 @@ def _count_emissions(o_lin: float, ratio: float, bound: float,
         return 0
     if not (o_lin < bound):          # first emission already blocked
         return 0
-    est = int(math.floor((bound - o_lin) * ratio))
+    est = min(int(math.floor((bound - o_lin) * ratio)), n_out)
     lo = max(0, est - 4)
     hi = min(n_out, est + 4)
 
@@ -99,7 +99,7 @@ def _count_emissions(o_lin: float, ratio: float, bound: float,
         if not ok(k):
             break
         m = k + 1
-    return m
+    return min(m, n_out)
 
 
 def plan_process(*, output_offset: float, input_index: int, flags: int,

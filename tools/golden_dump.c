@@ -110,6 +110,53 @@ int main (int argc, char **argv)
         return 0;
     }
 
+    if (!strcmp (argv[1], "resample_small")) {
+        /* like "resample" but with a caller-chosen (small) output capacity:
+         * unconsumed input is re-offered, exercising the output-limited
+         * partial-consumption path.
+         * args: chans taps filters flags_hex mode src dst lowpass ratio
+         *       block nblocks advance outcap */
+        int chans = atoi (argv[2]), taps = atoi (argv[3]), filters = atoi (argv[4]);
+        int flags = (int) strtol (argv[5], NULL, 16);
+        int mode = atoi (argv[6]);
+        double src = atof (argv[7]), dst = atof (argv[8]);
+        double lowpass = atof (argv[9]), ratio = atof (argv[10]);
+        int block = atoi (argv[11]), nblocks = atoi (argv[12]);
+        double advance = atof (argv[13]);
+        int outcap = atoi (argv[14]);
+
+        Resample *cxt = mode ?
+            resampleFixedRatioInit (chans, taps, filters, src, dst, (int) lowpass, flags) :
+            resampleInit (chans, taps, filters, lowpass, flags);
+        if (!cxt) return 1;
+        if (advance != 0.0)
+            resampleAdvancePosition (cxt, advance);
+
+        artsample_t *in = malloc ((block + 8) * chans * sizeof (artsample_t));
+        artsample_t *out = malloc (outcap * chans * sizeof (artsample_t));
+        int pending = 0;
+
+        for (int b = 0; b < nblocks; ++b) {
+            noise_fill (in + pending * chans, (block - pending) * chans);
+            int avail = block;
+            while (avail > 0) {
+                ResampleResult res = resampleProcessInterleaved (cxt, in, avail, out, outcap, ratio);
+                dump_u32 (res.input_used);
+                dump_u32 (res.output_generated);
+                fwrite (out, sizeof (artsample_t) * chans, res.output_generated, stdout);
+                memmove (in, in + res.input_used * chans,
+                         (avail - res.input_used) * chans * sizeof (artsample_t));
+                avail -= res.input_used;
+                if (!res.input_used && !res.output_generated) break;
+            }
+            pending = 0;
+        }
+        double pos = resampleGetPosition (cxt);
+        fwrite (&pos, sizeof (double), 1, stdout);
+        resampleFree (cxt);
+        return 0;
+    }
+
     if (!strcmp (argv[1], "extrap")) {
         /* extrap <mode fwd|rev> <nvalues> <n_extrap> <signal sine|noise> <freq> */
         int nvalues = atoi (argv[3]), nx = atoi (argv[4]);
