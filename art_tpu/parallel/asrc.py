@@ -92,7 +92,10 @@ class BatchedASRC:
 
     def __init__(self, num_streams: int, num_taps: int, num_filters: int,
                  *, dtype=np.float32, blackman_harris: bool = True,
-                 kernel: str = "xla"):
+                 kernel: str = "xla", mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a "streams" axis; stream
+        state and chunks are sharded across it (streams are independent, so
+        scale-out needs no hot-path collectives)."""
         validate_taps_filters(num_taps, num_filters)
         self.dtype = np.dtype(dtype)
         self.S = num_streams
@@ -110,8 +113,14 @@ class BatchedASRC:
         self.offsets = np.full(num_streams, float(num_taps // 2),
                                dtype=np.float64)
         self.input_index = num_taps
+        self.sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self.sharding = NamedSharding(mesh, PartitionSpec("streams"))
         self.hist = jnp.zeros((num_streams, self.num_samples),
                               dtype=self.dtype)
+        if self.sharding is not None:
+            self.hist = jax.device_put(self.hist, self.sharding)
 
     def advance_position(self, delta) -> None:
         self.offsets += np.asarray(delta, dtype=np.float64)
@@ -141,6 +150,8 @@ class BatchedASRC:
         if int(Ks.max(initial=0)) >= k_max:
             raise ValueError("k_max too small for requested chunk")
 
+        if self.sharding is not None:
+            x = jax.device_put(x, self.sharding)
         if self.kernel == "pallas":
             out, new_hist = self._process_pallas(x, pos_host, k_max)
             valid = (np.arange(k_max)[None, :] < Ks[:, None])

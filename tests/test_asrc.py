@@ -59,6 +59,29 @@ def test_batched_asrc_per_stream_independent_ratios():
     assert np.all(np.isfinite(pos)) and np.all(np.abs(pos) < 513)
 
 
+def test_batched_asrc_sharded_over_mesh():
+    """Streams shard across a device mesh with identical results (the
+    scale-out story for BASELINE config 5)."""
+    import jax
+    from art_tpu.parallel.sharding import make_mesh
+    mesh = make_mesh(8, 1)
+    # make_mesh names axes (streams, taps); BatchedASRC shards on "streams"
+    lcg = NoiseLCG()
+    rng = np.random.default_rng(0)
+    a = BatchedASRC(16, 48, 64, mesh=mesh)
+    b = BatchedASRC(16, 48, 64)
+    a.advance_position(24.0)
+    b.advance_position(24.0)
+    for _ in range(3):
+        x = lcg.fill(16 * 512).reshape(16, 512)
+        ratios = 1.0 + rng.uniform(-0.01, 0.01, 16)
+        oa, Ka = a.process(jnp.asarray(x), ratios)
+        ob, Kb = b.process(jnp.asarray(x), ratios)
+        assert np.array_equal(Ka, Kb)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-6)
+    assert len(a.hist.sharding.device_set) == 8
+
+
 def test_batched_asrc_phase_query_contract():
     """Negative position => an output is ready without more input
     (reference resampler.c:950-963)."""
