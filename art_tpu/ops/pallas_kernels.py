@@ -128,6 +128,72 @@ def _call(S, B, K, tp, kb, grid, scalar_spec, base, fi, frac, buf, bank,
     return out.transpose(0, 2, 1).reshape(S, K)
 
 
+# --------------------------------------------------------------- polyphase
+
+_TB = 512       # output block-rows per grid program
+
+
+def _poly_kernel(xa_ref, xb_ref, P_ref, out_ref, *, qn: int):
+    """One tile of the fixed-ratio polyphase matmul.
+
+    xa: [ch, TB, M] this tile's stride-M-reshaped inputs; xb: the next tile
+    (halo source, first qn rows used); P: [qn, M, L] per-shift block
+    matrices; out: [ch, TB, L].  Each shift q contributes one MXU matmul
+    X_q[ch, TB, M] @ P[q] — no in-kernel reshapes (Mosaic cannot shape-cast
+    non-lane-aligned minors).
+    """
+    span = jnp.concatenate([xa_ref[:, :, :], xb_ref[:, :qn, :]], axis=1)
+    acc = None
+    for q in range(qn):
+        part = jax.lax.dot_general(
+            span[:, q:q + _TB, :], P_ref[q],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=span.dtype)
+        acc = part if acc is None else acc + part
+    out_ref[:, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("M", "qn", "L", "interpret"))
+def polyphase_apply_pallas(win, P, *, M: int, qn: int, L: int,
+                           interpret: bool = False):
+    """Fixed-ratio steady-state resample of a pre-aligned window buffer.
+
+    win: [ch, nb_pad*M] where nb_pad is a multiple of _TB and the buffer has
+    one extra zero tile beyond the data (the halo source for the last tile);
+    P: [qn*M, L].  Returns out [ch, nb_pad, L] (flatten + trim upstream).
+
+    NOTE: measured slower than the XLA einsum path (streams._chunk_step) on
+    v5e — the M=147 minor pads to 256 lanes (2x load waste) and the
+    per-shift matmuls contract over only 147 elements.  Retained as a
+    correctness-verified baseline for future layout tuning; production uses
+    the einsum.
+    """
+    ch, wlen = win.shape
+    nb_pad = wlen // M - _TB          # last _TB block-rows are the zero tile
+    assert nb_pad % _TB == 0
+    grid = (nb_pad // _TB,)
+    win3 = win.reshape(ch, wlen // M, M)
+    P3 = P.reshape(qn, M, L)
+
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_poly_kernel, qn=qn),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((ch, _TB, M), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ch, _TB, M), lambda i: (0, i + 1, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(P3.shape, lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ch, _TB, L), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ch, nb_pad, L), win.dtype),
+            interpret=interpret,
+        )(win3, win3, P3)
+
+
 def pad_bank_for_pallas(bank: np.ndarray) -> np.ndarray:
     """Zero-pad the tap dimension to a lane multiple (128)."""
     f, t = bank.shape

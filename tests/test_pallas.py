@@ -10,6 +10,24 @@ from art_tpu.core.filters import make_filter_bank
 from art_tpu.ops.pallas_kernels import asrc_apply_pallas, pad_bank_for_pallas
 
 
+def test_polyphase_pallas_interpret_matches_reference():
+    from art_tpu.ops.pallas_kernels import _TB, polyphase_apply_pallas
+    M, qn, L, ch = 147, 4, 160, 2
+    nb_pad = _TB * 2
+    rng = np.random.default_rng(0)
+    wlen = (nb_pad + _TB) * M
+    win = np.zeros((ch, wlen), np.float32)
+    win[:, :nb_pad * M + qn * M] = rng.standard_normal(
+        (ch, nb_pad * M + qn * M)).astype(np.float32)
+    P = rng.standard_normal((qn * M, L)).astype(np.float32) * 0.05
+    out = np.asarray(polyphase_apply_pallas(
+        jnp.asarray(win), jnp.asarray(P), M=M, qn=qn, L=L, interpret=True))
+    ref = np.zeros((ch, nb_pad, L), np.float32)
+    for j in range(nb_pad):
+        ref[:, j] = win[:, j * M:j * M + qn * M] @ P
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 @pytest.mark.parametrize("S,K,T,F", [(8, 256, 48, 64), (16, 512, 156, 320)])
 def test_asrc_pallas_interpret_matches_reference(S, K, T, F):
     bank = make_filter_bank(T, F, 1.0, True, np.float32)
