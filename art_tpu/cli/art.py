@@ -53,7 +53,8 @@ USAGE = """
            -b          = Blackman-Harris windowing (best stopband)
            -h          = Hann windowing (fastest transition)
            -m          = accepted for compatibility (XLA schedules channels)
-           -e          = extended math resolution for convolution
+           -e          = accepted for compatibility (convolution already
+                         accumulates at double precision here)
            -p          = pre/post filtering (cascaded biquads)
            -q          = quiet mode   -v = verbose
            -x          = do NOT extrapolate audio samples at endpoints
@@ -404,7 +405,11 @@ def process_file(opt: Options) -> int:
                         flat = stretcher.flush()
                     frames = flat.reshape(-1, num_channels)
 
-                if pre_filter and frames.shape[0]:
+                # the reference filters the *raw read buffer*, which the
+                # resampler never sees when a stretcher is active
+                # (art.c:1011-1017 vs resample_buffer at art.c:1023) — so
+                # with a stretcher, -p has no effect on output
+                if pre_filter and stretcher is None and frames.shape[0]:
                     frames = lowpass2.apply_buffer(
                         lowpass1.apply_buffer(frames))
 
@@ -414,6 +419,9 @@ def process_file(opt: Options) -> int:
                         frames.shape[0] if frames.shape[0] else -1,
                         outcap, sample_ratio)
                     generated = res.output_generated
+                    if generated == outcap:
+                        raise SystemExit("fatal error: outputbuffer too "
+                                         "small!")
                 else:
                     outbuf = frames
                     generated = frames.shape[0]

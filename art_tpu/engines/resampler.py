@@ -34,7 +34,7 @@ import numpy as np
 from ..core import accounting
 from ..core.filters import make_filter_bank, plan_fixed_ratio, resolve_lowpass
 from ..core.flags import (
-    EXTRAPOLATE_ENDPOINTS, EXTRAPOLATE_PREFILL, HISTORY_MULTIPLE,
+    BLACKMAN_HARRIS, EXTRAPOLATE_ENDPOINTS, EXTRAPOLATE_PREFILL, HISTORY_MULTIPLE,
     INCLUDE_LOWPASS, RESAMPLE_FIXED_RATIO, RESAMPLER_FLUSHED,
     SUBSAMPLE_INTERPOLATE, validate_taps_filters,
 )
@@ -71,7 +71,8 @@ class Resampler:
             self.flags |= EXTRAPOLATE_PREFILL
 
         self.bank = make_filter_bank(num_taps, num_filters, lowpass_ratio,
-                                     bool(flags & 0x2), self.dtype.type)
+                                     bool(flags & BLACKMAN_HARRIS),
+                                     self.dtype.type)
         self._bank_dev = None
         self._poly = None
         if backend == "jax":

@@ -55,7 +55,7 @@ class Stretcher:
         self.inbuff = np.zeros(self.inbuff_samples, dtype=self.dtype)
         self.head = self.tail = self.longest
         self.outsamples_error = 0.0
-        self.results = np.zeros(longest_period, dtype=np.float64)
+        self.results = np.zeros(longest_period, dtype=self.dtype)
 
         self.next = None
         if flags & STRETCH_DUAL_FLAG:
@@ -65,10 +65,10 @@ class Stretcher:
 
     # ------------------------------------------------------------------ api
     def reset(self) -> None:
-        """Drop all internal state (reference stretch.c:102-109)."""
+        """Drop buffered audio (reference stretch.c:102-109; note the
+        reference deliberately keeps outsamples_error across resets)."""
         self.head = self.tail = self.longest
         self.inbuff[:self.tail] = 0
-        self.outsamples_error = 0.0
         if self.next:
             self.next.reset()
 
@@ -225,18 +225,23 @@ class Stretcher:
         return out
 
     def _calc_mono(self, decimate2: bool) -> np.ndarray:
-        """Mix to mono (stereo) and optionally 2:1 decimate, exactly like
-        the reference's calcbuff fills (reference stretch.c:400-487)."""
+        """Mix to mono (stereo) and optionally 2:1 decimate with the
+        reference's exact float32 op order (reference stretch.c:400-487)."""
         src = self.inbuff[self.tail:self.tail + self.longest * 2]
+        if not decimate2:
+            if self.num_chans == 2:
+                pairs = src.reshape(-1, 2)
+                return ((pairs[:, 0] + pairs[:, 1]) / 2.0).astype(self.dtype)
+            return src
         if self.num_chans == 2:
-            pairs = src.reshape(-1, 2)
-            mono = ((pairs[:, 0] + pairs[:, 1]) / 2.0).astype(self.dtype)
-        else:
-            mono = src
-        if decimate2:
-            mono = ((mono[0::2] + mono[1::2]) / (1.0 if self.num_chans == 2
-                                                 else 2.0)).astype(self.dtype)
-        return mono
+            # fl(fl(fl(a+b)+c)+d) / 2 (reference stretch.c:483-484)
+            g = src.reshape(-1, 4)
+            s = (g[:, 0] + g[:, 1]) + g[:, 2]
+            return (((s + g[:, 3]).astype(np.float64) / 2.0)
+                    .astype(self.dtype))
+        g = src.reshape(-1, 2)
+        return (((g[:, 0] + g[:, 1]).astype(np.float64) / 2.0)
+                .astype(self.dtype))
 
     def _find_period(self) -> int:
         """Full-resolution period search (reference stretch.c:391-460)."""
@@ -275,21 +280,37 @@ class Stretcher:
     @staticmethod
     def _search(calc: np.ndarray, shortest: int, longest: int,
                 record: np.ndarray | None = None) -> tuple[int, float]:
-        """Maximize sum(|x|)/sum(|diff|) over period candidates.  The
-        absolute-value sum accumulates across periods exactly as the
-        reference does; diffs are one vectorized reduction per candidate."""
-        a = np.abs(calc.astype(np.float64))
-        cum = np.concatenate([[0.0], np.cumsum(a)])
-        best_period, best_factor = shortest, -1.0
+        """Maximize sum(|x|)/sum(|diff|) over period candidates, with the
+        reference's float32 accumulation orders so near-tie candidates
+        resolve identically (reference stretch.c:417-457):
+
+          - the running |x| sum starts as fl-chained pairs
+            |c[i]| + |c[i+shortest]| and grows by |c[2p]| + |c[2p+1]|,
+          - each candidate's |diff| accumulates top-down,
+          - the factor compare happens at data-path precision.
+        """
+        dt = calc.dtype
+        a = np.abs(calc)
+        # initial sum for the shortest period: fl-chain over paired terms
+        # |c[i]| + |c[i+shortest]| (reference stretch.c:419-420)
+        init_pairs = (a[:shortest] + a[shortest:2 * shortest]).astype(dt)
+        s0 = np.cumsum(init_pairs, dtype=dt)[-1]
+        # running sum per candidate, grown by |c[2p]| + |c[2p+1]| *after*
+        # each candidate is scored (reference stretch.c:455-456)
+        idx = np.arange(shortest, longest, dtype=np.int64)
+        incs = (a[2 * idx] + a[2 * idx + 1]).astype(dt)
+        chain = np.cumsum(np.concatenate([[s0], incs]), dtype=dt)
+        best_period, best_factor = shortest, dt.type(-1.0)
         for period in range(shortest, longest + 1):
-            s = cum[2 * period]          # sum |x| over both blocks
-            diff = float(np.abs(
-                calc[:period].astype(np.float64)
-                - calc[period:2 * period].astype(np.float64)).sum())
-            factor = np.finfo(np.float32).max if diff == 0.0 else s / diff
+            # top-down |diff| accumulation (reference stretch.c:429-432)
+            seg = np.abs(calc[period - 1::-1]
+                         - calc[2 * period - 1:period - 1:-1]).astype(dt)
+            diff = np.cumsum(seg, dtype=dt)[-1]
+            factor = np.finfo(np.float32).max if diff == 0.0 \
+                else dt.type(chain[period - shortest] / diff)
             if record is not None:
                 record[period] = factor
             if factor >= best_factor:
                 best_factor = factor
                 best_period = period
-        return best_period, best_factor
+        return best_period, float(best_factor)

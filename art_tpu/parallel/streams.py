@@ -31,29 +31,23 @@ import jax
 import jax.numpy as jnp
 
 from ..core import accounting
-from ..core.flags import (INCLUDE_LOWPASS, RESAMPLER_SNAP_OFFSET,
-                          SUBSAMPLE_INTERPOLATE)
+from ..core.flags import (BLACKMAN_HARRIS, INCLUDE_LOWPASS,
+                          RESAMPLER_SNAP_OFFSET, SUBSAMPLE_INTERPOLATE)
 from ..core.filters import make_filter_bank, plan_fixed_ratio
 from ..ops.polyphase import PolyphaseMatrix
 
 
-@functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len"))
-def _chunk_step(hist, x, P, start, K, acc, M: int, L: int, nb: int,
-                qn: int, hist_len: int):
-    """One fused streaming step.
-
-    hist: [ch, hist_len]; x: [ch, chunk]; P: [qn*M, L] padded phase matrix
-    (transposed polyphase block matrix); start: window origin in the padded
-    buffer; K: valid output count (outputs beyond K are zeroed); acc: running
-    output-power accumulator (folded in here so streaming statistics add no
-    extra dispatches).  Returns (new_hist, out [ch, nb*L], acc').
-    """
+def _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len):
+    """The fused streaming step: history concat -> block-Toeplitz window
+    build (static shifted slices, no gather) -> MXU matmul against the
+    padded [qn*M, L] phase matrix -> validity mask -> power accumulate ->
+    history extraction.  start is the window origin in the padded buffer;
+    outputs beyond K are zeroed; acc carries running output power so
+    streaming statistics add no extra dispatches."""
     ch = x.shape[0]
     nbq = nb + qn
     xlen = nbq * M
     buf = jnp.concatenate([hist, x], axis=1)
-    # pad so the final (partial) block's window never clamps dynamic_slice
     pad = jnp.zeros((ch, xlen), dtype=x.dtype)
     win = jax.lax.dynamic_slice(
         jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
@@ -69,6 +63,15 @@ def _chunk_step(hist, x, P, start, K, acc, M: int, L: int, nb: int,
     new_hist = jax.lax.dynamic_slice(
         buf, (0, buf.shape[1] - hist_len), (ch, hist_len))
     return new_hist, out, acc
+
+
+
+@functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
+                                             "hist_len"))
+def _chunk_step(hist, x, P, start, K, acc, M: int, L: int, nb: int,
+                qn: int, hist_len: int):
+    """One fused streaming step (see _chunk_body)."""
+    return _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len)
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
@@ -82,28 +85,6 @@ def _chunk_step2(hist, x1, x2, P1, P2, start1, start2, K1, K2, acc,
     hist, out2, acc = _chunk_body(hist, x2, P2, start2, K2, acc, M, L, nb,
                                   qn, hist_len)
     return hist, out1, out2, acc
-
-
-def _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len):
-    ch = x.shape[0]
-    nbq = nb + qn
-    xlen = nbq * M
-    buf = jnp.concatenate([hist, x], axis=1)
-    pad = jnp.zeros((ch, xlen), dtype=x.dtype)
-    win = jax.lax.dynamic_slice(
-        jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
-        (ch, xlen))
-    W2 = win.reshape(ch, nbq, M)
-    X = jnp.stack([W2[:, q:q + nb] for q in range(qn)], axis=2)
-    X = X.reshape(ch, nb, qn * M)
-    out = jnp.einsum("cns,sl->cnl", X, P,
-                     preferred_element_type=x.dtype).reshape(ch, nb * L)
-    valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
-    out = out * valid[None, :]
-    acc = acc + jnp.sum(out * out)
-    new_hist = jax.lax.dynamic_slice(
-        buf, (0, buf.shape[1] - hist_len), (ch, hist_len))
-    return new_hist, out, acc
 
 
 class DeviceStreamResampler:
@@ -137,7 +118,8 @@ class DeviceStreamResampler:
             self.flags &= ~INCLUDE_LOWPASS
         self.lowpass_ratio = lowpass_ratio
         self.bank = make_filter_bank(num_taps, self.num_filters,
-                                     lowpass_ratio, bool(flags & 0x2),
+                                     lowpass_ratio,
+                                     bool(flags & BLACKMAN_HARRIS),
                                      self.dtype.type)
         self.L = self.num_filters
         self.M = int(round(self.L / self.fixed_ratio))
