@@ -204,6 +204,45 @@ def test_art_cli_stretch_bit_identical(art_ref, test_wav, tmp_path):
         assert ref_out.read_bytes() == my_out.read_bytes(), args
 
 
+def test_art_cli_prefilter_with_stretch_matches_reference(art_ref, test_wav,
+                                                          tmp_path):
+    """-p combined with a stretcher: the reference filters a buffer the
+    resampler never consumes, so output equals the unfiltered stretch —
+    byte-identical here too."""
+    wav_in, _ = test_wav
+    ref_out = tmp_path / "ref.wav"
+    my_out = tmp_path / "mine.wav"
+    args = ["--tempo=1.5", "-p"]
+    subprocess.run([str(art_ref), *args, "-y", "-q", str(wav_in),
+                    str(ref_out)], check=True, capture_output=True)
+    _run_art_cli([*args, "-y", "-q", str(wav_in), str(my_out)])
+    assert ref_out.read_bytes() == my_out.read_bytes()
+
+
+def test_art_cli_float_wav_input(art_ref, tmp_path):
+    """32-bit float WAV input through the pipeline matches the reference."""
+    n = 44100
+    x = NoiseLCG().fill(n * 2).reshape(n, 2)
+    wav_in = tmp_path / "in32.wav"
+    with open(wav_in, "wb") as f:
+        wavfile.write_wav_header(f, bits=32, num_channels=2, num_frames=n,
+                                 sample_rate=44100, channel_mask=3)
+        f.write(x.astype("<f4").tobytes())
+    ref_out = tmp_path / "ref.wav"
+    my_out = tmp_path / "mine.wav"
+    subprocess.run([str(art_ref), "-3", "-r48k", "-o32", "-y", "-q",
+                    str(wav_in), str(ref_out)], check=True,
+                   capture_output=True)
+    _run_art_cli(["-3", "-r48k", "-o32", "-y", "-q", str(wav_in),
+                  str(my_out)])
+    ia, da = _read_wav(ref_out)
+    ib, db = _read_wav(my_out)
+    assert ia.num_frames == ib.num_frames
+    va = np.frombuffer(da, "<f4")
+    vb = np.frombuffer(db, "<f4")
+    assert np.abs(va - vb).max() < 2e-7
+
+
 def test_artest_cli_input_stats_bit_identical(art_ref):
     """ARTEST input-stream stats (count/checksum/range/RMS) must match the C
     binary exactly — the noise source and stats are bit-exact ports."""
