@@ -22,16 +22,17 @@ import numpy as np
 from ..core.flags import (BLACKMAN_HARRIS, DECIMATE_MULTITHREADED,
                           DITHER_FLAT, DITHER_HIGHPASS, DITHER_LOWPASS,
                           EXTRAPOLATE_ENDPOINTS, INCLUDE_LOWPASS,
-                          NO_FILTER_REDUCTION, RESAMPLE_MULTITHREADED,
-                          SHAPING_1ST_ORDER, SHAPING_2ND_ORDER,
-                          SHAPING_3RD_ORDER, SHAPING_ATH_CURVE,
-                          STRETCH_DUAL_FLAG, SUBSAMPLE_INTERPOLATE)
+                          NO_FILTER_REDUCTION, PRESETS,
+                          RESAMPLE_MULTITHREADED, SHAPING_1ST_ORDER,
+                          SHAPING_2ND_ORDER, SHAPING_3RD_ORDER,
+                          SHAPING_ATH_CURVE, STRETCH_DUAL_FLAG,
+                          SUBSAMPLE_INTERPOLATE)
 from ..engines.biquad import Biquad, biquad_lowpass
 from ..engines.decimator import Decimator
 from ..engines.resampler import Resampler
-from ..core.flags import PRESETS
 from ..engines.stretch import Stretcher
 from ..io import wavfile
+from ._common import num_suffix
 
 VERSION = 0.7
 BUFFER_SAMPLES = 16384
@@ -118,12 +119,6 @@ def parse_time_spec(src: str):
     return rel, value
 
 
-def _num_suffix(s: str) -> float:
-    if s and s[-1] in "kK":
-        return float(s[:-1]) * 1000.0
-    return float(s)
-
-
 def parse_args(argv, opt: Options):
     i = 0
     while i < len(argv):
@@ -186,7 +181,7 @@ def parse_args(argv, opt: Options):
                 elif cl == "y":
                     opt.overwrite = True
                 elif cl == "r":
-                    opt.resample_rate = int(_num_suffix(take_num()))
+                    opt.resample_rate = int(num_suffix(take_num()))
                 elif cl == "d":
                     sel = int(take_num())
                     opt.dither = {0: 0, 1: DITHER_FLAT,
@@ -210,7 +205,7 @@ def parse_args(argv, opt: Options):
                 elif cl == "g":
                     opt.gain = 10.0 ** (float(take_num()) / 20.0)
                 elif cl == "l":
-                    opt.lowpass_freq = int(_num_suffix(take_num()))
+                    opt.lowpass_freq = int(num_suffix(take_num()))
                 elif cl == "f":
                     opt.num_filters = int(take_num())
                     if not 1 <= opt.num_filters <= 1024:

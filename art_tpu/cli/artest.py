@@ -20,6 +20,7 @@ from ..core.flags import (BLACKMAN_HARRIS, DITHER_HIGHPASS,
                           SHAPING_ATH_CURVE, SUBSAMPLE_INTERPOLATE)
 from ..engines.decimator import Decimator
 from ..engines.resampler import Resampler
+from ._common import num_suffix
 from ..utils.testsig import (NoiseLCG, Stats, ToneGenerator, checksum_bytes,
                              fade_in, fade_out)
 
@@ -49,12 +50,6 @@ USAGE = """
            --timing    = per-stage wall-clock summary
            --profile=<dir> = write a jax.profiler trace of the run
 """
-
-
-def _num_suffix(s: str) -> float:
-    if s and s[-1] in "kK":
-        return float(s[:-1]) * 1000.0
-    return float(s)
 
 
 def main(argv=None) -> int:
@@ -139,15 +134,15 @@ def main(argv=None) -> int:
                 pass
             elif c in "Hh":
                 num = take_num()
-                tone_freq = _num_suffix(num) if num else 1000.0
+                tone_freq = num_suffix(num) if num else 1000.0
                 if tone_freq == 0.0:
                     tone_freq = 1000.0
             elif c in "Ss":
-                source_rate = int(_num_suffix(take_num()))
+                source_rate = int(num_suffix(take_num()))
             elif c in "Dd":
-                destin_rate = int(_num_suffix(take_num()))
+                destin_rate = int(num_suffix(take_num()))
             elif c in "Ll":
-                lowpass_freq = int(_num_suffix(take_num()))
+                lowpass_freq = int(num_suffix(take_num()))
                 flags |= INCLUDE_LOWPASS
             elif c in "Bb":
                 inbuffer_samples = int(take_num())

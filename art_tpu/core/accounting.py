@@ -28,7 +28,7 @@ exact integer, which can perturb a rounding at an exact tie).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -44,8 +44,6 @@ class ProcessPlan:
     input_used: int
     output_generated: int
     flush: bool                      # this call performs the flush transition
-    # float64 emission positions, linear coords (L[0] = oldest history sample)
-    positions: np.ndarray = field(default_factory=lambda: np.zeros(0))
     # prefill: backwards extrapolation into leading silence at first emission.
     # (lin_first, nvalues) — extrapolate (num_taps - nvalues) samples backwards
     # from the nvalues real samples ending at linear index lin_first.
@@ -105,7 +103,7 @@ def _count_emissions(o_lin: float, ratio: float, bound: float,
 def plan_process(*, output_offset: float, input_index: int, flags: int,
                  num_taps: int, num_samples: int, num_filters: int,
                  fixed_ratio: float, n_in: int, n_out: int,
-                 ratio: float, materialize: bool = True) -> ProcessPlan:
+                 ratio: float) -> ProcessPlan:
     """Resolve one process()/flush call.
 
     ``output_offset``/``input_index`` are the engine's ring-coordinate state
@@ -148,16 +146,7 @@ def plan_process(*, output_offset: float, input_index: int, flags: int,
     # where x_k = fl(o_lin + fl(k / ratio)); count emissions with the full
     # budget available, capped by output space.
     bound = i_lin0 + avail - half
-    if n_out > 0 and materialize:
-        k = np.arange(n_out, dtype=np.float64)
-        x = o_lin + k / ratio                       # float64, same ops as C
-        emit_ok = x < bound
-        # emissions are a prefix (x is nondecreasing)
-        output_generated = int(np.count_nonzero(emit_ok))
-        positions = x[:output_generated]
-    else:
-        output_generated = _count_emissions(o_lin, ratio, bound, n_out)
-        positions = np.zeros(0, dtype=np.float64)
+    output_generated = _count_emissions(o_lin, ratio, bound, n_out)
 
     if n_out == 0:
         input_used = 0
@@ -194,9 +183,6 @@ def plan_process(*, output_offset: float, input_index: int, flags: int,
         input_used=input_used,
         output_generated=output_generated,
         flush=flush,
-        # shift ring-coordinate read positions into engine-linear coordinates
-        # (exact: flush_shift is a small integer)
-        positions=positions + flush_shift if flush_shift else positions,
         prefill=prefill,
         new_output_offset=new_offset,
         new_input_index=new_input_index,

@@ -31,9 +31,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from .flags import (
-    BLACKMAN_HARRIS, INCLUDE_LOWPASS, NO_FILTER_REDUCTION,
-    RESAMPLE_FIXED_RATIO, RESAMPLER_SNAP_OFFSET, SUBSAMPLE_INTERPOLATE,
-    validate_taps_filters,
+    INCLUDE_LOWPASS, NO_FILTER_REDUCTION, RESAMPLE_FIXED_RATIO,
+    RESAMPLER_SNAP_OFFSET, SUBSAMPLE_INTERPOLATE, validate_taps_filters,
 )
 
 # 4-term Blackman-Harris coefficients (reference resampler.c:1093-1096)

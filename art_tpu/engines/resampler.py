@@ -175,7 +175,7 @@ class Resampler:
             flags=self.flags, num_taps=self.num_taps,
             num_samples=self.num_samples, num_filters=self.num_filters,
             fixed_ratio=self.fixed_ratio, n_in=n_in, n_out=n_out,
-            ratio=ratio, materialize=False)
+            ratio=ratio)
 
         entry_index = self.input_index
         parts_len = entry_index + (half if plan.flush else 0) + plan.input_used

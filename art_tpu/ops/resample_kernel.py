@@ -107,8 +107,7 @@ if _HAVE_JAX:
         out = jax.lax.dot_general(
             win, w,
             dimension_numbers=(((2,), (1,)), ((1,), (0,))),
-            preferred_element_type=jnp.float32 if bank.dtype == jnp.float32
-            else jnp.float64,
+            preferred_element_type=bank.dtype,
         )                                              # [K, ch]
         out = out.T
         if use_pass:

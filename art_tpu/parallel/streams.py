@@ -174,7 +174,7 @@ class DeviceStreamResampler:
             flags=self.flags, num_taps=self.num_taps,
             num_samples=self.num_samples, num_filters=self.num_filters,
             fixed_ratio=self.fixed_ratio, n_in=n_in, n_out=n_out_cap,
-            ratio=0.0, materialize=False)
+            ratio=0.0)
         assert plan.input_used == n_in, "output capacity must cover input"
         K = plan.output_generated
         pos0 = plan.first_position
