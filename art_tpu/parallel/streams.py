@@ -185,16 +185,11 @@ class DeviceStreamResampler:
             j0 -= self.L
         half = self.num_taps // 2
         start = (ipos0 - half + 1) + (self.num_samples - self.input_index)
-        # advance state: same phase-position invariant as the reference ring
-        # (offset and index shifted by equal exact integers)
-        consumed_total = self.input_index + n_in
-        new_index = min(self.num_samples, consumed_total)
-        shift = consumed_total - new_index
-        new_offset = (pos0 - shift) + (K / self.fixed_ratio)
-        if self.flags & RESAMPLER_SNAP_OFFSET:
-            new_offset = accounting.snap_offset(new_offset, self.num_filters)
-        self.output_offset = new_offset
-        self.input_index = new_index
+        # adopt the plan's state advance verbatim: it reproduces the
+        # reference's ring-slide arithmetic exactly, so emission-count
+        # comparisons can never diverge from the host engine at float ties
+        self.output_offset = plan.new_output_offset
+        self.input_index = plan.new_input_index
         return K, start, j0
 
     def process(self, x, n_in: int, acc=None):

@@ -73,6 +73,25 @@ def test_device_stream_process_pair_matches_sequential():
     assert abs(float(acc1) - float(acc2)) < 1e-2
 
 
+def test_device_stream_long_run_no_drift():
+    """2000 odd-sized chunks (~660k samples): emission counts and the phase
+    position stay exactly equal to the host engine — the device engine uses
+    the plan's C-exact ring-slide state advance, so float-tie comparisons
+    can never diverge over long streams."""
+    r = Resampler.fixed_ratio(1, 48, 380, 44100, 48000, 0, IBL,
+                              backend="numpy")
+    d = DeviceStreamResampler(1, 48, 380, 44100, 48000, 0, IBL)
+    r.advance_position(24)
+    d.advance_position(24)
+    lcg = NoiseLCG()
+    for i in range(2000):
+        x = lcg.fill(331).reshape(1, 331)
+        _, res = r.process(x, 331, 1000, 0.0)
+        _, K = d.process(jnp.asarray(x), 331)
+        assert K == res.output_generated, i
+        assert r.get_position() == d.get_position(), i
+
+
 def test_device_stream_rejects_interpolated_config():
     from art_tpu.core.flags import NO_FILTER_REDUCTION
     with pytest.raises(ValueError):
