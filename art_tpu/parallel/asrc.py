@@ -164,12 +164,14 @@ class BatchedASRC:
                 self.num_taps, self.num_filters, k_max, self.num_samples)
         self.hist = new_hist
 
-        # advance per-stream offsets with the shared history shift
-        consumed_total = self.input_index + n
-        new_index = min(self.num_samples, consumed_total)
-        shift = consumed_total - new_index
-        self.offsets = (self.offsets - shift) + Ks / ratios
-        self.input_index = new_index
+        # advance per-stream offsets with the reference ring-slide
+        # arithmetic (all streams consume the same count, so the write index
+        # stays shared); exact-integer shifts preserve float-tie behavior
+        slide = self.num_samples - self.num_taps
+        n_slides = max(0, math.ceil(
+            (self.input_index + n - self.num_samples) / slide))
+        self.input_index = self.input_index + n - n_slides * slide
+        self.offsets = (self.offsets - n_slides * slide) + Ks / ratios
         return out, Ks
 
     def _process_pallas(self, x, pos_host: np.ndarray, k_max: int):
