@@ -1,0 +1,69 @@
+"""Broad ARTEST-vs-reference matrix: full stats-block comparison.
+
+For each config, every count in every stats line must match the C binary
+exactly, input lines must be bit-identical, and the round-trip diff RMS must
+be within 0.5 dB (ours is typically equal or slightly better thanks to
+float64 accumulation in the convolution)."""
+
+import io
+import re
+import subprocess
+from contextlib import redirect_stderr
+from pathlib import Path
+
+import pytest
+
+ARTEST_BIN = Path("/tmp/refbuild/artest")
+
+CONFIGS = [
+    ["-1", "-s44.1k", "-d48k", "-c1", "-n2", "-e", "-i"],
+    ["-2", "-s96k", "-d44.1k", "-c2", "-n2", "-e", "-i", "-o16"],
+    ["-3", "-s44.1k", "-d48k", "-c2", "-n2", "-e", "-i"],
+    ["-3", "-s44.1k", "-d48k", "-c2", "-n2", "-i", "-l20k"],
+    ["-1", "-s32k", "-d48k", "-c4", "-n2", "-e", "-i", "-b1024"],
+    ["-1", "-s44.1k", "-d48k", "-c2", "-n2", "-e", "-i", "-x", "-a"],
+    ["-2", "-s48k", "-d44.1k", "-c2", "-n2", "-e", "-i", "-z", "-o24"],
+]
+
+_LINE = re.compile(r"(\w+) \(-w(\d)\): count =\s*(\d+), checksum = (\w+), "
+                   r"range = ([-\d.]+) to ([-\d.]+), RMS = ([-\d.]+) dB")
+
+
+def _parse(text):
+    out = {}
+    for line in text.splitlines():
+        m = _LINE.search(line)
+        if m:
+            out[m.group(2)] = dict(count=int(m.group(3)),
+                                   checksum=m.group(4),
+                                   rms=float(m.group(7)),
+                                   raw=line.strip())
+        if "decimate (-w3)" in line:
+            m2 = re.search(r"count =\s*(\d+), checksum = (\w+), clipped "
+                           r"samples = (\d+)", line)
+            out["3"] = dict(count=int(m2.group(1)), checksum=m2.group(2),
+                            clipped=int(m2.group(3)), raw=line.strip())
+    return out
+
+
+@pytest.mark.parametrize("args", CONFIGS, ids=[" ".join(c) for c in CONFIGS])
+def test_artest_matrix(args):
+    if not ARTEST_BIN.exists():
+        pytest.skip("reference artest not built")
+    ref = _parse(subprocess.run([str(ARTEST_BIN), *args],
+                                capture_output=True, text=True).stderr)
+    from art_tpu.cli import artest as at
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        at.main(args)
+    mine = _parse(buf.getvalue())
+
+    assert set(ref) == set(mine)
+    # input stream bit-identical
+    assert ref["1"]["raw"] == mine["1"]["raw"]
+    for key in ref:
+        assert ref[key]["count"] == mine[key]["count"], key
+        if "rms" in ref[key]:
+            assert abs(ref[key]["rms"] - mine[key]["rms"]) < 0.5, key
+        if "clipped" in ref[key]:
+            assert ref[key]["clipped"] == mine[key]["clipped"]
