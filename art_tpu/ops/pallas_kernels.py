@@ -55,6 +55,8 @@ def _asrc_kernel(base_ref, fi_ref, frac_t_ref, buf_ref, bank_ref, out_ref,
                 b0 = pl.multiple_of((b // c128) * c128, 128)
                 span = buf_ref[pl.ds(j, 1), pl.ds(b0, tp + 128)]
                 wins.append(pltpu.roll(span, b0 - b, 1)[:, :tp])
+                # two 1-row loads: a single sublane-2 dynamic load fails
+                # Mosaic lowering for larger (tiled) bank shapes
                 f1s.append(bank_ref[pl.ds(fi, 1), :])
                 f2s.append(bank_ref[pl.ds(fi + one, 1), :])
         win = jnp.concatenate(wins, axis=0)        # [RK*RS, Tp], k-major
