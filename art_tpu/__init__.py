@@ -22,5 +22,10 @@ _jax.config.update("jax_enable_x64", True)
 from .core import flags  # noqa: E402
 from .core.flags import *  # noqa: F401,F403,E402
 from .engines.resampler import Resampler, ResampleResult  # noqa: E402
+from .engines.decimator import Decimator  # noqa: E402
+from .engines.biquad import Biquad, BiquadCoefficients  # noqa: E402
+from .engines.extrapolator import (extrapolate_forward,  # noqa: E402
+                                   extrapolate_reverse)
+from .engines.stretch import Stretcher  # noqa: E402
 
 __version__ = "0.1.0"

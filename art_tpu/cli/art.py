@@ -143,6 +143,9 @@ def parse_args(argv, opt: Options):
             elif name == "f64":
                 opt.dtype = np.float64
             elif name == "backend":
+                if not val:
+                    raise SystemExit("--backend needs a value, e.g. "
+                                     "--backend=jax")
                 opt.backend = val
             else:
                 raise SystemExit(f"unknown option: {name} !")
@@ -353,6 +356,9 @@ def process_file(opt: Options) -> int:
             dec_flags = opt.dither | opt.noise_shaping
             if opt.multithreaded:
                 dec_flags |= DECIMATE_MULTITHREADED
+            # always the native backend: it is the fastest bit-exact host
+            # path, and --backend only selects the resampling compute path
+            # (the jax decimator is available through the library API)
             decimator = Decimator(num_channels, outbits, (outbits + 7) // 8,
                                   1.0, resample_rate, dec_flags, dtype=dt,
                                   backend="native")

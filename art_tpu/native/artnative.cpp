@@ -64,10 +64,10 @@ static long long quantize_run(const S *in, long long n, int ch, S scaler,
         for (int c = 0; c < ch; ++c) {
             double dither = gens ? tpdf_draw(&gens[c], dither_type) : 0.0;
             S code = (S)(in[i * ch + c] * scaler) - feedback[c];
-            // the sum rounds at data-path precision: dither is stored into
-            // the sample type before the additions
-            S t = (S)(code + (S)dither) + (S)0.5;
-            int32_t q = (int32_t)std::floor((double)t);
+            // (code + dither) rounds at data-path precision, but the
+            // trailing +0.5 is a double literal in the reference
+            double t = (double)(S)(code + (S)dither) + 0.5;
+            int32_t q = (int32_t)std::floor(t);
             if (a) {
                 S err = (S)((S)q - code);
                 S s = (S)(err * a[0]);

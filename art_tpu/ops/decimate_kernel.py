@@ -103,8 +103,10 @@ def quantize_flat(samples: np.ndarray, dither: np.ndarray | None,
     # the reference stores the dither draw into artsample_t, so the whole
     # quantization sum rounds at data-path precision (decimator.c:162,170)
     d = dither.astype(dt) if dither is not None else dt.type(0.0)
-    t = (code + d) + dt.type(0.5)
-    outv = np.floor(t.astype(np.float64)).astype(np.int32)
+    # (code + dither) rounds at data-path precision, but the trailing +0.5 is
+    # a double literal in the reference (decimator.c:170) — add it in float64
+    t = (code + d).astype(np.float64) + 0.5
+    outv = np.floor(t).astype(np.int32)
     clipped = int((outv > highclip).sum() + (outv < lowclip).sum())
     outv = np.clip(outv, lowclip, highclip)
     return outv, clipped, feedback
@@ -127,8 +129,9 @@ def quantize_shaped_numpy(samples: np.ndarray, dither: np.ndarray | None,
     for i in range(n):
         code = samples[i] * dt.type(scaler) - fb
         d = dither[i].astype(dt) if dither is not None else dt.type(0.0)
-        t = (code + d) + dt.type(0.5)     # data-path precision, like the C
-        ov = np.floor(t.astype(np.float64)).astype(np.int32)
+        # data-path rounding for (code + dither); the +0.5 adds in float64
+        t = (code + d).astype(np.float64) + 0.5
+        ov = np.floor(t).astype(np.int32)
         err = (ov.astype(dt) - code).astype(dt)
         fb = shaper.apply_sample(err).astype(dt)
         clipped += int((ov > highclip).sum() + (ov < lowclip).sum())
@@ -155,12 +158,18 @@ def quantize_shaped_jax(samples: np.ndarray, dither: np.ndarray | None,
     if dt == np.float32:
         # XLA may contract mul+add chains into FMAs, skipping the product
         # rounding the reference performs.  Computing each product through a
-        # float64 round-trip yields exactly the float32-rounded product and
-        # is not contractible.  (The float64 data path keeps native ops; its
-        # own FMA deviation is sub-ulp of the 52-bit mantissa.)
+        # float64 round-trip yields exactly the float32-rounded product —
+        # but the CPU backend also fuses the f64->f32 convert into a
+        # following subtract (skipping the intermediate rounding again), so
+        # the rounding is expressed as lax.reduce_precision, which XLA
+        # treats as an opaque rounding point.  (The float64 data path keeps
+        # native ops; its own FMA deviation is sub-ulp of the 52-bit
+        # mantissa.)
         def mul(u, v):
-            return (u.astype(jnp.float64) * v.astype(jnp.float64)
-                    ).astype(jnp.float32)
+            p = jax.lax.reduce_precision(
+                u.astype(jnp.float64) * v.astype(jnp.float64),
+                exponent_bits=8, mantissa_bits=23)
+            return p.astype(jnp.float32)
     else:
         def mul(u, v):
             return u * v
@@ -169,8 +178,10 @@ def quantize_shaped_jax(samples: np.ndarray, dither: np.ndarray | None,
         fb, xh, yh = carry
         x, d = inp
         code = mul(x, dt.type(scaler)) - fb
-        t = (code + d.astype(code.dtype)) + dt.type(0.5)
-        ov = jnp.floor(t.astype(jnp.float64)).astype(jnp.int32)
+        # (code + dither) at data-path precision; +0.5 in float64 like the
+        # reference's double literal (decimator.c:170)
+        t = (code + d.astype(code.dtype)).astype(jnp.float64) + 0.5
+        ov = jnp.floor(t).astype(jnp.int32)
         err = (ov.astype(code.dtype) - code)
         s = mul(err, a[0])
         s = s + (mul(xh[3], a[4]) - mul(b[4], yh[3]))
