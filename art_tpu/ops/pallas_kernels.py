@@ -150,7 +150,8 @@ def _poly_kernel(xa_ref, xb_ref, P_ref, out_ref, *, qn: int):
         part = jax.lax.dot_general(
             span[:, q:q + _TB, :], P_ref[q],
             dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=span.dtype)
+            preferred_element_type=span.dtype,
+            precision=jax.lax.Precision.HIGHEST)
         acc = part if acc is None else acc + part
     out_ref[:, :, :] = acc
 

@@ -104,10 +104,12 @@ if _HAVE_JAX:
                 + jnp.take(bank, fi + 1, axis=0) * fr
         else:
             w = jnp.take(bank, fi, axis=0)
+        # HIGHEST: the TPU default matmul precision is single-pass bf16
         out = jax.lax.dot_general(
             win, w,
             dimension_numbers=(((2,), (1,)), ((1,), (0,))),
             preferred_element_type=bank.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )                                              # [K, ch]
         out = out.T
         if use_pass:

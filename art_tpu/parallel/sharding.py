@@ -74,7 +74,8 @@ def batched_pipeline_step(mesh: Mesh, *, M: int, L: int, nb: int, qn: int,
         Xs = jax.lax.dynamic_slice(X, (zero, zero, tap_idx * sl),
                                    (X.shape[0], nb, sl))
         partial_out = jnp.einsum("bns,sl->bnl", Xs, Pmat,
-                                 preferred_element_type=x.dtype)
+                                 preferred_element_type=x.dtype,
+                                 precision=jax.lax.Precision.HIGHEST)
         out = jax.lax.psum(partial_out, "taps")
         out = out.reshape(x.shape[0], nb * L)
 

@@ -53,10 +53,22 @@ def _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len):
         jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
         (ch, xlen))
     W2 = win.reshape(ch, nbq, M)
-    X = jnp.stack([W2[:, q:q + nb] for q in range(qn)], axis=2)
-    X = X.reshape(ch, nb, qn * M)
-    out = jnp.einsum("cns,sl->cnl", X, P,
-                     preferred_element_type=x.dtype).reshape(ch, nb * L)
+    # per-shift contraction: qn dots on views of W2 instead of materializing
+    # the [ch, nb, qn*M] block-Toeplitz operand (a qn-times HBM blowup that
+    # measured slower than the extra dot dispatches on v5e).  Precision is
+    # pinned to HIGHEST: the TPU default is single-pass bf16, which costs
+    # ~90 dB of output SNR — full float32 keeps the C reference's -142 dB
+    # round-trip at ~10% throughput cost.
+    P3 = P.reshape(qn, M, L)
+    out = None
+    for q in range(qn):
+        part = jax.lax.dot_general(
+            W2[:, q:q + nb], P3[q],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+        out = part if out is None else out + part
+    out = out.reshape(ch, nb * L)
     valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
     out = out * valid[None, :]
     acc = acc + jnp.sum(out * out)

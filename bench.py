@@ -55,13 +55,13 @@ def main():
     eng = make_engine()
     run(eng, nchunks)                     # warmup: compiles the chunk steps
 
-    # tunnel dispatch latency varies run to run; report the median of three
+    # tunnel dispatch latency varies run to run; report the median of five
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         produced, power = run(eng, nchunks)
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[1]
+    dt = sorted(times)[len(times) // 2]
 
     mframes = produced / dt / 1e6
     baseline = 7.88  # C single-core Mframes/s (BASELINE_MEASURED.md)
