@@ -140,3 +140,114 @@ def test_output_limited_partial_consumption(golden_bin, outcap, block):
                                   offset=off)[0])
     assert r.get_position() == ref_pos
     assert maxdiff < 2e-7
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_stretch_bit_exact(seed, tmp_path):
+    """Randomized tempo-only conversions (mono/stereo, tonal + noise mixes,
+    tempi across the single and dual-cascade ranges) must be byte-identical
+    to the reference `art` binary (reference stretch.c:161-326)."""
+    import math
+    import shutil
+    from pathlib import Path
+
+    from art_tpu.io import wavfile
+
+    art_bin = Path("/tmp/art_golden/art_ref")
+    ref = Path("/root/reference")
+    if not art_bin.exists():
+        if not ref.exists() or not shutil.which("gcc"):
+            pytest.skip("reference art not buildable")
+        srcs = [ref / c for c in ["art.c", "stretch.c", "resampler.c",
+                                  "extrapolator.c", "decimator.c",
+                                  "workers.c", "biquad.c"]]
+        art_bin.parent.mkdir(exist_ok=True)
+        subprocess.run(["gcc", "-O2", "-ffp-contract=off",
+                        "-DENABLE_THREADS", "-DENABLE_EXTRAPOLATION",
+                        f"-I{ref}", *map(str, srcs), "-lm", "-pthread",
+                        "-o", str(art_bin)], check=True, capture_output=True)
+
+    rng = np.random.default_rng(3000 + seed)
+    ch = int(rng.integers(1, 3))
+    rate = [16000, 32000, 44100, 48000][int(rng.integers(0, 4))]
+    n = int(rng.integers(rate // 2, rate))          # 0.5 - 1 s
+    tempo = float(rng.uniform(0.25, 4.0))
+    # tonal content provokes the period-search tie cases
+    t = np.arange(n) / rate
+    f0 = float(rng.uniform(60, 900))
+    sig = 0.5 * np.sin(2 * math.pi * f0 * t)
+    sig = sig[:, None] + 0.2 * rng.standard_normal((n, ch))
+    ints = np.clip(np.round(sig * 16384.0), -32768, 32767).astype("<i2")
+
+    wav_in = tmp_path / "in.wav"
+    with open(wav_in, "wb") as f:
+        wavfile.write_wav_header(f, bits=16, num_channels=ch, num_frames=n,
+                                 sample_rate=rate,
+                                 channel_mask=3 if ch == 2 else 4)
+        f.write(ints.tobytes())
+
+    ref_out = tmp_path / "ref.wav"
+    my_out = tmp_path / "mine.wav"
+    r = subprocess.run([str(art_bin), f"--tempo={tempo!r}", "-y", "-q",
+                        str(wav_in), str(ref_out)], capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()
+    from art_tpu.cli import art as art_cli
+    rc = art_cli.main([f"--tempo={tempo!r}", "-y", "-q", str(wav_in),
+                       str(my_out)])
+    assert not rc
+    assert ref_out.read_bytes() == my_out.read_bytes(), \
+        (ch, rate, n, tempo, f0)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_biquad_bit_exact(golden_bin, seed):
+    """Random cutoff/length cascaded biquads, bit-exact vs the reference
+    (reference biquad.c:106-163)."""
+    from art_tpu.engines.biquad import (Biquad, biquad_highpass,
+                                        biquad_lowpass)
+    rng = np.random.default_rng(4000 + seed)
+    mode = "highpass" if rng.random() < 0.5 else "lowpass"
+    freq = float(rng.uniform(0.01, 0.49))
+    n = int(rng.integers(16, 5000))
+    raw = subprocess.run([str(golden_bin), "biquad", mode, repr(freq),
+                          str(n)], capture_output=True, check=True).stdout
+    ref = np.frombuffer(raw, dtype=np.float32, count=n)
+
+    coeffs = (biquad_highpass if mode == "highpass" else biquad_lowpass)(freq)
+    buf = NoiseLCG().fill(n).astype(np.float32)
+    for _ in range(2):
+        f = Biquad.init(coeffs, 1.0, channels=1, dtype=np.float32)
+        buf = f.apply_buffer(buf)
+    np.testing.assert_array_equal(buf, ref, err_msg=f"{mode} {freq} {n}")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_extrapolator_bit_exact(golden_bin, seed):
+    """Random LPC endpoint extrapolations (direction, history length,
+    extrapolation length, signal class), bit-exact vs the reference
+    coordinate descent (reference extrapolator.c:85-230)."""
+    from art_tpu.engines.extrapolator import (extrapolate_forward,
+                                              extrapolate_reverse)
+    rng = np.random.default_rng(5000 + seed)
+    mode = "rev" if rng.random() < 0.5 else "fwd"
+    nvalues = int(rng.integers(8, 3000))
+    nx = int(rng.integers(1, 400))
+    signal = "sine" if rng.random() < 0.5 else "noise"
+    freq = float(rng.uniform(0.005, 0.8))
+    raw = subprocess.run([str(golden_bin), "extrap", mode, str(nvalues),
+                          str(nx), signal, repr(freq)],
+                         capture_output=True, check=True).stdout
+    ref = np.frombuffer(raw, dtype=np.float32, count=nx)
+
+    if signal == "sine":
+        i = np.arange(nvalues, dtype=np.float64)
+        buf = (0.4 * np.sin(i * freq) + 0.1 * np.sin(i * freq * 3.1)
+               ).astype(np.float32)
+    else:
+        buf = NoiseLCG().fill(nvalues).astype(np.float32)
+    if mode == "rev":
+        mine = extrapolate_reverse(buf, nx)
+    else:
+        mine = extrapolate_forward(buf, nx)
+    np.testing.assert_array_equal(mine, ref,
+                                  err_msg=f"{mode} {nvalues} {nx} {signal}")
