@@ -33,8 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _RS = 8         # stream rows per grid program (one sublane tile)
-_RK = 4         # consecutive outputs processed per loop step ([RK*RS, Tp]
-#                 tiles amortize the scalar addressing overhead)
+_RK = 16         # consecutive outputs processed per loop step ([RK*RS, Tp]
+#                 tiles amortize the scalar addressing overhead; 16 measured
+#                 best on v5e: 29.9 -> 35.3 M out/s vs 4)
 
 
 def _asrc_kernel(base_ref, fi_ref, frac_t_ref, buf_ref, bank_ref, out_ref,
@@ -89,8 +90,10 @@ def asrc_apply_pallas(buf, bank, base, fi, frac, *, kb: int = 512,
     S, B = buf.shape
     K = base.shape[1]
     tp = bank.shape[1]
-    assert S % _RS == 0 and K % kb == 0 and B % 128 == 0
-    assert kb % _RK == 0, "output block size must be a multiple of _RK"
+    assert S % _RS == 0, f"stream count {S} must be a multiple of {_RS}"
+    assert K % kb == 0, f"output count {K} must be a multiple of kb={kb}"
+    assert B % 128 == 0, f"buffer length {B} must be a lane multiple"
+    assert kb % _RK == 0, f"kb={kb} must be a multiple of _RK={_RK}"
 
     grid = (S // _RS, K // kb)
     scalar_spec = pl.BlockSpec((_RS, kb), lambda s, k: (s, k),
