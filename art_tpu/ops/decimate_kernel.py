@@ -145,8 +145,10 @@ def quantize_shaped_jax(samples: np.ndarray, dither: np.ndarray | None,
                         ) -> tuple[np.ndarray, int, np.ndarray]:
     """Shaped path as a lax.scan over time, channels vectorized.
 
-    Uses the exact float op order of the reference biquad apply_sample, so
-    results are bit-identical to the host path (XLA preserves float order)."""
+    Mirrors the reference biquad apply_sample op order; XLA would normally
+    contract/fuse these float32 chains (FMA, convert+sub), so every product
+    rounding is forced through lax.reduce_precision — results are then
+    bit-identical to the host path on both CPU and TPU backends."""
     import jax
     import jax.numpy as jnp
 

@@ -54,7 +54,6 @@ class Workers:
         self._queue: deque = deque()
         self._running: set[int] = set()
         self._next_job = 1
-        self._last_enqueued = 0
         self._shutdown = False
         self._threads = [
             threading.Thread(target=self._worker_loop, daemon=True)
@@ -82,7 +81,6 @@ class Workers:
     def _alloc_jobnum(self) -> int:
         n = self._next_job
         self._next_job = (self._next_job + 1) & _U32 or 1   # skip 0
-        self._last_enqueued = n
         return n
 
     def _busy(self) -> int:
@@ -100,6 +98,7 @@ class Workers:
             fn(context, job)
             with self._cv:
                 return self._alloc_jobnum()
+        inline = None
         with self._cv:
             if policy == WAIT_FOR_AVAILABLE_WORKER:
                 while self._busy() >= self.num_workers:
@@ -107,14 +106,16 @@ class Workers:
             elif self._busy() >= self.num_workers:
                 if policy == FAIL_ON_NO_WORKER_AVAILABLE:
                     return 0
-                # USE_WORKER_ONLY_IF_AVAILABLE: fall through to inline
+                # USE_WORKER_ONLY_IF_AVAILABLE: run inline, outside the
+                # lock (an in-job enqueue must not deadlock the pool)
+                inline = self._alloc_jobnum()
+            if inline is None:
                 n = self._alloc_jobnum()
-                fn(context, job)
+                self._queue.append((n, fn, context, job))
+                self._cv.notify()
                 return n
-            n = self._alloc_jobnum()
-            self._queue.append((n, fn, context, job))
-            self._cv.notify()
-            return n
+        fn(context, job)
+        return inline
 
     def wait_all(self):
         """Block until every enqueued job has completed
