@@ -8,7 +8,9 @@ behaviors.  The numeric width switch is `-o64`-style output plus `--f64`
 for the full 64-bit data path (the reference's ART64 build).
 
 The compute backend defaults to host numpy (bit-careful parity path); pass
-`--backend jax` to run the resampling hot path on the accelerator.
+`--backend=jax` to run the per-call resampling kernels on the accelerator, or
+`--backend=device` to stream fixed-ratio conversions through the
+device-resident chunk engine (parallel/streams.py) with host edges.
 """
 
 from __future__ import annotations
@@ -63,7 +65,9 @@ USAGE = """
            --pitch=<cents>   --tempo=<ratio>
            --duration=<[+|-][[hh:]mm:]ss.ss>
            --f64       = 64-bit float data path (the reference's ART64)
-           --backend=<numpy|jax>
+           --backend=<numpy|jax|device>  (device = fixed-ratio steady
+                       state on the accelerator, host edges; falls back to
+                       numpy when the config cannot reduce)
 """
 
 
@@ -319,10 +323,24 @@ def process_file(opt: Options) -> int:
                 flags &= ~INCLUDE_LOWPASS
             if opt.extrapolation:
                 flags |= EXTRAPOLATE_ENDPOINTS
-            resampler = Resampler.fixed_ratio(
-                num_channels, opt.num_taps, opt.num_filters,
-                sample_rate * opt.pitch_ratio, resample_rate,
-                opt.lowpass_freq, flags, dtype=dt, backend=opt.backend)
+            if opt.backend == "device":
+                # device steady state + host edges; falls back to the host
+                # engine when the config cannot reduce to a fixed ratio
+                from ..parallel.streams import HybridStreamResampler
+                try:
+                    resampler = HybridStreamResampler(
+                        num_channels, opt.num_taps, opt.num_filters,
+                        sample_rate * opt.pitch_ratio, resample_rate,
+                        opt.lowpass_freq, flags, dtype=dt)
+                except ValueError:
+                    resampler = None
+            if resampler is None:
+                resampler = Resampler.fixed_ratio(
+                    num_channels, opt.num_taps, opt.num_filters,
+                    sample_rate * opt.pitch_ratio, resample_rate,
+                    opt.lowpass_freq, flags, dtype=dt,
+                    backend=opt.backend if opt.backend != "device"
+                    else "numpy")
             if opt.verbosity > 0:
                 lr = resampler.get_lowpass_ratio()
                 nf = resampler.get_num_filters()

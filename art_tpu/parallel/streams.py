@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core import accounting
-from ..core.flags import (BLACKMAN_HARRIS, INCLUDE_LOWPASS,
+from ..core.flags import (BLACKMAN_HARRIS, EXTRAPOLATE_ENDPOINTS,
+                          EXTRAPOLATE_PREFILL, INCLUDE_LOWPASS,
                           RESAMPLER_SNAP_OFFSET, SUBSAMPLE_INTERPOLATE)
 from ..core.filters import make_filter_bank, plan_fixed_ratio
 from ..ops.polyphase import PolyphaseMatrix
@@ -235,3 +236,108 @@ class DeviceStreamResampler:
             jnp.int32(K1), jnp.int32(K2), acc, self.M, self.L, nb, self.qn,
             self.num_samples)
         return out1, out2, K1, K2, acc
+
+
+class HybridStreamResampler:
+    """File-pipeline engine: device steady state, host edges.
+
+    Drives the fixed-ratio device engine for the repeated full-size blocks
+    of a file conversion while delegating everything the device path does
+    not model — endpoint extrapolation prefill (reference
+    resampler.c:691-698), odd-sized tail blocks, and the extrapolated
+    flush postfill (reference resampler.c:663-685) — to the bit-careful
+    host engine, with exact streaming-state handoff between the two (the
+    device history is the C ring right-aligned; offsets/indices are shared
+    because both sides run the same accounting).
+
+    Exposes the host engine's ``process_interleaved`` contract so callers
+    (the art CLI) are agnostic.  Output samples are within the float32
+    matmul noise floor of the host path; counts and positions are exact.
+    """
+
+    def __init__(self, num_channels: int, num_taps: int, max_filters: int,
+                 source_rate: float, destin_rate: float, lowpass_freq: float,
+                 flags: int, *, dtype=np.float32):
+        from ..engines.resampler import Resampler
+        self.host = Resampler.fixed_ratio(
+            num_channels, num_taps, max_filters, source_rate, destin_rate,
+            lowpass_freq, flags, dtype=dtype)
+        self.dev = DeviceStreamResampler(
+            num_channels, num_taps, max_filters, source_rate, destin_rate,
+            lowpass_freq, flags & ~EXTRAPOLATE_ENDPOINTS, dtype=dtype)
+        self.dev.prewarm()
+        self._on_device = False
+        self._steady_n = None
+        self._ch = num_channels
+
+    # --------------------------------------------------------- state moves
+    def _push(self) -> None:
+        st = self.host.state_dict()
+        ns, ii = self.dev.num_samples, int(st["input_index"])
+        hist = np.zeros((self._ch, ns), self.host.dtype)
+        hist[:, ns - ii:] = st["history"][:, :ii]
+        self.dev.hist = jnp.asarray(hist)
+        self.dev.output_offset = st["output_offset"]
+        self.dev.input_index = ii
+        self._on_device = True
+
+    def _pull(self) -> None:
+        ns, ii = self.dev.num_samples, int(self.dev.input_index)
+        st = self.host.state_dict()
+        st["history"][:] = 0.0
+        st["history"][:, :ii] = np.asarray(self.dev.hist)[:, ns - ii:]
+        st["output_offset"] = self.dev.output_offset
+        st["input_index"] = ii
+        self.host.load_state(st)
+        self._on_device = False
+
+    # ----------------------------------------------------------------- api
+    def advance_position(self, delta: float) -> None:
+        self.host.advance_position(delta)
+
+    def get_position(self) -> float:
+        if self._on_device:
+            return self.dev.get_position()
+        return self.host.get_position()
+
+    def get_lowpass_ratio(self) -> float:
+        return self.host.get_lowpass_ratio()
+
+    def get_num_filters(self) -> int:
+        return self.host.get_num_filters()
+
+    def interpolation_used(self) -> int:
+        return self.host.interpolation_used()
+
+    def get_expected_output(self, n_in: int, ratio: float = 0.0) -> int:
+        if self._on_device:
+            self._pull()
+        return self.host.get_expected_output(n_in, ratio)
+
+    def process_interleaved(self, data, n_in: int, n_out: int,
+                            ratio: float = 0.0):
+        # flush / odd tail: host path (extrapolated postfill, any shape)
+        prefill_pending = bool(self.host.flags & EXTRAPOLATE_PREFILL)
+        if n_in < 0 or data is None:
+            if self._on_device:
+                self._pull()
+            return self.host.process_interleaved(data, n_in, n_out, ratio)
+        if self._steady_n is None:
+            self._steady_n = n_in
+        if n_in != self._steady_n or prefill_pending:
+            # first block (prefill) and tail blocks run on host
+            if self._on_device:
+                self._pull()
+            return self.host.process_interleaved(data, n_in, n_out, ratio)
+        if not self._on_device:
+            self._push()
+        x = jnp.asarray(np.ascontiguousarray(np.asarray(data).T))
+        out_dev, K = self.dev.process(x, n_in)
+        if K > n_out:
+            # undersized caller buffer: redo on host with its partial-
+            # consumption semantics (never happens with the CLI's sizing)
+            self._pull()
+            return self.host.process_interleaved(data, n_in, n_out, ratio)
+        out = np.ascontiguousarray(np.asarray(out_dev)[:, :K].T)
+        from ..engines.resampler import ResampleResult
+        return out, ResampleResult(input_used=n_in, output_generated=K)

@@ -139,3 +139,39 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 2 and np.isfinite(np.asarray(out)).all()
+
+
+def test_hybrid_cli_backend_matches_numpy(tmp_path):
+    """`art --backend=device` (device steady state + host edges) produces
+    the same counts as the numpy backend and samples at the f32 floor."""
+    import struct
+    import subprocess  # noqa: F401  (parity with other CLI tests)
+
+    import numpy as np
+
+    from art_tpu.cli import art as art_cli
+
+    sr, n, ch = 44100, 60000, 2
+    rng = np.random.default_rng(13)
+    sig = np.clip(rng.standard_normal((n, ch)) * 0.4, -1, 1).astype("<f4")
+    wav_in = tmp_path / "in.wav"
+    with open(wav_in, "wb") as f:
+        fmt = struct.pack("<HHIIHH", 3, ch, sr, sr * ch * 4, ch * 4, 32)
+        data = sig.tobytes()
+        f.write(b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+
+    outs = {}
+    for be in ("numpy", "device"):
+        out = tmp_path / f"out_{be}.wav"
+        rc = art_cli.main([f"--backend={be}", "-r48000", "-y", "-q",
+                           str(wav_in), str(out)])
+        assert not rc
+        d = out.read_bytes()
+        i = d.index(b"data")
+        cnt = int.from_bytes(d[i + 4:i + 8], "little")
+        outs[be] = np.frombuffer(d[i + 8:i + 8 + cnt], "<f4")
+    assert len(outs["numpy"]) == len(outs["device"])
+    assert np.abs(outs["numpy"] - outs["device"]).max() < 1e-6

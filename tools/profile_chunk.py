@@ -62,7 +62,10 @@ X = jax.block_until_ready(X)
 
 @jax.jit
 def einsum_only(X, P):
-    return jnp.einsum("cns,sl->cnl", X, P, preferred_element_type=jnp.float32)
+    # explicit precision: the default (single-pass bf16) hits a pathological
+    # slow path for unaligned contractions on this device
+    return jnp.einsum("cns,sl->cnl", X, P, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 @jax.jit
 def shifts(W2, P):
@@ -71,7 +74,8 @@ def shifts(W2, P):
     for q in range(qn):
         part = jax.lax.dot_general(W2[:, q:q + nb], P3[q],
                                    (((2,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
         out = part if out is None else out + part
     return out
 
