@@ -23,6 +23,8 @@ CONFIGS = [
     ["-1", "-s32k", "-d48k", "-c4", "-n2", "-e", "-i", "-b1024"],
     ["-1", "-s44.1k", "-d48k", "-c2", "-n2", "-e", "-i", "-x", "-a"],
     ["-2", "-s48k", "-d44.1k", "-c2", "-n2", "-e", "-i", "-z", "-o24"],
+    ["-4", "-s44.1k", "-d48k", "-c2", "-n1", "-e", "-i"],
+    ["-1", "-s48k", "-d32k", "-c3", "-n2", "-e", "-i", "-o8"],
 ]
 
 _LINE = re.compile(r"(\w+) \(-w(\d)\): count =\s*(\d+), checksum = (\w+), "
@@ -64,6 +66,8 @@ def test_artest_matrix(args):
     for key in ref:
         assert ref[key]["count"] == mine[key]["count"], key
         if "rms" in ref[key]:
-            assert abs(ref[key]["rms"] - mine[key]["rms"]) < 0.5, key
+            # one-sided: ours may be arbitrarily better (f64 accumulation),
+            # never more than 0.5 dB worse
+            assert mine[key]["rms"] - ref[key]["rms"] < 0.5, key
         if "clipped" in ref[key]:
             assert ref[key]["clipped"] == mine[key]["clipped"]
