@@ -87,6 +87,42 @@ def _asrc_step(hist, x, bank, offsets, inv_ratios, Ks, shift, num_taps: int,
     return new_hist, out
 
 
+@functools.partial(jax.jit, static_argnames=("num_taps", "num_filters",
+                                              "k_max", "kp", "hist_len",
+                                              "tp"))
+def _pallas_prologue(hist, x, offsets, inv_ratios, shift, num_taps: int,
+                     num_filters: int, k_max: int, kp: int, hist_len: int,
+                     tp: int):
+    """Device-side position decomposition for the pallas ASRC kernel.
+
+    Generates [S, kp] window bases, phase indices, and lerp fractions from
+    the per-stream (offset, 1/ratio) scalars — float64 phase recurrence,
+    matching the reference's double bookkeeping — and pads the stream
+    buffer so every superspan load stays in bounds."""
+    S = x.shape[0]
+    half = num_taps // 2
+    buf = jnp.concatenate([hist, x], axis=1)
+    blen = buf.shape[1]
+    pad = (-(-(blen + tp + 128) // 128) * 128) - blen
+    bufp = jnp.concatenate([buf, jnp.zeros((S, pad), dtype=x.dtype)], axis=1)
+    k = jnp.arange(kp, dtype=jnp.float64)
+    pos = offsets[:, None] + k[None, :] * inv_ratios[:, None]
+    ipos = jnp.floor(pos)
+    ff = (pos - ipos) * num_filters
+    fi = jnp.minimum(jnp.floor(ff), num_filters - 1).astype(jnp.int32)
+    frac = (ff - fi).astype(x.dtype)
+    base = ipos.astype(jnp.int32) - half + 1 + shift
+    # entries at k >= k_max (block padding) and any not-yet-emittable tail
+    # positions are masked by the caller; pin their loads in bounds
+    kmask = jnp.arange(kp, dtype=jnp.int32) < k_max
+    base = jnp.where(kmask[None, :],
+                     jnp.clip(base, 0, blen + pad - tp - 128), 0)
+    fi = jnp.where(kmask[None, :], fi, 0)
+    frac = jnp.where(kmask[None, :], frac, jnp.asarray(0, x.dtype))
+    new_hist = buf[:, blen - hist_len:]
+    return bufp, base, fi, frac, new_hist
+
+
 class BatchedASRC:
     """S independent drifting-ratio resampler streams, device-resident."""
 
@@ -153,7 +189,7 @@ class BatchedASRC:
         if self.sharding is not None:
             x = jax.device_put(x, self.sharding)
         if self.kernel == "pallas":
-            out, new_hist = self._process_pallas(x, pos_host, k_max)
+            out, new_hist = self._process_pallas(x, ratios, k_max)
             valid = (np.arange(k_max)[None, :] < Ks[:, None])
             out = out * jnp.asarray(valid.astype(self.dtype.type))
         else:
@@ -174,34 +210,23 @@ class BatchedASRC:
         self.offsets = (self.offsets - n_slides * slide) + Ks / ratios
         return out, Ks
 
-    def _process_pallas(self, x, pos_host: np.ndarray, k_max: int):
-        """Host-side position decomposition + the VMEM-resident kernel."""
+    def _process_pallas(self, x, ratios: np.ndarray, k_max: int):
+        """Device-side position decomposition + the VMEM-resident kernel.
+
+        Only the per-stream scalars (offsets, 1/ratios) cross host->device;
+        the [S, K] base/phase/fraction arrays are generated on device (a
+        host-side prologue measured 130x slower end-to-end through a
+        tunneled deployment: ~6 MB of uploads per call)."""
         from ..ops.pallas_kernels import asrc_apply_pallas
-        half = self.num_taps // 2
         shift = self.num_samples - self.input_index
         tp = self._bank_pallas.shape[1]
-
         kb = 256
         kp = -(-k_max // kb) * kb
-        ipos = np.floor(pos_host)
-        ff = (pos_host - ipos) * self.num_filters
-        fi = np.minimum(np.floor(ff), self.num_filters - 1)
-        frac = (ff - fi).astype(self.dtype)
-        base = np.zeros((self.S, kp), np.int32)
-        base[:, :k_max] = ipos.astype(np.int32) - half + 1 + shift
-        fip = np.zeros((self.S, kp), np.int32)
-        fip[:, :k_max] = fi.astype(np.int32)
-        frp = np.zeros((self.S, kp), self.dtype)
-        frp[:, :k_max] = frac
-
-        buf = jnp.concatenate([self.hist, x], axis=1)
-        blen = buf.shape[1]
-        pad = (-(-(blen + tp + 128) // 128) * 128) - blen
-        bufp = jnp.concatenate(
-            [buf, jnp.zeros((self.S, pad), dtype=self.dtype)], axis=1)
+        bufp, base, fip, frp, new_hist = _pallas_prologue(
+            self.hist, x, jnp.asarray(self.offsets),
+            jnp.asarray(1.0 / ratios), jnp.int32(shift),
+            self.num_taps, self.num_filters, k_max, kp, self.num_samples, tp)
         interpret = jax.default_backend() != "tpu"
-        out = asrc_apply_pallas(bufp, self._bank_pallas, jnp.asarray(base),
-                                jnp.asarray(fip), jnp.asarray(frp), kb=kb,
-                                interpret=interpret)
-        new_hist = buf[:, blen - self.num_samples:]
+        out = asrc_apply_pallas(bufp, self._bank_pallas, base, fip, frp,
+                                kb=kb, interpret=interpret)
         return out[:, :k_max], new_hist
