@@ -83,6 +83,7 @@ class Resampler:
                                 dtype=self.dtype)
         self.output_offset = float(num_taps // 2)
         self.input_index = num_taps
+        self._period = None        # (Lp, Mp) exact rational period, if any
 
     # ------------------------------------------------------------------ init
     @classmethod
@@ -97,6 +98,11 @@ class Resampler:
                    plan.lowpass_ratio, plan.flags, dtype=dtype,
                    backend=backend)
         self.fixed_ratio = plan.fixed_ratio
+        if float(source_rate).is_integer() and float(destin_rate).is_integer():
+            import math as _math
+            g = _math.gcd(int(source_rate), int(destin_rate))
+            if g:
+                self._period = (int(destin_rate) // g, int(source_rate) // g)
         return self
 
     # --------------------------------------------------------------- queries
@@ -234,6 +240,11 @@ class Resampler:
         if self.backend == "jax":
             return resample_kernel.apply_jax(L, self._bank_dev, parts,
                                              interp, self.dtype)
+        if (self.flags & RESAMPLE_FIXED_RATIO) and self._period is not None:
+            out = resample_kernel.apply_numpy_periodic(
+                L, self.bank, parts, interp, self.dtype, *self._period)
+            if out is not None:
+                return out
         return resample_kernel.apply_numpy(L, self.bank, parts, interp,
                                            self.dtype)
 

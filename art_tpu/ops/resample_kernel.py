@@ -140,8 +140,102 @@ if _HAVE_JAX:
         pass_idx = np.zeros(Kp, dtype=np.int32)
         pass_idx[:K] = parts["pass_idx"]
         use_pass = bool(parts["pass_mask"].any())
-        out = _apply_jax(jnp.asarray(Lp), bank_dev, jnp.asarray(base),
-                         jnp.asarray(fi), jnp.asarray(frac),
-                         jnp.asarray(pass_mask), jnp.asarray(pass_idx),
-                         interpolate, use_pass, T)
-        return np.asarray(out)[:, :K].astype(dtype)
+        # tile the output axis: the [ch, tile, T] gather intermediate must
+        # stay bounded (an untiled 2^18-frame call fused to a >50 GB
+        # intermediate on TPU)
+        tile = 65536
+        Ld = jnp.asarray(Lp)
+        chunks = []
+        for k0 in range(0, Kp, tile):
+            k1 = min(k0 + tile, Kp)
+            o = _apply_jax(Ld, bank_dev, jnp.asarray(base[k0:k1]),
+                           jnp.asarray(fi[k0:k1]), jnp.asarray(frac[k0:k1]),
+                           jnp.asarray(pass_mask[k0:k1]),
+                           jnp.asarray(pass_idx[k0:k1]),
+                           interpolate, use_pass, T)
+            chunks.append(np.asarray(o))
+        return np.concatenate(chunks, axis=1)[:, :K].astype(dtype)
+
+
+def apply_numpy_periodic(L: np.ndarray, bank: np.ndarray, parts: dict,
+                         interpolate: bool, dtype, Lp: int, Mp: int
+                         ) -> np.ndarray | None:
+    """Block-GEMM fast path for fixed rational ratios (reduced or not).
+
+    Within one call the emission positions advance by exactly Mp inputs per
+    Lp outputs, so the phase pattern (window offset, filter index, fraction)
+    repeats with period Lp and the whole windowed dot factors into one
+    [groups, Mp+T] x [Mp+T, Lp] matrix product per filter row — the same
+    math as the reference's per-sample loop (reference resampler.c:1147-1157)
+    at BLAS speed instead of a gather.  No periodicity is *assumed*: the
+    exact per-output (base, fi, frac) arrays are checked column-by-column,
+    and any column whose pattern varies across groups (float64 ties at the
+    phase-grid edges) plus the non-periodic tail fall back to the gather
+    path.  float64 accumulation and the reference's dot-then-lerp order are
+    preserved.  Returns None when the layout does not pay off.
+    """
+    base, fi, frac = parts["base"], parts["fi"], parts["frac"]
+    K = base.shape[0]
+    T = bank.shape[1]
+    G = K // Lp
+    if G < 2:
+        return None
+    Kfast = G * Lp
+    pred = base[0] + np.arange(G, dtype=np.int64)[:, None] * Mp
+    b2 = base[:Kfast].reshape(G, Lp)
+    f2 = fi[:Kfast].reshape(G, Lp)
+    r2 = frac[:Kfast].reshape(G, Lp)
+    # only the integer pattern (window offset, filter index) must repeat:
+    # the float64 fraction enters as a per-output lerp weight after the
+    # dots, so its last-ulp wobble across groups costs nothing
+    d = b2 - pred
+    ok = (np.all(d == d[0], axis=0) & np.all(f2 == f2[0], axis=0)
+          & (d[0] >= 0))
+    if interpolate is False and parts["pass_mask"].any():
+        ok &= ~parts["pass_mask"][:Kfast].reshape(G, Lp).any(axis=0)
+    n_ok = int(ok.sum())
+    if n_ok < Lp // 2:
+        return None
+    dj = d[0, ok].astype(np.int64)
+    span = int(dj.max()) + T
+    A0 = int(base[0])
+    ch, S = L.shape
+    if A0 < 0 or A0 + (G - 1) * Mp + span > S:
+        return None
+
+    # overlapping group windows as a strided view, flattened to one 2D
+    # dgemm (batched 3D matmuls and offset-binned sub-gemms both measured
+    # slower than a single banded gemm at these shapes)
+    s0, s1 = L.strides
+    X = np.lib.stride_tricks.as_strided(
+        L[:, A0:], shape=(ch, G, span), strides=(s0, Mp * s1, s1))
+    X64 = np.ascontiguousarray(X, dtype=np.float64).reshape(ch * G, span)
+
+    fj = f2[0, ok]
+    if interpolate:
+        P = np.zeros((span, 2 * n_ok), dtype=np.float64)
+        for c, (off, p) in enumerate(zip(dj, fj)):
+            P[off:off + T, c] = bank[p]
+            P[off:off + T, n_ok + c] = bank[p + 1]
+        dd = (X64 @ P).reshape(ch, G, 2 * n_ok)
+        rj = r2[:, ok][None, :, :]                    # exact per-output frac
+        vals = dd[:, :, :n_ok] * (1.0 - rj) + dd[:, :, n_ok:] * rj
+    else:
+        P = np.zeros((span, n_ok), dtype=np.float64)
+        for c, (off, p) in enumerate(zip(dj, fj)):
+            P[off:off + T, c] = bank[p]
+        vals = (X64 @ P).reshape(ch, G, n_ok)
+
+    out = np.empty((ch, K), dtype=np.float64)
+    cols = np.flatnonzero(ok)
+    idx = (np.arange(G)[:, None] * Lp + cols[None, :]).ravel()
+    out[:, idx] = vals.reshape(ch, -1)
+
+    # residual: tie-flipped columns and the non-periodic tail via the
+    # gather parity path
+    rest = np.ones(K, dtype=bool)
+    rest[idx] = False
+    if rest.any():
+        sub = {k: v[rest] for k, v in parts.items()}
+        out[:, rest] = apply_numpy(L, bank, sub, interpolate, np.float64)
+    return out.astype(dtype)

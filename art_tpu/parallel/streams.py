@@ -100,6 +100,42 @@ def _chunk_step2(hist, x1, x2, P1, P2, start1, start2, K1, K2, acc,
     return hist, out1, out2, acc
 
 
+@functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
+                                             "hist_len"))
+def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
+                       nb: int, qn: int, hist_len: int):
+    """Interpolated fixed-rational chunk step: P2 stacks the two adjacent
+    phase banks ([qn*M, 2L]); the per-phase lerp fractions broadcast over
+    output blocks (reference subsample_interpolate, resampler.c:1147-1157,
+    factored dot-then-lerp)."""
+    ch = x.shape[0]
+    nbq = nb + qn
+    xlen = nbq * M
+    buf = jnp.concatenate([hist, x], axis=1)
+    pad = jnp.zeros((ch, xlen), dtype=x.dtype)
+    win = jax.lax.dynamic_slice(
+        jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
+        (ch, xlen))
+    W2 = win.reshape(ch, nbq, M)
+    P3 = P2.reshape(qn, M, 2 * L)
+    dd = None
+    for q in range(qn):
+        part = jax.lax.dot_general(
+            W2[:, q:q + nb], P3[q],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+        dd = part if dd is None else dd + part
+    f = fracv[None, None, :]
+    out = (dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f).reshape(ch, nb * L)
+    valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
+    out = out * valid[None, :]
+    acc = acc + jnp.sum(out * out)
+    new_hist = jax.lax.dynamic_slice(
+        buf, (0, buf.shape[1] - hist_len), (ch, hist_len))
+    return new_hist, out, acc
+
+
 class DeviceStreamResampler:
     """Fixed-ratio streaming resampler with device-resident state.
 
@@ -115,9 +151,22 @@ class DeviceStreamResampler:
                  flags: int, *, dtype=np.float32):
         plan = plan_fixed_ratio(num_taps, max_filters, source_rate,
                                 destin_rate, lowpass_freq, flags)
-        if plan.flags & SUBSAMPLE_INTERPOLATE:
-            raise ValueError("DeviceStreamResampler requires a reduced "
-                             "fixed-ratio configuration")
+        self.interp = bool(plan.flags & SUBSAMPLE_INTERPOLATE)
+        if self.interp:
+            # interpolated configs are supported when the ratio is exactly
+            # rational with a workable period: the phase pattern then
+            # repeats every Lp outputs / Mp inputs and the chunk becomes
+            # two banked matmuls + a per-phase lerp
+            if not (float(source_rate).is_integer()
+                    and float(destin_rate).is_integer()):
+                raise ValueError("interpolated device resampling needs "
+                                 "integral rates (exact rational ratio)")
+            g = math.gcd(int(source_rate), int(destin_rate))
+            Lp, Mp = int(destin_rate) // g, int(source_rate) // g
+            qn_i = -(-(Mp + num_taps) // Mp)
+            if Lp > 1024 or qn_i * Mp * 2 * Lp > 4 << 20:
+                raise ValueError("rational period too large for the device "
+                                 "interpolated path")
         self.dtype = np.dtype(dtype)
         self.num_channels = num_channels
         self.num_taps = num_taps
@@ -134,9 +183,13 @@ class DeviceStreamResampler:
                                      lowpass_ratio,
                                      bool(flags & BLACKMAN_HARRIS),
                                      self.dtype.type)
-        self.L = self.num_filters
-        self.M = int(round(self.L / self.fixed_ratio))
+        if self.interp:
+            self.L, self.M = Lp, Mp
+        else:
+            self.L = self.num_filters
+            self.M = int(round(self.L / self.fixed_ratio))
         self.qn = -(-(self.M + num_taps) // self.M)
+        self._interp_cache: dict = {}
 
         self.output_offset = float(num_taps // 2)
         self.input_index = num_taps
@@ -165,7 +218,10 @@ class DeviceStreamResampler:
     def prewarm(self) -> None:
         """Build and upload all L phase-anchor matrices (~hundreds of KB
         each) so steady-state streaming never pauses for a host-side matrix
-        build."""
+        build.  Interpolated patterns depend on the streaming offset, so
+        they are built (and cached) per chunk instead."""
+        if self.interp:
+            return
         for j in range(self.L):
             self._matrix(j)
 
@@ -192,10 +248,13 @@ class DeviceStreamResampler:
         K = plan.output_generated
         pos0 = plan.first_position
         ipos0 = math.floor(pos0)
-        j0 = round((pos0 - ipos0) * self.L)
-        if j0 >= self.L:
-            ipos0 += 1
-            j0 -= self.L
+        if self.interp:
+            j0 = 0          # interpolated patterns are keyed by pos0 instead
+        else:
+            j0 = round((pos0 - ipos0) * self.L)
+            if j0 >= self.L:
+                ipos0 += 1
+                j0 -= self.L
         half = self.num_taps // 2
         start = (ipos0 - half + 1) + (self.num_samples - self.input_index)
         # adopt the plan's state advance verbatim: it reproduces the
@@ -203,19 +262,58 @@ class DeviceStreamResampler:
         # comparisons can never diverge from the host engine at float ties
         self.output_offset = plan.new_output_offset
         self.input_index = plan.new_input_index
-        return K, start, j0
+        return K, start, j0, pos0
+
+    def _interp_matrix(self, first_position: float):
+        """Banked interpolated matrices for this chunk's phase pattern.
+
+        The first period's (window offset, filter index, fraction) triples
+        are computed exactly from the float64 streaming offset — the same
+        per-output math as the host engine — and cached by pattern.  The
+        integer pattern repeats across the chunk's periods up to float64
+        ties at the phase-grid edges (probability ~1e-10 per output; a tie
+        perturbs one sample by an adjacent-filter blend, ~-60 dB)."""
+        half = self.num_taps // 2
+        ratio = self.fixed_ratio
+        j = np.arange(self.L, dtype=np.float64)
+        pos = first_position + j / ratio
+        ipos = np.floor(pos)
+        ff = (pos - ipos) * self.num_filters
+        fi = np.minimum(np.floor(ff), self.num_filters - 1).astype(np.int64)
+        frac = (ff - fi)
+        d = (ipos - ipos[0]).astype(np.int64)
+        key = (d.tobytes(), fi.tobytes(), frac.tobytes())
+        m = self._interp_cache.get(key)
+        if m is None:
+            T = self.num_taps
+            P = np.zeros((self.qn * self.M, 2 * self.L), dtype=self.dtype)
+            for col in range(self.L):
+                P[d[col]:d[col] + T, col] = self.bank[fi[col]]
+                P[d[col]:d[col] + T, self.L + col] = self.bank[fi[col] + 1]
+            m = (jnp.asarray(P), jnp.asarray(frac.astype(self.dtype)))
+            if len(self._interp_cache) > 64:
+                self._interp_cache.clear()
+            self._interp_cache[key] = m
+        return m
 
     def process(self, x, n_in: int, acc=None):
         """x: device array [ch, n_in].  Returns (out_dev [ch, nb*L] with
         entries beyond K zeroed, K) — or (out, K, acc') when a running
         output-power accumulator is passed (computed in the same dispatch).
         All n_in inputs are consumed."""
-        K, start, j0 = self._plan(n_in)
+        K, start, j0, pos0 = self._plan(n_in)
         nb = -(-K // self.L) if K else 1
         acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
-        new_hist, out, acc_out = _chunk_step(
-            self.hist, x, self._matrix(j0), jnp.int32(start), jnp.int32(K),
-            acc_in, self.M, self.L, nb, self.qn, self.num_samples)
+        if self.interp:
+            P2, fracv = self._interp_matrix(pos0)
+            new_hist, out, acc_out = _chunk_step_interp(
+                self.hist, x, P2, fracv, jnp.int32(start), jnp.int32(K),
+                acc_in, self.M, self.L, nb, self.qn, self.num_samples)
+        else:
+            new_hist, out, acc_out = _chunk_step(
+                self.hist, x, self._matrix(j0), jnp.int32(start),
+                jnp.int32(K), acc_in, self.M, self.L, nb, self.qn,
+                self.num_samples)
         self.hist = new_hist
         if acc is None:
             return out, K
@@ -225,9 +323,11 @@ class DeviceStreamResampler:
         """Two chunks in one dispatch; both chunks must produce the same
         output-block count (true in steady state).  Returns
         (out1, out2, K1, K2, acc')."""
-        K1, start1, j1 = self._plan(n_in)
+        if self.interp:
+            raise NotImplementedError("paired dispatch is reduced-mode only")
+        K1, start1, j1, _ = self._plan(n_in)
         P1 = self._matrix(j1)
-        K2, start2, j2 = self._plan(n_in)
+        K2, start2, j2, _ = self._plan(n_in)
         P2 = self._matrix(j2)
         nb1, nb2 = -(-K1 // self.L), -(-K2 // self.L)
         nb = max(nb1, nb2, 1)

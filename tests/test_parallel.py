@@ -92,11 +92,14 @@ def test_device_stream_long_run_no_drift():
         assert r.get_position() == d.get_position(), i
 
 
-def test_device_stream_rejects_interpolated_config():
+def test_device_stream_accepts_interpolated_rational_config():
+    # interpolated configs with an exact rational ratio are supported
+    # (two banked matmuls + phase lerp); see
+    # test_device_interpolated_matches_host for the parity check
     from art_tpu.core.flags import NO_FILTER_REDUCTION
-    with pytest.raises(ValueError):
-        DeviceStreamResampler(2, 380, 380, 44100, 48000, 0,
-                              IBL | NO_FILTER_REDUCTION)
+    eng = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0,
+                                IBL | NO_FILTER_REDUCTION)
+    assert eng.interp and (eng.L, eng.M) == (160, 147)
 
 
 @pytest.mark.parametrize("n_devices", [1, 2, 8])
@@ -175,3 +178,44 @@ def test_hybrid_cli_backend_matches_numpy(tmp_path):
         outs[be] = np.frombuffer(d[i + 8:i + 8 + cnt], "<f4")
     assert len(outs["numpy"]) == len(outs["device"])
     assert np.abs(outs["numpy"] - outs["device"]).max() < 1e-6
+
+
+def test_device_interpolated_matches_host():
+    """Interpolated fixed-rational device mode (two banked matmuls + phase
+    lerp): counts and positions exact vs the host engine, samples at the
+    f32 matmul floor, across several chunks and a 48-filter preset-1
+    config."""
+    import jax.numpy as jnp
+
+    from art_tpu.core import flags as F
+    from art_tpu.engines.resampler import Resampler
+    from art_tpu.parallel.streams import DeviceStreamResampler
+
+    rng = np.random.default_rng(3)
+    for ch, taps, filt, fl in [
+            (2, 380, 380, F.SUBSAMPLE_INTERPOLATE | F.BLACKMAN_HARRIS
+             | F.INCLUDE_LOWPASS | F.NO_FILTER_REDUCTION),
+            (1, 48, 48, F.SUBSAMPLE_INTERPOLATE | F.BLACKMAN_HARRIS
+             | F.INCLUDE_LOWPASS)]:
+        dev = DeviceStreamResampler(ch, taps, filt, 44100, 48000, 0, fl)
+        host = Resampler.fixed_ratio(ch, taps, filt, 44100, 48000, 0, fl)
+        dev.advance_position(taps // 2)
+        host.advance_position(taps // 2)
+        for _ in range(4):
+            n = 9000
+            x = (rng.standard_normal((ch, n)) * 0.3).astype(np.float32)
+            out_d, K = dev.process(jnp.asarray(x), n)
+            out_h, res = host.process(x, n, n * 2, 0.0)
+            assert K == res.output_generated
+            assert abs(dev.get_position() - host.get_position()) < 1e-12
+            np.testing.assert_allclose(np.asarray(out_d)[:, :K],
+                                       out_h[:, :K], atol=2e-6)
+
+
+def test_device_interpolated_rejects_irrational():
+    from art_tpu.core import flags as F
+    from art_tpu.parallel.streams import DeviceStreamResampler
+    with pytest.raises(ValueError):
+        DeviceStreamResampler(2, 380, 380, 44100.5, 48000, 0,
+                              F.SUBSAMPLE_INTERPOLATE | F.BLACKMAN_HARRIS
+                              | F.INCLUDE_LOWPASS | F.NO_FILTER_REDUCTION)
