@@ -139,10 +139,12 @@ def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
 class DeviceStreamResampler:
     """Fixed-ratio streaming resampler with device-resident state.
 
-    Requires a reduced (non-interpolated) fixed-ratio configuration — the
-    same precondition as the reference's fast path (resampleFixedRatioInit
-    with successful filter reduction, reference resampler.c:321-335).
-    Endpoint extrapolation is not supported here; use the host engine when
+    Supports reduced (non-interpolated) configurations — the reference's
+    fast path (resampleFixedRatioInit with successful filter reduction,
+    reference resampler.c:321-335) — and interpolated configurations whose
+    ratio is exactly rational with a workable period (two banked matmuls +
+    per-phase lerp; see _chunk_step_interp).  Endpoint extrapolation is not
+    supported here; use the host engine (or HybridStreamResampler) when
     EXTRAPOLATE_ENDPOINTS is needed.
     """
 
@@ -199,9 +201,9 @@ class DeviceStreamResampler:
 
     # ----------------------------------------------------------------- api
     def advance_position(self, delta: float) -> None:
-        if delta < 0.0 or math.floor(delta) != delta:
-            raise ValueError("only whole-sample advances without "
-                             "interpolation")
+        if delta < 0.0 or (not self.interp and math.floor(delta) != delta):
+            raise ValueError("fractional advances need an interpolated "
+                             "configuration (reference resampler.c:927-935)")
         self.output_offset += delta
 
     def get_position(self) -> float:
