@@ -60,6 +60,10 @@ static long long quantize_run(const S *in, long long n, int ch, S scaler,
                               int32_t highclip, int32_t lowclip,
                               int32_t *outv) {
     long long clipped = 0;
+    // circular history indexing (like the reference biquad's (i-k)&3,
+    // reference biquad.c:78-102) instead of shifting 8 slots per sample;
+    // slot (h + k) & 3 holds lag k, h starts at 0 = newest-first layout
+    int h = 0;
     for (long long i = 0; i < n; ++i) {
         for (int c = 0; c < ch; ++c) {
             double dither = gens ? tpdf_draw(&gens[c], dither_type) : 0.0;
@@ -71,25 +75,36 @@ static long long quantize_run(const S *in, long long n, int ch, S scaler,
             if (a) {
                 S err = (S)((S)q - code);
                 S s = (S)(err * a[0]);
-                s = (S)(s + (S)((S)(xh[3 * ch + c] * a[4]) -
-                                (S)(b[4] * yh[3 * ch + c])));
-                s = (S)(s + (S)((S)(xh[2 * ch + c] * a[3]) -
-                                (S)(b[3] * yh[2 * ch + c])));
-                s = (S)(s + (S)((S)(xh[1 * ch + c] * a[2]) -
-                                (S)(b[2] * yh[1 * ch + c])));
-                s = (S)(s + (S)((S)(xh[0 * ch + c] * a[1]) -
-                                (S)(b[1] * yh[0 * ch + c])));
-                for (int k = 3; k > 0; --k) {
-                    xh[k * ch + c] = xh[(k - 1) * ch + c];
-                    yh[k * ch + c] = yh[(k - 1) * ch + c];
-                }
-                xh[c] = err;
-                yh[c] = s;
+                s = (S)(s + (S)((S)(xh[((h + 3) & 3) * ch + c] * a[4]) -
+                                (S)(b[4] * yh[((h + 3) & 3) * ch + c])));
+                s = (S)(s + (S)((S)(xh[((h + 2) & 3) * ch + c] * a[3]) -
+                                (S)(b[3] * yh[((h + 2) & 3) * ch + c])));
+                s = (S)(s + (S)((S)(xh[((h + 1) & 3) * ch + c] * a[2]) -
+                                (S)(b[2] * yh[((h + 1) & 3) * ch + c])));
+                s = (S)(s + (S)((S)(xh[h * ch + c] * a[1]) -
+                                (S)(b[1] * yh[h * ch + c])));
+                xh[((h + 3) & 3) * ch + c] = err;
+                yh[((h + 3) & 3) * ch + c] = s;
                 feedback[c] = s;
             }
             if (q > highclip) { q = highclip; ++clipped; }
             else if (q < lowclip) { q = lowclip; ++clipped; }
             outv[i * ch + c] = q;
+        }
+        if (a) h = (h + 3) & 3;    // the just-written slot becomes lag 0
+    }
+    // rotate histories back to the newest-first layout the caller persists
+    if (a && h) {
+        S tx[4], ty[4];
+        for (int c = 0; c < ch; ++c) {
+            for (int k = 0; k < 4; ++k) {
+                tx[k] = xh[((h + k) & 3) * ch + c];
+                ty[k] = yh[((h + k) & 3) * ch + c];
+            }
+            for (int k = 0; k < 4; ++k) {
+                xh[k * ch + c] = tx[k];
+                yh[k * ch + c] = ty[k];
+            }
         }
     }
     return clipped;
