@@ -13,11 +13,9 @@ reference's compile-time PATH_WIDTH typedef.
 
 from __future__ import annotations
 
-import jax as _jax
-
-# float64 offsets/queries and the 64-bit data path need x64; all kernels are
-# explicitly dtyped so the f32 fast paths are unaffected.
-_jax.config.update("jax_enable_x64", True)
+# jax is imported lazily (see _jaxinit.ensure_jax): importing it costs
+# ~2.5 s of startup that host-only paths (stretch, decimate, numpy
+# resampling) never need.  x64 is enabled on first jax use.
 
 from .core import flags  # noqa: E402
 from .core.flags import *  # noqa: F401,F403,E402

@@ -290,6 +290,11 @@ class Stretcher:
           - the factor compare happens at data-path precision.
         """
         dt = calc.dtype
+        from .. import native
+        if native.available():
+            assert record is None or record.dtype == dt
+            return native.stretch_search(np.ascontiguousarray(calc),
+                                         shortest, longest, record)
         a = np.abs(calc)
         # initial sum for the shortest period: fl-chain over paired terms
         # |c[i]| + |c[i+shortest]| (reference stretch.c:419-420)

@@ -56,6 +56,12 @@ def _load():
     lib.art_biquad_buffer_f64.restype = None
     lib.art_biquad_buffer_f64.argtypes = [f64p, ll, ctypes.c_int, f64p, f64p,
                                           f64p, f64p]
+    lib.art_stretch_search_f32.restype = ctypes.c_int
+    lib.art_stretch_search_f32.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
+                                           f32p, f32p]
+    lib.art_stretch_search_f64.restype = ctypes.c_int
+    lib.art_stretch_search_f64.argtypes = [f64p, ctypes.c_int, ctypes.c_int,
+                                           f64p, f64p]
     lib.art_pack_le.restype = None
     lib.art_pack_le.argtypes = [i32p, ll, ctypes.c_int, ctypes.c_int, i8p]
     lib.art_unpack_le_f32.restype = None
@@ -160,3 +166,24 @@ def unpack_le(raw: np.ndarray, gain: float, bits: int, nbytes: int,
         lib.art_unpack_le_f64(_ptr(raw, ctypes.c_uint8), gain, bits, nbytes,
                               _ptr(out, ctypes.c_double), count)
     return out
+
+
+def stretch_search(calc: np.ndarray, shortest: int, longest: int,
+                   record: np.ndarray | None = None) -> tuple[int, float]:
+    """TDHS period search (reference stretch.c:391-460 orders); returns
+    (best_period, best_factor)."""
+    lib = _load()
+    dt = calc.dtype
+    calc = np.ascontiguousarray(calc)
+    best = np.zeros(1, dtype=dt)
+    if dt == np.float32:
+        rec = _ptr(record, ctypes.c_float) if record is not None else None
+        p = lib.art_stretch_search_f32(_ptr(calc, ctypes.c_float), shortest,
+                                       longest, rec,
+                                       _ptr(best, ctypes.c_float))
+    else:
+        rec = _ptr(record, ctypes.c_double) if record is not None else None
+        p = lib.art_stretch_search_f64(_ptr(calc, ctypes.c_double), shortest,
+                                       longest, rec,
+                                       _ptr(best, ctypes.c_double))
+    return int(p), float(best[0])

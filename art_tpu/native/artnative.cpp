@@ -19,6 +19,7 @@
 // Exposed as a plain C ABI consumed via ctypes (art_tpu/native/__init__.py).
 
 #include <cstdint>
+#include <limits>
 #include <cstring>
 #include <cmath>
 
@@ -128,6 +129,62 @@ extern "C" long long art_quantize_f64(const double *in, long long n, int ch,
     return quantize_run<double>(in, n, ch, scaler, feedback, gens,
                                 dither_type, a, b, xh, yh, highclip, lowclip,
                                 outv);
+}
+
+// ------------------------------------------------------- stretch search
+
+// TDHS period search: maximize sum(|x|) / sum(|diff|) over candidate
+// periods with the exact float accumulation orders of the reference
+// (reference stretch.c:417-457): the running |x| sum chains pair values,
+// each candidate's |diff| accumulates top-down, and the compare happens at
+// data-path precision.  Mirrors engines/stretch.Stretcher._search.
+template <typename S>
+static int stretch_search(const S *calc, int shortest, int longest,
+                          S *record, S *best_factor_out) {
+    S s = 0;
+    for (int i = 0; i < shortest; ++i) {
+        S pair = (S)(std::fabs((double)calc[i])
+                     + std::fabs((double)calc[i + shortest]));
+        s = (S)(s + pair);
+    }
+    int best_period = shortest;
+    S best_factor = (S)-1.0;
+    for (int period = shortest; period <= longest; ++period) {
+        S diff = 0;
+        for (int i = period - 1; i >= 0; --i) {
+            S d = (S)std::fabs((double)calc[i] - (double)calc[i + period]);
+            diff = (S)(diff + d);
+        }
+        // FLT_MAX regardless of data width (reference stretch.c:441)
+        S factor = diff == (S)0.0 ? (S)std::numeric_limits<float>::max()
+                                  : (S)(s / diff);
+        if (record) record[period] = factor;
+        if (factor >= best_factor) {
+            best_factor = factor;
+            best_period = period;
+        }
+        if (period < longest) {
+            S inc = (S)(std::fabs((double)calc[2 * period])
+                        + std::fabs((double)calc[2 * period + 1]));
+            s = (S)(s + inc);
+        }
+    }
+    if (best_factor_out) *best_factor_out = best_factor;
+    return best_period;
+}
+
+extern "C" int art_stretch_search_f32(const float *calc, int shortest,
+                                      int longest, float *record,
+                                      float *best_factor) {
+    return stretch_search<float>(calc, shortest, longest, record,
+                                 best_factor);
+}
+
+extern "C" int art_stretch_search_f64(const double *calc, int shortest,
+                                      int longest, double *record,
+                                      double *best_factor) {
+    return stretch_search<double>(calc, shortest, longest, record,
+                                  best_factor);
 }
 
 // --------------------------------------------------------------- biquads

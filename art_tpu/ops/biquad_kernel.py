@@ -17,7 +17,9 @@ float32 quantization floor even for near-unstable shapers.
 from __future__ import annotations
 
 import numpy as np
-import jax
+from .._jaxinit import ensure_jax
+
+jax = ensure_jax()
 import jax.numpy as jnp
 
 

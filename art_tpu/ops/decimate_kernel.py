@@ -149,7 +149,8 @@ def quantize_shaped_jax(samples: np.ndarray, dither: np.ndarray | None,
     contract/fuse these float32 chains (FMA, convert+sub), so every product
     rounding is forced through lax.reduce_precision — results are then
     bit-identical to the host path on both CPU and TPU backends."""
-    import jax
+    from .._jaxinit import ensure_jax
+    jax = ensure_jax()
     import jax.numpy as jnp
 
     n, ch = samples.shape

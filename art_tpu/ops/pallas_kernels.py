@@ -26,7 +26,9 @@ from __future__ import annotations
 
 import functools
 
-import jax
+from .._jaxinit import ensure_jax
+
+jax = ensure_jax()
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl

@@ -32,12 +32,8 @@ import math
 
 import numpy as np
 
-try:
-    import jax
-    import jax.numpy as jnp
-    _HAVE_JAX = True
-except Exception:  # pragma: no cover
-    _HAVE_JAX = False
+# jax is imported lazily (device uploads / jitted conv only happen on the
+# jax backend); see _jaxinit.ensure_jax
 
 
 class PolyphaseMatrix:
@@ -64,12 +60,18 @@ class PolyphaseMatrix:
 
     def device(self):
         if self._dev is None:
+            from .._jaxinit import ensure_jax
+            ensure_jax()
+            import jax.numpy as jnp
             self._dev = jnp.asarray(self.P)
         return self._dev
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_conv(L: int, M: int, S: int, dtype_name: str):
+    from .._jaxinit import ensure_jax
+    jax = ensure_jax()
+    import jax.numpy as jnp  # noqa: F401
     @jax.jit
     def run(x, P):
         # x: [ch, xlen] with xlen == (nb-1)*M + S;  P: [L, S]
@@ -132,6 +134,7 @@ class PolyphaseKernel:
         x = np.zeros((ch, xlen), dtype=dtype)
         avail = min(xlen, Lbuf.shape[1] - start)
         x[:, :avail] = Lbuf[:, start:start + avail]
+        import jax.numpy as jnp
         out = _jit_conv(L, M, S, np.dtype(dtype).name)(
             jnp.asarray(x), mat.device())
         return np.asarray(out)[:, :K]

@@ -26,12 +26,8 @@ import functools
 
 import numpy as np
 
-try:
-    import jax
-    import jax.numpy as jnp
-    _HAVE_JAX = True
-except Exception:  # pragma: no cover
-    _HAVE_JAX = False
+# jax is imported lazily (see _jaxinit.ensure_jax): only the jax backend
+# needs it, and importing it costs seconds of CLI startup
 
 
 def decompose_positions(positions: np.ndarray, num_filters: int,
@@ -89,7 +85,11 @@ def apply_numpy(L: np.ndarray, bank: np.ndarray, parts: dict,
     return out.astype(dtype)
 
 
-if _HAVE_JAX:
+@functools.lru_cache(maxsize=1)
+def _jitted_apply():
+    from .._jaxinit import ensure_jax
+    jax = ensure_jax()
+    import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=("interpolate", "use_pass",
                                                  "num_taps"))
@@ -117,44 +117,49 @@ if _HAVE_JAX:
                             out)
         return out
 
-    def apply_jax(L: np.ndarray, bank_dev, parts: dict, interpolate: bool,
-                  dtype, bucket: int = 1024) -> np.ndarray:
-        """JAX backend with shape bucketing for compile-cache reuse."""
-        ch, S = L.shape
-        K = parts["base"].shape[0]
-        if K == 0:
-            return np.zeros((ch, 0), dtype=dtype)
-        T = bank_dev.shape[1]
-        Kp = -(-K // bucket) * bucket
-        Sp = -(-S // bucket) * bucket + T
-        Lp = np.zeros((ch, Sp), dtype=dtype)
-        Lp[:, :S] = L
-        base = np.zeros(Kp, dtype=np.int32)
-        base[:K] = parts["base"]
-        fi = np.zeros(Kp, dtype=np.int32)
-        fi[:K] = parts["fi"]
-        frac = np.zeros(Kp, dtype=np.float64)
-        frac[:K] = parts["frac"]
-        pass_mask = np.zeros(Kp, dtype=bool)
-        pass_mask[:K] = parts["pass_mask"]
-        pass_idx = np.zeros(Kp, dtype=np.int32)
-        pass_idx[:K] = parts["pass_idx"]
-        use_pass = bool(parts["pass_mask"].any())
-        # tile the output axis: the [ch, tile, T] gather intermediate must
-        # stay bounded (an untiled 2^18-frame call fused to a >50 GB
-        # intermediate on TPU)
-        tile = 65536
-        Ld = jnp.asarray(Lp)
-        chunks = []
-        for k0 in range(0, Kp, tile):
-            k1 = min(k0 + tile, Kp)
-            o = _apply_jax(Ld, bank_dev, jnp.asarray(base[k0:k1]),
-                           jnp.asarray(fi[k0:k1]), jnp.asarray(frac[k0:k1]),
-                           jnp.asarray(pass_mask[k0:k1]),
-                           jnp.asarray(pass_idx[k0:k1]),
-                           interpolate, use_pass, T)
-            chunks.append(np.asarray(o))
-        return np.concatenate(chunks, axis=1)[:, :K].astype(dtype)
+    return _apply_jax
+
+
+def apply_jax(L: np.ndarray, bank_dev, parts: dict, interpolate: bool,
+              dtype, bucket: int = 1024) -> np.ndarray:
+    """JAX backend with shape bucketing for compile-cache reuse."""
+    import jax.numpy as jnp
+    _apply_jax = _jitted_apply()
+    ch, S = L.shape
+    K = parts["base"].shape[0]
+    if K == 0:
+        return np.zeros((ch, 0), dtype=dtype)
+    T = bank_dev.shape[1]
+    Kp = -(-K // bucket) * bucket
+    Sp = -(-S // bucket) * bucket + T
+    Lp = np.zeros((ch, Sp), dtype=dtype)
+    Lp[:, :S] = L
+    base = np.zeros(Kp, dtype=np.int32)
+    base[:K] = parts["base"]
+    fi = np.zeros(Kp, dtype=np.int32)
+    fi[:K] = parts["fi"]
+    frac = np.zeros(Kp, dtype=np.float64)
+    frac[:K] = parts["frac"]
+    pass_mask = np.zeros(Kp, dtype=bool)
+    pass_mask[:K] = parts["pass_mask"]
+    pass_idx = np.zeros(Kp, dtype=np.int32)
+    pass_idx[:K] = parts["pass_idx"]
+    use_pass = bool(parts["pass_mask"].any())
+    # tile the output axis: the [ch, tile, T] gather intermediate must
+    # stay bounded (an untiled 2^18-frame call fused to a >50 GB
+    # intermediate on TPU)
+    tile = 65536
+    Ld = jnp.asarray(Lp)
+    chunks = []
+    for k0 in range(0, Kp, tile):
+        k1 = min(k0 + tile, Kp)
+        o = _apply_jax(Ld, bank_dev, jnp.asarray(base[k0:k1]),
+                       jnp.asarray(fi[k0:k1]), jnp.asarray(frac[k0:k1]),
+                       jnp.asarray(pass_mask[k0:k1]),
+                       jnp.asarray(pass_idx[k0:k1]),
+                       interpolate, use_pass, T)
+        chunks.append(np.asarray(o))
+    return np.concatenate(chunks, axis=1)[:, :K].astype(dtype)
 
 
 def apply_numpy_periodic(L: np.ndarray, bank: np.ndarray, parts: dict,

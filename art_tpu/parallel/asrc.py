@@ -26,7 +26,9 @@ import functools
 import math
 
 import numpy as np
-import jax
+from .._jaxinit import ensure_jax
+
+jax = ensure_jax()
 import jax.numpy as jnp
 
 from ..core.filters import make_filter_bank

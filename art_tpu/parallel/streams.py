@@ -27,7 +27,9 @@ import functools
 import math
 
 import numpy as np
-import jax
+from .._jaxinit import ensure_jax
+
+jax = ensure_jax()
 import jax.numpy as jnp
 
 from ..core import accounting
