@@ -19,8 +19,6 @@ one entry; the driver's dry-run exercises it on a virtual CPU mesh.
 
 from __future__ import annotations
 
-import functools
-
 from .._jaxinit import ensure_jax
 
 jax = ensure_jax()

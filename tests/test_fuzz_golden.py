@@ -142,7 +142,7 @@ def test_output_limited_partial_consumption(golden_bin, outcap, block):
     assert maxdiff < 2e-7
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(12))
 def test_fuzz_stretch_bit_exact(seed, tmp_path):
     """Randomized tempo-only conversions (mono/stereo, tonal + noise mixes,
     tempi across the single and dual-cascade ranges) must be byte-identical
