@@ -512,7 +512,15 @@ def main(argv=None) -> int:
         print(f"output file \"{opt.outfile}\" exists (use -y to overwrite)",
               file=sys.stderr)
         return -1
-    return process_file(opt)
+    try:
+        return process_file(opt)
+    except wavfile.WavFormatError as e:
+        # reference-style one-liner instead of a traceback (art.c:521-571)
+        print(f"\"{opt.infile}\" is {e}!", file=sys.stderr)
+        return -1
+    except OSError:
+        print(f"can't open file \"{opt.infile}\"!", file=sys.stderr)
+        return -1
 
 
 if __name__ == "__main__":

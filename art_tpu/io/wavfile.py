@@ -86,21 +86,21 @@ def read_wav_header(f) -> WavInfo:
                 channel_mask = 0xFFFFFFFF
 
             if num_channels < 1 or num_channels > 32:
-                raise WavFormatError("unsupported .WAV format")
+                raise WavFormatError("an unsupported .WAV format")
             if sub_format == WAVE_FORMAT_PCM:
                 is_float = False
                 if bits < 4 or bits > 24:
-                    raise WavFormatError("unsupported .WAV format")
+                    raise WavFormatError("an unsupported .WAV format")
                 if block_align != num_channels * ((bits + 7) // 8):
-                    raise WavFormatError("unsupported .WAV format")
+                    raise WavFormatError("an unsupported .WAV format")
             elif sub_format == WAVE_FORMAT_IEEE_FLOAT:
                 is_float = True
                 if bits not in (32, 64):
-                    raise WavFormatError("unsupported .WAV format")
+                    raise WavFormatError("an unsupported .WAV format")
                 if block_align != num_channels * (bits // 8):
-                    raise WavFormatError("unsupported .WAV format")
+                    raise WavFormatError("an unsupported .WAV format")
             else:
-                raise WavFormatError("unsupported .WAV format")
+                raise WavFormatError("an unsupported .WAV format")
             fmt_seen = True
 
         elif ck_id == b"data":

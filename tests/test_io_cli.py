@@ -304,3 +304,46 @@ def test_artest_tone_input_bit_identical(art_ref, args):
     my_line = next(l for l in buf.getvalue().splitlines()
                    if "input (-w1)" in l)
     assert ref_line.strip() == my_line.strip()
+
+
+def test_art_cli_error_paths_match_reference(art_ref, tmp_path):
+    """Malformed inputs: same exit classification and reference-style
+    one-line message (no traceback) — reference art.c:521-571 behaviors."""
+    import struct
+
+    from art_tpu.cli import art as art_cli
+
+    cases = {}
+    p = tmp_path / "notriff.wav"
+    p.write_bytes(b"JUNKJUNKJUNKJUNK" * 4)
+    cases[p] = "is not a valid .WAV file!"
+    p = tmp_path / "badbits.wav"
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 8, 8, 28)
+    data = b"\x00" * 400
+    p.write_bytes(b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data))
+                  + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+    cases[p] = "is an unsupported .WAV format!"
+
+    for path, expect in cases.items():
+        ref = subprocess.run([str(art_ref), "-r48000", "-y", "-q", str(path),
+                              str(tmp_path / "o1.wav")], capture_output=True,
+                             text=True)
+        assert ref.returncode != 0
+        import io as _io
+        from contextlib import redirect_stderr
+        buf = _io.StringIO()
+        with redirect_stderr(buf):
+            rc = art_cli.main(["-r48000", "-y", "-q", str(path),
+                               str(tmp_path / "o2.wav")])
+        assert rc != 0
+        assert expect in buf.getvalue()
+        assert "Traceback" not in buf.getvalue()
+        assert expect in ref.stderr
+
+    # nonexistent input
+    buf = _io.StringIO()
+    with redirect_stderr(buf):
+        rc = art_cli.main(["-y", "-q", str(tmp_path / "nope.wav"),
+                           str(tmp_path / "o3.wav")])
+    assert rc != 0 and "can't open file" in buf.getvalue()
