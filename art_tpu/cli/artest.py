@@ -154,6 +154,8 @@ def main(argv=None) -> int:
                     raise SystemExit("num of chans must be 1 - 256!")
             elif c in "Ff":
                 filters = int(take_num())
+                if not 1 <= filters <= 1024:
+                    raise SystemExit("num of filters must be 1 - 1024!")
             elif c in "Nn":
                 seconds = int(take_num())
                 if not 1 <= seconds <= 36000:
