@@ -251,3 +251,90 @@ def test_fuzz_extrapolator_bit_exact(golden_bin, seed):
         mine = extrapolate_forward(buf, nx)
     np.testing.assert_array_equal(mine, ref,
                                   err_msg=f"{mode} {nvalues} {nx} {signal}")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_stream_parity_f64(golden_bin64, seed):
+    """f64 data-path (ART64) randomized stream parity — exact counts and
+    position, samples at the f64 floor."""
+    rng = np.random.default_rng(6000 + seed)
+    taps = int(rng.integers(1, 30)) * 4
+    filters = int(rng.integers(1, 150))
+    chans = int(rng.integers(1, 4))
+    mode = int(rng.integers(0, 2))
+    flags = BLACKMAN_HARRIS | SUBSAMPLE_INTERPOLATE
+    if rng.random() < 0.3:
+        flags |= EXTRAPOLATE_ENDPOINTS
+    block = int(rng.integers(64, 2000))
+    nblocks = int(rng.integers(2, 4))
+    if mode:
+        src, dst = RATE_PAIRS[int(rng.integers(0, len(RATE_PAIRS)))]
+        lowpass, ratio = 0, dst / src
+        flags |= INCLUDE_LOWPASS
+    else:
+        src = dst = 1
+        ratio = float(rng.uniform(0.4, 2.5))
+        lowpass = 0.0
+    advance = float(rng.integers(0, taps))
+
+    compare_stream(golden_bin64, chans=chans, taps=taps, filters=filters,
+                   flags=flags, mode=mode, src=src, dst=dst,
+                   lowpass=lowpass, ratio=ratio, block=block,
+                   nblocks=nblocks, advance=advance, atol=1e-12,
+                   dtype=np.float64)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_checkpoint_resume(seed):
+    """Checkpoint/resume: saving state_dict at a random mid-stream point and
+    resuming in a fresh engine must reproduce the unsplit stream bit-exactly
+    (resampler AND decimator)."""
+    from art_tpu.core.flags import (DITHER_HIGHPASS, SHAPING_ATH_CURVE)
+    from art_tpu.engines.decimator import Decimator
+
+    rng = np.random.default_rng(7000 + seed)
+    taps = int(rng.integers(2, 20)) * 4
+    filters = int(rng.integers(4, 200))
+    chans = int(rng.integers(1, 4))
+    flags = SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS | INCLUDE_LOWPASS
+    n = int(rng.integers(2000, 12000))
+    cut = int(rng.integers(1, n - 1))
+    x = (rng.standard_normal((chans, n)) * 0.4).astype(np.float32)
+
+    a = Resampler.fixed_ratio(chans, taps, filters, 44100, 48000, 0, flags)
+    out_full, res = a.process(x, n, 3 * n, 0.0)
+
+    b = Resampler.fixed_ratio(chans, taps, filters, 44100, 48000, 0, flags)
+    o1, r1 = b.process(x[:, :cut], cut, 3 * n, 0.0)
+    state = b.state_dict()
+    c = Resampler.fixed_ratio(chans, taps, filters, 44100, 48000, 0, flags)
+    c.load_state(state)
+    o2, r2 = c.process(x[:, cut:], n - cut, 3 * n, 0.0)
+    got = np.concatenate([o1[:, :r1.output_generated],
+                          o2[:, :r2.output_generated]], axis=1)
+    assert r1.output_generated + r2.output_generated == res.output_generated
+    # the phase accumulator regroups float64 sums per call, so positions
+    # (and thus interpolation fractions) agree only to f64 accumulation
+    # noise across different call patterns — exactly like calling the C
+    # API with different block sizes; counts stay exact
+    np.testing.assert_allclose(got, out_full[:, :res.output_generated],
+                               atol=1e-9)
+    assert abs(c.get_position() - a.get_position()) < 1e-9
+
+    # decimator: bytes across a state_dict/load split must be identical
+    bits = int(rng.integers(8, 25))
+    d1 = Decimator(chans, bits, (bits + 7) // 8, 1.0, 44100,
+                   DITHER_HIGHPASS | SHAPING_ATH_CURVE, backend="numpy")
+    full, _ = d1.process(x)
+    d2 = Decimator(chans, bits, (bits + 7) // 8, 1.0, 44100,
+                   DITHER_HIGHPASS | SHAPING_ATH_CURVE, backend="numpy")
+    p1, _ = d2.process(x[:, :cut])
+    st = d2.state_dict()
+    d3 = Decimator(chans, bits, (bits + 7) // 8, 1.0, 44100,
+                   DITHER_HIGHPASS | SHAPING_ATH_CURVE, backend="numpy")
+    d3.load_state(st)
+    p2, _ = d3.process(x[:, cut:])
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(p1).reshape(-1),
+                        np.asarray(p2).reshape(-1)]),
+        np.asarray(full).reshape(-1))
