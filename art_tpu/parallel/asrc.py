@@ -179,12 +179,26 @@ class BatchedASRC:
         if k_max is None:
             k_max = int(np.ceil((n + 2) * ratios.max())) + 2
 
-        # vectorized consume/emit accounting (same float ops per stream as
-        # core.accounting.plan_process with full consumption)
+        # per-stream emission counts: pos_k = offset + k/ratio is strictly
+        # increasing, so a closed-form estimate bracket-corrected at the
+        # boundary reproduces the exact per-k comparison (the same float
+        # ops per stream as core.accounting._count_emissions) in O(S)
+        # instead of materializing an [S, k_max] position grid
         bound = float(self.input_index + n - half)
-        ks = np.arange(k_max, dtype=np.float64)
-        pos_host = self.offsets[:, None] + ks[None, :] / ratios[:, None]
-        Ks = (pos_host < bound).sum(axis=1).astype(np.int32)
+        est = np.floor((bound - self.offsets) * ratios).astype(np.int64)
+        est = np.clip(est, 0, k_max)
+        for _ in range(64):     # pos(est-1) < bound <= pos(est) exactly
+            over = (est > 0) & \
+                (self.offsets + (est - 1) / ratios >= bound)
+            under = (est < k_max) & (self.offsets + est / ratios < bound)
+            if not (over.any() or under.any()):
+                break
+            est = est - over + under
+        else:   # estimate off by >64: fall back to the exact grid
+            ks = np.arange(k_max, dtype=np.float64)
+            est = ((self.offsets[:, None] + ks[None, :] / ratios[:, None])
+                   < bound).sum(axis=1)
+        Ks = est.astype(np.int32)
         if int(Ks.max(initial=0)) >= k_max:
             raise ValueError("k_max too small for requested chunk")
 
