@@ -138,6 +138,21 @@ def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
     return new_hist, out, acc
 
 
+@functools.partial(jax.jit, static_argnames=("rows", "L", "T"))
+def _build_interp_matrix(bank, d, fi, rows: int, L: int, T: int):
+    """Construct the stacked interpolated matrices [rows, 2L] on device
+    from the per-phase pattern vectors (window offsets d[L], filter
+    indices fi[L]) — only ~2 KB crosses host->device per new pattern
+    instead of the ~MB matrix itself."""
+    r = jnp.arange(rows, dtype=jnp.int32)[:, None]
+    offs = r - d[None, :]                              # [rows, L]
+    valid = (offs >= 0) & (offs < T)
+    oc = jnp.clip(offs, 0, T - 1)
+    P1 = jnp.where(valid, bank[fi[None, :], oc], 0.0)
+    P2 = jnp.where(valid, bank[fi[None, :] + 1, oc], 0.0)
+    return jnp.concatenate([P1, P2], axis=1)
+
+
 class DeviceStreamResampler:
     """Fixed-ratio streaming resampler with device-resident state.
 
@@ -200,6 +215,7 @@ class DeviceStreamResampler:
         self.hist = jnp.zeros((num_channels, self.num_samples),
                               dtype=self.dtype)
         self._mats: dict[int, jax.Array] = {}
+        self._bank_dev = None
 
     # ----------------------------------------------------------------- api
     def advance_position(self, delta: float) -> None:
@@ -289,12 +305,13 @@ class DeviceStreamResampler:
         key = (d.tobytes(), fi.tobytes(), frac.tobytes())
         m = self._interp_cache.get(key)
         if m is None:
-            T = self.num_taps
-            P = np.zeros((self.qn * self.M, 2 * self.L), dtype=self.dtype)
-            for col in range(self.L):
-                P[d[col]:d[col] + T, col] = self.bank[fi[col]]
-                P[d[col]:d[col] + T, self.L + col] = self.bank[fi[col] + 1]
-            m = (jnp.asarray(P), jnp.asarray(frac.astype(self.dtype)))
+            if self._bank_dev is None:
+                self._bank_dev = jnp.asarray(self.bank)
+            P2 = _build_interp_matrix(
+                self._bank_dev, jnp.asarray(d.astype(np.int32)),
+                jnp.asarray(fi.astype(np.int32)),
+                self.qn * self.M, self.L, self.num_taps)
+            m = (P2, jnp.asarray(frac.astype(self.dtype)))
             if len(self._interp_cache) > 64:
                 self._interp_cache.clear()
             self._interp_cache[key] = m
