@@ -246,6 +246,11 @@ class DeviceStreamResampler:
             self._matrix(j)
 
     def _matrix(self, j0: int):
+        # host-built + uploaded: these are per-anchor constants built once
+        # per engine, and a device-side constructor would pay a one-time
+        # jit compile far exceeding the ~1.6 s of uploads on tunneled
+        # deployments (the interpolated path differs: its patterns recur
+        # per chunk, so it builds on device — see _build_interp_matrix)
         m = self._mats.get(j0)
         if m is None:
             pm = PolyphaseMatrix(self.bank, self.L, self.M, j0,
