@@ -224,18 +224,24 @@ class Resampler:
             poly = self._polyphase()
             if poly is not None and poly.eligible(plan.first_position, K):
                 return poly.apply(L, plan.first_position, K, self.dtype)
-        # reconstruct the emission positions with the accounting's exact
-        # float op order: fl(o_lin + fl(k/ratio)) + integer flush shift
+        # reconstruct the emission positions with the reference's exact
+        # ring-coordinate rounding (fl((o - slides) + fl(k/ratio)); see
+        # accounting.ring_positions — the linear sum loses sub-ulp fraction
+        # bits and can flip phase ties)
         if self.flags & RESAMPLE_FIXED_RATIO:
             ratio = self.fixed_ratio
         if K:
-            o_lin = plan.first_position - plan.flush_shift
-            positions = (o_lin + np.arange(K, dtype=np.float64) / ratio) \
-                + plan.flush_shift
+            ipos, frac0 = accounting.ring_positions(
+                first_position=plan.first_position,
+                flush_shift=plan.flush_shift, ratio=ratio, K=K,
+                input_index=self.input_index, input_used=plan.input_used,
+                num_samples=self.num_samples, num_taps=self.num_taps,
+                flush=plan.flush)
         else:
-            positions = np.zeros(0, dtype=np.float64)
-        parts = resample_kernel.decompose_positions(
-            positions, self.num_filters, self.num_taps, interp,
+            ipos = np.zeros(0, dtype=np.int64)
+            frac0 = np.zeros(0, dtype=np.float64)
+        parts = resample_kernel.decompose_indexed(
+            ipos, frac0, self.num_filters, self.num_taps, interp,
             bool(self.flags & INCLUDE_LOWPASS))
         if self.backend == "jax":
             return resample_kernel.apply_jax(L, self._bank_dev, parts,

@@ -34,9 +34,20 @@ def decompose_positions(positions: np.ndarray, num_filters: int,
                         num_taps: int, interpolate: bool,
                         include_lowpass: bool) -> dict:
     """Split emission positions into gather/filter indices (host, float64)."""
-    half = num_taps // 2
     ipos = np.floor(positions)
-    frac0 = positions - ipos
+    return decompose_indexed(ipos.astype(np.int64), positions - ipos,
+                             num_filters, num_taps, interpolate,
+                             include_lowpass)
+
+
+def decompose_indexed(ipos: np.ndarray, frac0: np.ndarray, num_filters: int,
+                      num_taps: int, interpolate: bool,
+                      include_lowpass: bool) -> dict:
+    """Like decompose_positions, from precomputed integer positions and
+    ring-exact fractions (see core.accounting.ring_positions — the
+    reference rounds positions in ring coordinates, which carries more
+    fraction precision than the linear sum)."""
+    half = num_taps // 2
     base = ipos.astype(np.int64) - half + 1
     if interpolate:
         ff = frac0 * num_filters
@@ -48,13 +59,14 @@ def decompose_positions(positions: np.ndarray, num_filters: int,
         fi = np.where(over, num_filters - 1, fi)
         frac = np.where(over, 1.0, frac)
         return dict(base=base, fi=fi, frac=frac,
-                    pass_mask=np.zeros(len(positions), dtype=bool),
-                    pass_idx=np.zeros(len(positions), dtype=np.int64))
+                    pass_mask=np.zeros(len(ipos), dtype=bool),
+                    pass_idx=np.zeros(len(ipos), dtype=np.int64))
     fi = np.floor(frac0 * num_filters + 0.5).astype(np.int64)
     pass_mask = (not include_lowpass) & (fi % num_filters == 0)
     pass_idx = ipos.astype(np.int64) + fi // num_filters
     return dict(base=base, fi=fi, frac=np.zeros_like(frac0),
                 pass_mask=pass_mask, pass_idx=pass_idx)
+
 
 
 def apply_numpy(L: np.ndarray, bank: np.ndarray, parts: dict,

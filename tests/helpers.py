@@ -60,19 +60,37 @@ def compare_stream(golden_bin, *, chans, taps, filters, flags, mode, src, dst,
         rr = max(rr, dst / src)
     outcap = int((block + taps) * rr) + taps + 64
     maxdiff = 0.0
+    half = taps // 2
+    num_samples = taps * 16
     for b in range(nblocks + 1):
+        k_skip = 0
         if b < nblocks:
             inp = lcg.fill(block * chans, dtype).reshape(block, chans)
             out, res = r.process_interleaved(inp, block, outcap, ratio)
         else:
+            # KNOWN REFERENCE DEFECT (resampler.c:663-685): when the flush
+            # postfill slides the ring, outputOffset can land closer than
+            # half a filter to the ring start, and subsample() then reads
+            # up to half-1 samples BEFORE the buffer — heap garbage.  Our
+            # engine keeps the full history and computes those samples
+            # correctly, so they cannot (and should not) match: exclude
+            # exactly the outputs whose reference window underflows.
+            eff = r.fixed_ratio if r.fixed_ratio else ratio
+            o_ring = r.output_offset
+            if num_samples - r.input_index < half:
+                o_ring -= num_samples - taps
             out, res = r.process_interleaved(None, -1, outcap, ratio)
+            k = np.arange(max(res.output_generated, 1), dtype=np.float64)
+            lo = np.floor(o_ring + k / eff) - half + 1
+            k_skip = int((lo < 0).sum())
         riu, rog, rdata = ref_blocks[b]
         assert (res.input_used, res.output_generated) == (riu, rog), \
             f"block {b}: counts {(res.input_used, res.output_generated)} " \
             f"!= ref {(riu, rog)}"
-        if rog:
+        if rog > k_skip:
             maxdiff = max(maxdiff, float(np.abs(
-                out.astype(np.float64) - rdata.astype(np.float64)).max()))
+                out.astype(np.float64)[k_skip:]
+                - rdata.astype(np.float64)[k_skip:]).max()))
     assert abs(r.get_position() - ref_pos) == 0.0, \
         f"position {r.get_position()} != ref {ref_pos}"
     assert maxdiff <= atol, f"maxdiff {maxdiff} > atol {atol}"

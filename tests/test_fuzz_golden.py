@@ -92,7 +92,14 @@ def test_fuzz_stream_parity(golden_bin, seed):
         lowpass = float(rng.uniform(0.3, 0.95)) if rng.random() < 0.5 else 0.0
     advance = float(rng.integers(0, taps))
     if flags & SUBSAMPLE_INTERPOLATE and rng.random() < 0.5:
-        advance += 0.25
+        # fractional advance is only legal when the final config keeps
+        # interpolation (a successful fixed-ratio reduction disables it)
+        from art_tpu.core.filters import plan_fixed_ratio
+        keeps_interp = (mode == 0) or bool(
+            plan_fixed_ratio(taps, filters, src, dst, lowpass, flags).flags
+            & SUBSAMPLE_INTERPOLATE)
+        if keeps_interp:
+            advance += 0.25
 
     compare_stream(golden_bin, chans=chans, taps=taps, filters=filters,
                    flags=flags, mode=mode, src=src, dst=dst,
