@@ -163,8 +163,16 @@ def extrapolate_forward(values: np.ndarray, num_to_extrapolate: int,
     dtype = values.dtype
     coeffs, _ = calc_lpc_coeffs(values, maxloops)
     rev = coeffs[::-1].copy()      # coeffs[N-1-c] ordering
-    src = np.concatenate([values[-NCOEFFS:].astype(dtype),
-                          np.zeros(num_to_extrapolate, dtype=dtype)])
+    # fewer than NCOEFFS history samples: the fit degenerates to the zero
+    # filter (values_rms accumulates over nvalues-NCOEFFS <= 0 terms in the
+    # reference, extrapolator.c:96-107), so the left padding is never
+    # weighted; predictions become -0.0 exactly like the reference's
+    # ``*dst++ = -sum`` with sum == 0
+    head = values[-NCOEFFS:].astype(dtype)
+    if head.size < NCOEFFS:
+        head = np.concatenate([np.zeros(NCOEFFS - head.size, dtype=dtype),
+                               head])
+    src = np.concatenate([head, np.zeros(num_to_extrapolate, dtype=dtype)])
     for i in range(num_to_extrapolate):
         window = src[i:i + NCOEFFS]
         if dtype == np.float32:

@@ -101,10 +101,14 @@ def test_fuzz_stream_parity(golden_bin, seed):
         if keeps_interp:
             advance += 0.25
 
+    # extrapolated endpoint samples can overshoot the noise amplitude, so
+    # the reference's float32 convolution noise is larger in the prefill
+    # region; scale the tolerance accordingly (still ~10 float32 ulps)
+    atol = 8e-7 if flags & EXTRAPOLATE_ENDPOINTS else 2e-7
     compare_stream(golden_bin, chans=chans, taps=taps, filters=filters,
                    flags=flags, mode=mode, src=src, dst=dst,
                    lowpass=lowpass, ratio=ratio, block=block,
-                   nblocks=nblocks, advance=advance, atol=2e-7)
+                   nblocks=nblocks, advance=advance, atol=atol)
 
 
 @pytest.mark.parametrize("outcap,block", [(37, 700), (128, 1000), (5, 260)])
@@ -284,10 +288,11 @@ def test_fuzz_stream_parity_f64(golden_bin64, seed):
         lowpass = 0.0
     advance = float(rng.integers(0, taps))
 
+    atol = 8e-12 if flags & EXTRAPOLATE_ENDPOINTS else 1e-12
     compare_stream(golden_bin64, chans=chans, taps=taps, filters=filters,
                    flags=flags, mode=mode, src=src, dst=dst,
                    lowpass=lowpass, ratio=ratio, block=block,
-                   nblocks=nblocks, advance=advance, atol=1e-12,
+                   nblocks=nblocks, advance=advance, atol=atol,
                    dtype=np.float64)
 
 
