@@ -350,3 +350,47 @@ def test_fuzz_checkpoint_resume(seed):
         np.concatenate([np.asarray(p1).reshape(-1),
                         np.asarray(p2).reshape(-1)]),
         np.asarray(full).reshape(-1))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_decimator_f64_bit_exact(golden_bin64, seed):
+    """Randomized float64 data-path decimation, bit-exact vs the strict
+    ART64 reference build across all three backends."""
+    from art_tpu.core.flags import (DITHER_FLAT, DITHER_HIGHPASS,
+                                    DITHER_LOWPASS, SHAPING_1ST_ORDER,
+                                    SHAPING_2ND_ORDER, SHAPING_3RD_ORDER,
+                                    SHAPING_ATH_CURVE)
+    from art_tpu.engines.decimator import Decimator
+    rng = np.random.default_rng(8000 + seed)
+    chans = int(rng.integers(1, 9))
+    bits = int(rng.integers(4, 25))
+    nbytes = (bits + 7) // 8 + (1 if rng.random() < 0.2 else 0)
+    gain = float(rng.uniform(0.5, 2.0))
+    rate = [32000, 44100, 48000, 88200, 96000, 37800][
+        int(rng.integers(0, 6))]
+    dither = [0, DITHER_HIGHPASS, DITHER_FLAT, DITHER_LOWPASS][
+        int(rng.integers(0, 4))]
+    shaping = [0, SHAPING_1ST_ORDER, SHAPING_2ND_ORDER, SHAPING_3RD_ORDER,
+               SHAPING_ATH_CURVE][int(rng.integers(0, 5))]
+    flags = dither | shaping
+    n, nblocks = int(rng.integers(100, 1200)), int(rng.integers(1, 4))
+    raw = subprocess.run(
+        [str(golden_bin64), "decimate", str(chans), str(bits), str(nbytes),
+         repr(gain), str(rate), format(flags, "x"), str(n), str(nblocks)],
+        capture_output=True, check=True).stdout
+    total = n * chans * nbytes * nblocks
+    ref = np.frombuffer(raw, dtype=np.uint8, count=total)
+    ref_clip = int(np.frombuffer(raw, dtype=np.uint32, count=1,
+                                 offset=total)[0])
+    backend = ["numpy", "native", "jax"][seed % 3]
+    d = Decimator(chans, bits, nbytes, gain, rate, flags, backend=backend,
+                  dtype=np.float64)
+    lcg = NoiseLCG()
+    mine, clip = [], 0
+    for _ in range(nblocks):
+        x = lcg.fill(n * chans, np.float64).reshape(n, chans)
+        pb, c = d.process_interleaved(x)
+        mine.append(pb.reshape(-1))
+        clip += c
+    np.testing.assert_array_equal(np.concatenate(mine), ref)
+    assert clip == ref_clip
