@@ -518,8 +518,11 @@ def main(argv=None) -> int:
         # reference-style one-liner instead of a traceback (art.c:521-571)
         print(f"\"{opt.infile}\" is {e}!", file=sys.stderr)
         return -1
-    except OSError:
-        print(f"can't open file \"{opt.infile}\"!", file=sys.stderr)
+    except OSError as e:
+        # report the path that actually failed (input open vs output
+        # open/write can both raise here)
+        path = e.filename if getattr(e, "filename", None) else opt.infile
+        print(f"can't open file \"{path}\"!", file=sys.stderr)
         return -1
 
 

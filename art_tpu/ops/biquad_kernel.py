@@ -54,6 +54,56 @@ def biquad_apply_buffer_assoc(biquad, buffer: np.ndarray) -> np.ndarray:
     return out[:, 0] if squeeze else out
 
 
+def assoc_core_masked(x, a, b, xh, yh, K):
+    """Pure masked associative-scan biquad for the fused device pipeline.
+
+    x [n, S] (rows at k >= K ignored); a/b [5]; xh/yh [4, S] newest-first.
+    Steps beyond K contribute identity transitions, so the filter state
+    advances by exactly K samples on ragged chunks.  Runs in float64
+    internally (see module docstring); returns (y [n, S] in x.dtype, zeroed
+    beyond K, and the newest-first xh'/yh' after K samples)."""
+    n, S = x.shape
+    dt = x.dtype
+    active = (jnp.arange(n, dtype=jnp.int32) < K)[:, None]
+    xm = jnp.where(active, x, 0).astype(jnp.float64)
+    a = jnp.asarray(a, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    xh = jnp.asarray(xh, jnp.float64)
+    yh = jnp.asarray(yh, jnp.float64)
+
+    xpad = jnp.concatenate([xh[::-1], xm], axis=0)
+    f = (a[0] * xpad[4:] + a[1] * xpad[3:-1] + a[2] * xpad[2:-2]
+         + a[3] * xpad[1:-3] + a[4] * xpad[:-4])
+    f = jnp.where(active, f, 0.0)
+
+    A = jnp.array([[0.0, 0.0, 0.0, 0.0],
+                   [1.0, 0.0, 0.0, 0.0],
+                   [0.0, 1.0, 0.0, 0.0],
+                   [0.0, 0.0, 1.0, 0.0]], dtype=jnp.float64)
+    A = A.at[0].set(jnp.stack([-b[1], -b[2], -b[3], -b[4]]))
+    eye = jnp.eye(4, dtype=jnp.float64)
+    Ms = jnp.where(active[:, :, None], A[None], eye[None])   # [n, 4, 4]
+    vs = jnp.zeros((n, S, 4), dtype=jnp.float64).at[:, :, 0].set(f)
+
+    def combine(left, right):
+        Ml, vl = left
+        Mr, vr = right
+        return (jnp.einsum("nij,njk->nik", Mr, Ml),
+                jnp.einsum("nij,ncj->nci", Mr, vl) + vr)
+
+    Mtot, vtot = jax.lax.associative_scan(combine, (Ms, vs), axis=0)
+    y = jnp.einsum("nij,cj->nci", Mtot, yh.T)[:, :, 0] + vtot[:, :, 0]
+    y = jnp.where(active, y, 0.0)
+
+    # state after exactly K samples: the last 4 valid x / y values
+    # (carry-in history covers K < 4)
+    jx = jnp.concatenate([xh[::-1], xm], axis=0)       # oldest..newest
+    jy = jnp.concatenate([yh[::-1], y], axis=0)
+    xh_n = jax.lax.dynamic_slice(jx, (K, jnp.int32(0)), (4, S))[::-1]
+    yh_n = jax.lax.dynamic_slice(jy, (K, jnp.int32(0)), (4, S))[::-1]
+    return y.astype(dt), xh_n, yh_n
+
+
 @jax.jit
 def _assoc_run(x, a, b, xh, yh):
     n, ch = x.shape

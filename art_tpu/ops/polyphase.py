@@ -75,11 +75,15 @@ def _jit_conv(L: int, M: int, S: int, dtype_name: str):
     @jax.jit
     def run(x, P):
         # x: [ch, xlen] with xlen == (nb-1)*M + S;  P: [L, S]
+        # precision pinned to HIGHEST: the TPU default is single-pass bf16,
+        # which silently costs ~90 dB of output SNR (same pin as streams.py
+        # and every other device contraction in the package)
         out = jax.lax.conv_general_dilated(
             x[:, None, :], P[:, None, :], window_strides=(M,),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
-            preferred_element_type=x.dtype)
+            preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST)
         # out: [ch, L, nb] -> [ch, nb*L] interleaving blocks
         ch, _, nb = out.shape
         return out.transpose(0, 2, 1).reshape(ch, nb * L)

@@ -37,18 +37,22 @@ from ..core.flags import HISTORY_MULTIPLE, validate_taps_filters
 
 @functools.partial(jax.jit, static_argnames=("num_taps", "num_filters",
                                              "k_max", "hist_len"))
-def _asrc_step(hist, x, bank, offsets, inv_ratios, Ks, shift, num_taps: int,
+def _asrc_step(hist, x, bank, offsets, ratios, Ks, shift, num_taps: int,
                num_filters: int, k_max: int, hist_len: int):
     """One batched ASRC chunk.  hist [S, H]; x [S, n]; offsets f64 [S];
-    inv_ratios f64 [S] (1/ratio); Ks i32 [S]; shift maps linear history
-    coordinates onto the device buffer (hist_len - valid_index).  Returns
-    (new_hist, out [S, k_max] with k >= Ks zeroed)."""
+    ratios f64 [S]; Ks i32 [S]; shift maps linear history coordinates onto
+    the device buffer (hist_len - valid_index).  Returns (new_hist,
+    out [S, k_max] with k >= Ks zeroed)."""
     S = x.shape[0]
     half = num_taps // 2
     buf = jnp.concatenate([hist, x], axis=1)
 
     k = jnp.arange(k_max, dtype=jnp.float64)
-    pos = offsets[:, None] + k[None, :] * inv_ratios[:, None]   # [S, K] f64
+    # positions use the same fl(offset + k/ratio) float sequence as the host
+    # emission accounting (division, not a reciprocal product): a last-ulp
+    # disagreement at a floor() boundary could otherwise pick a window one
+    # step off for a call's final emission
+    pos = offsets[:, None] + k[None, :] / ratios[:, None]       # [S, K] f64
     ipos = jnp.floor(pos)
     ff = (pos - ipos) * num_filters
     fi = jnp.floor(ff).astype(jnp.int32)
@@ -92,14 +96,14 @@ def _asrc_step(hist, x, bank, offsets, inv_ratios, Ks, shift, num_taps: int,
 @functools.partial(jax.jit, static_argnames=("num_taps", "num_filters",
                                               "k_max", "kp", "hist_len",
                                               "tp"))
-def _pallas_prologue(hist, x, offsets, inv_ratios, shift, num_taps: int,
+def _pallas_prologue(hist, x, offsets, ratios, shift, num_taps: int,
                      num_filters: int, k_max: int, kp: int, hist_len: int,
                      tp: int):
     """Device-side position decomposition for the pallas ASRC kernel.
 
     Generates [S, kp] window bases, phase indices, and lerp fractions from
-    the per-stream (offset, 1/ratio) scalars — float64 phase recurrence,
-    matching the reference's double bookkeeping — and pads the stream
+    the per-stream (offset, ratio) scalars — the same fl(offset + k/ratio)
+    float64 sequence as the host emission accounting — and pads the stream
     buffer so every superspan load stays in bounds."""
     S = x.shape[0]
     half = num_taps // 2
@@ -108,7 +112,7 @@ def _pallas_prologue(hist, x, offsets, inv_ratios, shift, num_taps: int,
     pad = (-(-(blen + tp + 128) // 128) * 128) - blen
     bufp = jnp.concatenate([buf, jnp.zeros((S, pad), dtype=x.dtype)], axis=1)
     k = jnp.arange(kp, dtype=jnp.float64)
-    pos = offsets[:, None] + k[None, :] * inv_ratios[:, None]
+    pos = offsets[:, None] + k[None, :] / ratios[:, None]
     ipos = jnp.floor(pos)
     ff = (pos - ipos) * num_filters
     fi = jnp.minimum(jnp.floor(ff), num_filters - 1).astype(jnp.int32)
@@ -211,7 +215,7 @@ class BatchedASRC:
         else:
             new_hist, out = _asrc_step(
                 self.hist, x, self._bank_dev, jnp.asarray(self.offsets),
-                jnp.asarray(1.0 / ratios), jnp.asarray(Ks),
+                jnp.asarray(ratios), jnp.asarray(Ks),
                 jnp.int32(self.num_samples - self.input_index),
                 self.num_taps, self.num_filters, k_max, self.num_samples)
         self.hist = new_hist
@@ -240,7 +244,7 @@ class BatchedASRC:
         kp = -(-k_max // kb) * kb
         bufp, base, fip, frp, new_hist = _pallas_prologue(
             self.hist, x, jnp.asarray(self.offsets),
-            jnp.asarray(1.0 / ratios), jnp.int32(shift),
+            jnp.asarray(ratios), jnp.int32(shift),
             self.num_taps, self.num_filters, k_max, kp, self.num_samples, tp)
         interpret = jax.default_backend() != "tpu"
         out = asrc_apply_pallas(bufp, self._bank_pallas, base, fip, frp,

@@ -1,0 +1,167 @@
+"""The production chunk pipeline, fused and shardable.
+
+One device step = resample (block-Toeplitz MXU matmuls, the production
+formulation from parallel/streams.py) -> TPDF dither (closed-form LCG,
+device uint32 math) -> noise-shaped quantization (lax.scan with the
+reference's float op order) -> little-endian byte packing, with streaming
+state (history, LCG states, shaper histories, error feedback) carried as
+pure inputs/outputs.  Bit-exactness of the quantization stages matches the
+host decimator (tests/test_pipeline.py); the resample stage sits at the f32
+matmul floor of the host engine like the rest of the device path.
+
+Multi-chip: ``make_sharded_step`` shard_maps the same math over a
+(streams x taps) mesh — streams (channels / concurrent clips / sessions)
+are data-parallel with no hot-path collectives; the polyphase contraction
+is tensor-parallel over its shift blocks with one psum; clip counts and
+output power reduce over the mesh like the reference's summed per-channel
+returns (reference decimator.c:114-149, resampler.c:441-484).  The same
+step with a 1x1 mesh is the single-device path, so sharded == single-device
+is testable directly (the TPU analog of the reference's
+threaded == unthreaded guarantee).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .._jaxinit import ensure_jax
+
+jax = ensure_jax()
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import decimate_device as dd
+
+
+def _resample_block(x, hist, P_local, start, K, *, M: int, L: int, nb: int,
+                    qn_pad: int, qn_local: int, hist_len: int, q0,
+                    taps_axis: str | None):
+    """Block-Toeplitz resample chunk over a local range of shift blocks.
+
+    Each taps-rank holds shift blocks [q0, q0 + qn_local) of the padded
+    [qn_pad * M, L] phase matrix and contracts them against its shifted
+    window views; the psum over ``taps_axis`` completes the dot (the
+    single-device caller passes taps_axis=None, q0=0, qn_local=qn_pad).
+    Returns (out [S, nb*L] masked beyond K, new_hist)."""
+    S = x.shape[0]
+    nbq = nb + qn_pad
+    xlen = nbq * M
+    buf = jnp.concatenate([hist, x], axis=1)
+    pad = jnp.zeros((S, xlen), dtype=x.dtype)
+    win = jax.lax.dynamic_slice(
+        jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
+        (S, xlen))
+    W2 = win.reshape(S, nbq, M)
+    P3 = P_local.reshape(qn_local, M, L)
+    out = None
+    for q in range(qn_local):
+        Wq = jax.lax.dynamic_slice(W2, (jnp.int32(0), q0 + q, jnp.int32(0)),
+                                   (S, nb, M))
+        part = jax.lax.dot_general(
+            Wq, P3[q], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+        out = part if out is None else out + part
+    if taps_axis is not None:
+        out = jax.lax.psum(out, taps_axis)
+    out = out.reshape(S, nb * L)
+    valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
+    out = out * valid[None, :]
+    new_hist = jax.lax.dynamic_slice(
+        buf, (0, buf.shape[1] - hist_len), (S, hist_len))
+    return out, new_hist
+
+
+def pipeline_chunk(x, hist, P_local, start, K, gens, fb, xh, yh,
+                   A, V0, V1, *, M: int, L: int, nb: int, qn_pad: int,
+                   qn_local: int, hist_len: int, scaler: float,
+                   highclip: int, lowclip: int, dither_type,
+                   shaper_a, shaper_b, output_bits: int, output_bytes: int,
+                   streams_axis: str | None = None,
+                   taps_axis: str | None = None):
+    """One full production chunk: resample -> dither -> shaped quantize ->
+    pack.  Pure; state flows through.  Returns
+    (packed u8 [nK, S*output_bytes], new_hist, new_gens, fb', xh', yh',
+     clips i32, power)."""
+    q0 = jnp.int32(0)
+    if taps_axis is not None:
+        q0 = jax.lax.axis_index(taps_axis).astype(jnp.int32) * qn_local
+    out, new_hist = _resample_block(
+        x, hist, P_local, start, K, M=M, L=L, nb=nb, qn_pad=qn_pad,
+        qn_local=qn_local, hist_len=hist_len, q0=q0, taps_axis=taps_axis)
+    nK = nb * L
+
+    dither = None
+    new_gens = gens
+    if dither_type is not None:
+        d, seq = dd.tpdf_dither_dev(gens, A, V0, V1, dither_type, nK)
+        new_gens = dd.advance_states(gens, seq, K)
+        dither = d.T                                       # [nK, S]
+
+    samples = out.T                                        # [nK, S]
+    if shaper_a is not None:
+        outv, clipf, fb, xh, yh = dd.quantize_shaped_dev(
+            samples, dither, scaler, fb, shaper_a, shaper_b, xh, yh,
+            K, highclip, lowclip)
+    else:
+        outv, clipf = dd.quantize_flat_dev(samples, dither, scaler, fb,
+                                           highclip, lowclip)
+        kmask = jnp.arange(nK, dtype=jnp.int32)[:, None] < K
+        outv = jnp.where(kmask, outv, 0)
+        clipf = clipf & kmask
+
+    clips = jnp.sum(clipf).astype(jnp.int32)
+    power = jnp.sum(out * out)
+    if streams_axis is not None:
+        clips = jax.lax.psum(clips, streams_axis)
+        power = jax.lax.psum(power, streams_axis)
+    packed = dd.pack_bytes_dev(outv, output_bits, output_bytes)
+    return packed, new_hist, new_gens, fb, xh, yh, clips, power
+
+
+def make_sharded_step(mesh: Mesh, *, M: int, L: int, nb: int, qn: int,
+                      hist_len: int, scaler: float, highclip: int,
+                      lowclip: int, dither_type=-1, shaper_a=None,
+                      shaper_b=None, output_bits: int = 16,
+                      output_bytes: int = 2):
+    """Jitted multi-device production step over a (streams x taps) mesh.
+
+    Global input shapes: x [S, n], hist [S, hist_len], Pmat [qn_pad*M, L]
+    (qn padded up to a taps-axis multiple; pad rows are zero), start/K
+    scalars, gens u32 [S], fb [S], xh/yh [4, S], A/V0/V1 u32 [5*nb*L].
+    """
+    ntap = mesh.shape["taps"]
+    qn_pad = -(-qn // ntap) * ntap
+    qn_local = qn_pad // ntap
+    kw = dict(M=M, L=L, nb=nb, qn_pad=qn_pad, qn_local=qn_local,
+              hist_len=hist_len, scaler=scaler, highclip=highclip,
+              lowclip=lowclip, dither_type=dither_type, shaper_a=shaper_a,
+              shaper_b=shaper_b, output_bits=output_bits,
+              output_bytes=output_bytes, streams_axis="streams",
+              taps_axis="taps")
+
+    def step(x, hist, Pmat, start, K, gens, fb, xh, yh, A, V0, V1):
+        return pipeline_chunk(x, hist, Pmat, start, K, gens, fb, xh, yh,
+                              A, V0, V1, **kw)
+
+    mapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("streams", None), P("streams", None), P("taps", None),
+                  P(), P(), P("streams"), P("streams"), P(None, "streams"),
+                  P(None, "streams"), P(), P(), P()),
+        out_specs=(P(None, "streams"), P("streams", None), P("streams"),
+                   P("streams"), P(None, "streams"), P(None, "streams"),
+                   P(), P()),
+        check_rep=False)
+    return jax.jit(mapped)
+
+
+def pad_phase_matrix(Pmat: np.ndarray, M: int, L: int, qn: int,
+                     qn_pad: int, dtype) -> np.ndarray:
+    """Zero-pad a [<=qn*M, L] phase matrix to [qn_pad*M, L]."""
+    out = np.zeros((qn_pad * M, L), dtype=dtype)
+    out[:Pmat.shape[0], :] = Pmat
+    return out

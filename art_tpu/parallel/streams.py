@@ -102,11 +102,9 @@ def _chunk_step2(hist, x1, x2, P1, P2, start1, start2, K1, K2, acc,
     return hist, out1, out2, acc
 
 
-@functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len"))
-def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
+def _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
                        nb: int, qn: int, hist_len: int):
-    """Interpolated fixed-rational chunk step: P2 stacks the two adjacent
+    """Interpolated fixed-rational chunk body: P2 stacks the two adjacent
     phase banks ([qn*M, 2L]); the per-phase lerp fractions broadcast over
     output blocks (reference subsample_interpolate, resampler.c:1147-1157,
     factored dot-then-lerp)."""
@@ -136,6 +134,15 @@ def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
     new_hist = jax.lax.dynamic_slice(
         buf, (0, buf.shape[1] - hist_len), (ch, hist_len))
     return new_hist, out, acc
+
+
+@functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
+                                             "hist_len"))
+def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
+                       nb: int, qn: int, hist_len: int):
+    """One fused interpolated streaming step (see _chunk_body_interp)."""
+    return _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M, L, nb,
+                              qn, hist_len)
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "L", "T"))
@@ -261,7 +268,8 @@ class DeviceStreamResampler:
             self._mats[j0] = m
         return m
 
-    def _plan(self, n_in: int):
+    def _plan_compute(self, n_in: int):
+        """Pure consume/emit plan for a chunk: no state is mutated."""
         n_out_cap = int((n_in + self.num_taps) * self.fixed_ratio) + 64
         plan = accounting.plan_process(
             output_offset=self.output_offset, input_index=self.input_index,
@@ -282,6 +290,14 @@ class DeviceStreamResampler:
                 j0 -= self.L
         half = self.num_taps // 2
         start = (ipos0 - half + 1) + (self.num_samples - self.input_index)
+        return K, start, j0, pos0, plan
+
+    def peek_output(self, n_in: int) -> int:
+        """Outputs the next process(n_in) call would emit (state untouched)."""
+        return self._plan_compute(n_in)[0]
+
+    def _plan(self, n_in: int):
+        K, start, j0, pos0, plan = self._plan_compute(n_in)
         # adopt the plan's state advance verbatim: it reproduces the
         # reference's ring-slide arithmetic exactly, so emission-count
         # comparisons can never diverge from the host engine at float ties
@@ -457,13 +473,15 @@ class HybridStreamResampler:
             return self.host.process_interleaved(data, n_in, n_out, ratio)
         if not self._on_device:
             self._push()
-        x = jnp.asarray(np.ascontiguousarray(np.asarray(data).T))
-        out_dev, K = self.dev.process(x, n_in)
-        if K > n_out:
-            # undersized caller buffer: redo on host with its partial-
-            # consumption semantics (never happens with the CLI's sizing)
+        if self.dev.peek_output(n_in) > n_out:
+            # undersized caller buffer: route to the host engine (which has
+            # the partial-consumption semantics) BEFORE any state is
+            # mutated — planning first avoids the chunk being consumed by
+            # the device and then re-processed on host
             self._pull()
             return self.host.process_interleaved(data, n_in, n_out, ratio)
+        x = jnp.asarray(np.ascontiguousarray(np.asarray(data).T))
+        out_dev, K = self.dev.process(x, n_in)
         out = np.ascontiguousarray(np.asarray(out_dev)[:, :K].T)
         from ..engines.resampler import ResampleResult
         return out, ResampleResult(input_used=n_in, output_generated=K)

@@ -111,6 +111,53 @@ def test_dryrun_multichip(n_devices):
     g.dryrun_multichip(n_devices)
 
 
+def _clean_env(repo):
+    import os
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def test_dryrun_multichip_standalone_like_driver():
+    """The hook must bootstrap its own virtual 8-device mesh in a fresh
+    process with NO pre-forced device flags — exactly how the driver calls
+    it (round-1 failure mode: MULTICHIP_r01 ok=false)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('ok')"],
+        env=_clean_env(repo), cwd=str(repo), capture_output=True, text=True,
+        timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ok" in r.stdout
+
+
+def test_dryrun_multichip_after_jax_initialized():
+    """When jax is already bound to a too-small backend (the driver may
+    compile-check entry() on the single real chip first), the hook must
+    still succeed via its clean-subprocess fallback."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    repo = Path(__file__).resolve().parent.parent
+    script = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) < 8\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('ok')\n")
+    r = subprocess.run([sys.executable, "-c", script],
+                       env=_clean_env(repo), cwd=str(repo),
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ok" in r.stdout
+
+
 def test_sharded_pipeline_matches_single_device():
     """Sharded (streams x taps) result must equal the unsharded math — the
     TPU analog of the reference's threaded-vs-unthreaded A/B."""
