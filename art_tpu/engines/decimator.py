@@ -135,6 +135,13 @@ class Decimator:
             if native.available():
                 gens = self.tpdf_generators \
                     if self.flags & DITHER_ENABLED else None
+                fused = native.quantize_pack(
+                    np.ascontiguousarray(frames), self.scaler, self.feedback,
+                    gens, self.dither_type, self.noise_shaper,
+                    self.highclip, self.lowclip, self.output_bits,
+                    self.output_bytes)
+                if fused is not None:
+                    return fused
                 outv, clipped = native.quantize(
                     np.ascontiguousarray(frames), self.scaler, self.feedback,
                     gens, self.dither_type, self.noise_shaper,

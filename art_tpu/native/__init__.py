@@ -16,7 +16,14 @@ import numpy as np
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "artnative.cpp"
 _LIB = _HERE / "libartnative.so"
-_CXXFLAGS = ["-O2", "-ffp-contract=off", "-fPIC", "-shared", "-std=c++17"]
+# -O3 is IEEE-safe here (no -ffast-math/-fassociative-math; contraction off):
+# it buys loop unswitching of the dither/shaper branches without changing
+# any rounding, so bit-parity with the reference data paths is preserved.
+# -mavx2 matches the reference build's ISA (reference Makefile:10); VEX
+# 3-operand encoding shaves register moves without touching FP semantics
+# (-ffp-contract=off still forbids FMA contraction).
+_CXXFLAGS = ["-O3", "-mavx2", "-ffp-contract=off", "-fPIC", "-shared",
+             "-std=c++17"]
 
 _lib = None
 _tried = False
@@ -50,6 +57,16 @@ def _load():
     lib.art_quantize_f64.argtypes = [
         f64p, ll, ctypes.c_int, ctypes.c_double, f64p, u32p, ctypes.c_int,
         f64p, f64p, f64p, f64p, ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.art_quantize_pack_f32.restype = ll
+    lib.art_quantize_pack_f32.argtypes = [
+        f32p, ll, ctypes.c_int, ctypes.c_float, f32p, u32p, ctypes.c_int,
+        f32p, f32p, f32p, f32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int, ctypes.c_int, i8p]
+    lib.art_quantize_pack_f64.restype = ll
+    lib.art_quantize_pack_f64.argtypes = [
+        f64p, ll, ctypes.c_int, ctypes.c_double, f64p, u32p, ctypes.c_int,
+        f64p, f64p, f64p, f64p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int, ctypes.c_int, i8p]
     lib.art_biquad_buffer_f32.restype = None
     lib.art_biquad_buffer_f32.argtypes = [f32p, ll, ctypes.c_int, f32p, f32p,
                                           f32p, f32p]
@@ -118,6 +135,52 @@ def quantize(frames: np.ndarray, scaler, feedback: np.ndarray,
     if shaper is not None:
         shaper.xh, shaper.yh = xh, yh
     return outv, int(clipped)
+
+
+def quantize_pack(frames: np.ndarray, scaler, feedback: np.ndarray,
+                  gens: np.ndarray | None, dither_type: int, shaper,
+                  highclip: int, lowclip: int, output_bits: int,
+                  output_bytes: int):
+    """Fused shaped/dithered quantization + LE byte pack (single pass).
+    Mutates feedback/gens/shaper state in place.  Returns (packed uint8
+    [n, ch*output_bytes], clipped count), or None for unspecialized channel
+    counts (caller should use quantize + pack_le)."""
+    lib = _load()
+    n, ch = frames.shape
+    if ch not in (1, 2, 6):
+        return None
+    dt = frames.dtype
+    out = np.empty(n * ch * output_bytes, dtype=np.uint8)
+    frames = np.ascontiguousarray(frames)
+    if shaper is not None:
+        a = np.ascontiguousarray(shaper.a, dtype=dt)
+        b = np.ascontiguousarray(shaper.b, dtype=dt)
+        xh = np.ascontiguousarray(shaper.xh, dtype=dt)
+        yh = np.ascontiguousarray(shaper.yh, dtype=dt)
+    fb = np.ascontiguousarray(feedback, dtype=dt)
+
+    if dt == np.float32:
+        fn, ct = lib.art_quantize_pack_f32, ctypes.c_float
+    else:
+        fn, ct = lib.art_quantize_pack_f64, ctypes.c_double
+    null = ctypes.POINTER(ct)()
+    clipped = fn(
+        _ptr(frames, ct), n, ch, dt.type(scaler), _ptr(fb, ct),
+        _ptr(gens, ctypes.c_uint32) if gens is not None
+        else ctypes.POINTER(ctypes.c_uint32)(),
+        dither_type,
+        _ptr(a, ct) if shaper is not None else null,
+        _ptr(b, ct) if shaper is not None else null,
+        _ptr(xh, ct) if shaper is not None else null,
+        _ptr(yh, ct) if shaper is not None else null,
+        highclip, lowclip, output_bits, output_bytes,
+        _ptr(out, ctypes.c_uint8))
+    if clipped < 0:
+        return None
+    feedback[:] = fb
+    if shaper is not None:
+        shaper.xh, shaper.yh = xh, yh
+    return out.reshape(n, ch * output_bytes), int(clipped)
 
 
 def biquad_buffer(biquad, buffer: np.ndarray) -> np.ndarray:

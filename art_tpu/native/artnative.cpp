@@ -55,7 +55,8 @@ static inline double tpdf_draw(uint32_t *state, int type) {
 // outv:      [n, ch] quantized values (pre-packing, post-clip)
 // returns:   clipped-sample count
 template <typename S>
-static long long quantize_run(const S *in, long long n, int ch, S scaler,
+static long long quantize_run_generic(const S *in, long long n, int ch,
+                              S scaler,
                               S *feedback, uint32_t *gens, int dither_type,
                               const S *a, const S *b, S *xh, S *yh,
                               int32_t highclip, int32_t lowclip,
@@ -109,6 +110,253 @@ static long long quantize_run(const S *in, long long n, int ch, S scaler,
         }
     }
     return clipped;
+}
+
+// Register-resident specialization for small channel counts (CH known at
+// compile time, dither/shaping presence as template flags): all recurrence
+// state lives in locals, the arithmetic order is identical to the generic
+// loop above, so outputs stay bit-exact.
+template <typename S, int CH, bool DITHER, bool SHAPE>
+static long long quantize_run_smallch(const S *in, long long n, S scaler,
+                              S *feedback, uint32_t *gens, int dither_type,
+                              const S *a, const S *b, S *xh, S *yh,
+                              int32_t highclip, int32_t lowclip,
+                              int32_t *outv) {
+    long long clipped = 0;
+    uint32_t g[CH];
+    S fb[CH], x1[CH], x2[CH], x3[CH], x4[CH], y1[CH], y2[CH], y3[CH], y4[CH];
+    S a0 = 0, a1 = 0, a2 = 0, a3 = 0, a4 = 0, b1 = 0, b2 = 0, b3 = 0, b4 = 0;
+    if (SHAPE) {
+        a0 = a[0]; a1 = a[1]; a2 = a[2]; a3 = a[3]; a4 = a[4];
+        b1 = b[1]; b2 = b[2]; b3 = b[3]; b4 = b[4];
+    }
+    for (int c = 0; c < CH; ++c) {
+        if (DITHER) g[c] = gens[c];
+        fb[c] = feedback[c];
+        if (SHAPE) {
+            // caller layout is newest-first: slot k = lag k+1; x4 is the
+            // newest (lag 1), x1 the oldest (lag 4)
+            x4[c] = xh[0 * CH + c]; x3[c] = xh[1 * CH + c];
+            x2[c] = xh[2 * CH + c]; x1[c] = xh[3 * CH + c];
+            y4[c] = yh[0 * CH + c]; y3[c] = yh[1 * CH + c];
+            y2[c] = yh[2 * CH + c]; y1[c] = yh[3 * CH + c];
+        }
+    }
+    for (long long i = 0; i < n; ++i) {
+        for (int c = 0; c < CH; ++c) {
+            double dither = DITHER ? tpdf_draw(&g[c], dither_type) : 0.0;
+            S code = (S)(in[i * CH + c] * scaler) - fb[c];
+            double t = (double)(S)(code + (S)dither) + 0.5;
+            int32_t q = (int32_t)std::floor(t);
+            if (SHAPE) {
+                S err = (S)((S)q - code);
+                S s = (S)(err * a0);
+                s = (S)(s + (S)((S)(x1[c] * a4) - (S)(b4 * y1[c])));
+                s = (S)(s + (S)((S)(x2[c] * a3) - (S)(b3 * y2[c])));
+                s = (S)(s + (S)((S)(x3[c] * a2) - (S)(b2 * y3[c])));
+                s = (S)(s + (S)((S)(x4[c] * a1) - (S)(b1 * y4[c])));
+                x1[c] = x2[c]; x2[c] = x3[c]; x3[c] = x4[c]; x4[c] = err;
+                y1[c] = y2[c]; y2[c] = y3[c]; y3[c] = y4[c]; y4[c] = s;
+                fb[c] = s;
+            }
+            if (q > highclip) { q = highclip; ++clipped; }
+            else if (q < lowclip) { q = lowclip; ++clipped; }
+            outv[i * CH + c] = q;
+        }
+    }
+    for (int c = 0; c < CH; ++c) {
+        if (DITHER) gens[c] = g[c];
+        feedback[c] = fb[c];
+        if (SHAPE) {
+            // newest-first layout the caller persists: slot k = lag k
+            xh[0 * CH + c] = x4[c]; xh[1 * CH + c] = x3[c];
+            xh[2 * CH + c] = x2[c]; xh[3 * CH + c] = x1[c];
+            yh[0 * CH + c] = y4[c]; yh[1 * CH + c] = y3[c];
+            yh[2 * CH + c] = y2[c]; yh[3 * CH + c] = y1[c];
+        }
+    }
+    return clipped;
+}
+
+template <typename S, int CH>
+static long long quantize_run_ch(const S *in, long long n, S scaler,
+                              S *feedback, uint32_t *gens, int dither_type,
+                              const S *a, const S *b, S *xh, S *yh,
+                              int32_t highclip, int32_t lowclip,
+                              int32_t *outv) {
+    if (gens && a)
+        return quantize_run_smallch<S, CH, true, true>(
+            in, n, scaler, feedback, gens, dither_type, a, b, xh, yh,
+            highclip, lowclip, outv);
+    if (gens)
+        return quantize_run_smallch<S, CH, true, false>(
+            in, n, scaler, feedback, gens, dither_type, a, b, xh, yh,
+            highclip, lowclip, outv);
+    if (a)
+        return quantize_run_smallch<S, CH, false, true>(
+            in, n, scaler, feedback, gens, dither_type, a, b, xh, yh,
+            highclip, lowclip, outv);
+    return quantize_run_smallch<S, CH, false, false>(
+        in, n, scaler, feedback, gens, dither_type, a, b, xh, yh,
+        highclip, lowclip, outv);
+}
+
+template <typename S>
+static long long quantize_run(const S *in, long long n, int ch, S scaler,
+                              S *feedback, uint32_t *gens, int dither_type,
+                              const S *a, const S *b, S *xh, S *yh,
+                              int32_t highclip, int32_t lowclip,
+                              int32_t *outv) {
+    switch (ch) {
+    case 1: return quantize_run_ch<S, 1>(in, n, scaler, feedback, gens,
+                        dither_type, a, b, xh, yh, highclip, lowclip, outv);
+    case 2: return quantize_run_ch<S, 2>(in, n, scaler, feedback, gens,
+                        dither_type, a, b, xh, yh, highclip, lowclip, outv);
+    case 6: return quantize_run_ch<S, 6>(in, n, scaler, feedback, gens,
+                        dither_type, a, b, xh, yh, highclip, lowclip, outv);
+    default:
+        return quantize_run_generic(in, n, ch, scaler, feedback, gens,
+                        dither_type, a, b, xh, yh, highclip, lowclip, outv);
+    }
+}
+
+// Fused quantize + little-endian pack: one pass over the samples, like the
+// reference's decimateProcessLE loop (reference decimator.c:152-194), so the
+// intermediate int32 values never round-trip through memory.
+template <typename S, int CH, bool DITHER, bool SHAPE>
+static long long quantize_pack_smallch(const S *in, long long n, S scaler,
+                              S *feedback, uint32_t *gens, int dither_type,
+                              const S *a, const S *b, S *xh, S *yh,
+                              int32_t highclip, int32_t lowclip,
+                              int output_bits, int output_bytes,
+                              uint8_t *out) {
+    long long clipped = 0;
+    const int pre = output_bytes - ((output_bits + 7) / 8);
+    const int shift = (24 - output_bits) % 8;
+    const int32_t offset = (output_bits <= 8) ? 128 : 0;
+    uint32_t g[CH];
+    S fb[CH], x1[CH], x2[CH], x3[CH], x4[CH], y1[CH], y2[CH], y3[CH], y4[CH];
+    S a0 = 0, a1 = 0, a2 = 0, a3 = 0, a4 = 0, b1 = 0, b2 = 0, b3 = 0, b4 = 0;
+    if (SHAPE) {
+        a0 = a[0]; a1 = a[1]; a2 = a[2]; a3 = a[3]; a4 = a[4];
+        b1 = b[1]; b2 = b[2]; b3 = b[3]; b4 = b[4];
+    }
+    for (int c = 0; c < CH; ++c) {
+        if (DITHER) g[c] = gens[c];
+        fb[c] = feedback[c];
+        if (SHAPE) {
+            x4[c] = xh[0 * CH + c]; x3[c] = xh[1 * CH + c];
+            x2[c] = xh[2 * CH + c]; x1[c] = xh[3 * CH + c];
+            y4[c] = yh[0 * CH + c]; y3[c] = yh[1 * CH + c];
+            y2[c] = yh[2 * CH + c]; y1[c] = yh[3 * CH + c];
+        }
+    }
+    uint8_t *p = out;
+    for (long long i = 0; i < n; ++i) {
+        for (int c = 0; c < CH; ++c) {
+            double dither = DITHER ? tpdf_draw(&g[c], dither_type) : 0.0;
+            S code = (S)(in[i * CH + c] * scaler) - fb[c];
+            double t = (double)(S)(code + (S)dither) + 0.5;
+            int32_t q = (int32_t)std::floor(t);
+            if (SHAPE) {
+                S err = (S)((S)q - code);
+                S s = (S)(err * a0);
+                s = (S)(s + (S)((S)(x1[c] * a4) - (S)(b4 * y1[c])));
+                s = (S)(s + (S)((S)(x2[c] * a3) - (S)(b3 * y2[c])));
+                s = (S)(s + (S)((S)(x3[c] * a2) - (S)(b2 * y3[c])));
+                s = (S)(s + (S)((S)(x4[c] * a1) - (S)(b1 * y4[c])));
+                x1[c] = x2[c]; x2[c] = x3[c]; x3[c] = x4[c]; x4[c] = err;
+                y1[c] = y2[c]; y2[c] = y3[c]; y3[c] = y4[c]; y4[c] = s;
+                fb[c] = s;
+            }
+            if (q > highclip) { q = highclip; ++clipped; }
+            else if (q < lowclip) { q = lowclip; ++clipped; }
+            for (int j = 0; j < pre; ++j) *p++ = 0;
+            uint32_t v = ((uint32_t)q << shift) + (uint32_t)offset;
+            *p++ = (uint8_t)v;
+            if (output_bits > 8) {
+                *p++ = (uint8_t)(v >> 8);
+                if (output_bits > 16)
+                    *p++ = (uint8_t)(v >> 16);
+            }
+        }
+    }
+    for (int c = 0; c < CH; ++c) {
+        if (DITHER) gens[c] = g[c];
+        feedback[c] = fb[c];
+        if (SHAPE) {
+            xh[0 * CH + c] = x4[c]; xh[1 * CH + c] = x3[c];
+            xh[2 * CH + c] = x2[c]; xh[3 * CH + c] = x1[c];
+            yh[0 * CH + c] = y4[c]; yh[1 * CH + c] = y3[c];
+            yh[2 * CH + c] = y2[c]; yh[3 * CH + c] = y1[c];
+        }
+    }
+    return clipped;
+}
+
+template <typename S, int CH>
+static long long quantize_pack_ch(const S *in, long long n, S scaler,
+                              S *feedback, uint32_t *gens, int dither_type,
+                              const S *a, const S *b, S *xh, S *yh,
+                              int32_t highclip, int32_t lowclip,
+                              int obits, int obytes, uint8_t *out) {
+    if (gens && a)
+        return quantize_pack_smallch<S, CH, true, true>(in, n, scaler,
+            feedback, gens, dither_type, a, b, xh, yh, highclip, lowclip,
+            obits, obytes, out);
+    if (gens)
+        return quantize_pack_smallch<S, CH, true, false>(in, n, scaler,
+            feedback, gens, dither_type, a, b, xh, yh, highclip, lowclip,
+            obits, obytes, out);
+    if (a)
+        return quantize_pack_smallch<S, CH, false, true>(in, n, scaler,
+            feedback, gens, dither_type, a, b, xh, yh, highclip, lowclip,
+            obits, obytes, out);
+    return quantize_pack_smallch<S, CH, false, false>(in, n, scaler,
+        feedback, gens, dither_type, a, b, xh, yh, highclip, lowclip,
+        obits, obytes, out);
+}
+
+template <typename S>
+static long long quantize_pack(const S *in, long long n, int ch, S scaler,
+                              S *feedback, uint32_t *gens, int dither_type,
+                              const S *a, const S *b, S *xh, S *yh,
+                              int32_t highclip, int32_t lowclip,
+                              int obits, int obytes, uint8_t *out) {
+    switch (ch) {
+    case 1: return quantize_pack_ch<S, 1>(in, n, scaler, feedback, gens,
+                dither_type, a, b, xh, yh, highclip, lowclip, obits, obytes,
+                out);
+    case 2: return quantize_pack_ch<S, 2>(in, n, scaler, feedback, gens,
+                dither_type, a, b, xh, yh, highclip, lowclip, obits, obytes,
+                out);
+    case 6: return quantize_pack_ch<S, 6>(in, n, scaler, feedback, gens,
+                dither_type, a, b, xh, yh, highclip, lowclip, obits, obytes,
+                out);
+    }
+    return -1;      // caller falls back to quantize + pack_le
+}
+
+extern "C" long long art_quantize_pack_f32(const float *in, long long n,
+                           int ch, float scaler, float *feedback,
+                           uint32_t *gens, int dither_type, const float *a,
+                           const float *b, float *xh, float *yh,
+                           int32_t highclip, int32_t lowclip, int obits,
+                           int obytes, uint8_t *out) {
+    return quantize_pack<float>(in, n, ch, scaler, feedback, gens,
+                                dither_type, a, b, xh, yh, highclip,
+                                lowclip, obits, obytes, out);
+}
+
+extern "C" long long art_quantize_pack_f64(const double *in, long long n,
+                           int ch, double scaler, double *feedback,
+                           uint32_t *gens, int dither_type, const double *a,
+                           const double *b, double *xh, double *yh,
+                           int32_t highclip, int32_t lowclip, int obits,
+                           int obytes, uint8_t *out) {
+    return quantize_pack<double>(in, n, ch, scaler, feedback, gens,
+                                 dither_type, a, b, xh, yh, highclip,
+                                 lowclip, obits, obytes, out);
 }
 
 extern "C" long long art_quantize_f32(const float *in, long long n, int ch,

@@ -20,6 +20,7 @@ def art64_ref():
         pytest.skip("reference unavailable")
     out = Path("/tmp/art_golden/art64_ref")
     if not out.exists():
+        out.parent.mkdir(exist_ok=True)
         srcs = [REF / s for s in ["art.c", "stretch.c", "resampler.c",
                                   "extrapolator.c", "decimator.c",
                                   "workers.c", "biquad.c"]]
