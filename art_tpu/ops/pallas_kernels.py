@@ -135,6 +135,190 @@ def _call(S, B, K, tp, kb, grid, scalar_spec, base, fi, frac, buf, bank,
     return out.transpose(0, 2, 1).reshape(S, K)
 
 
+# ------------------------------------------------------- dense ASRC kernel
+#
+# v2 of the ASRC kernel.  The v1 kernel above is per-output: every output
+# pays a sublane-1 span load + roll + two sublane-1 bank-row loads, so it is
+# issue-bound at ~1/8 vector density.  This kernel is full-density: all
+# per-output irregularity is expressed through the two Mosaic dynamic_gather
+# forms (sublane-gather from an 8-row table at any width; lane-gather within
+# 128-lane vreg blocks at any height) plus one tiny MXU matmul, so every op
+# works on full vregs.  Measured 3.5x the v1 kernel on the same chip/day
+# (tools/exp_asrc_v3.py).
+#
+# Per (8-stream block, 128-output tile), for each stream j:
+#   seg       = buf[j, tb : tb + SEGL]          (tb lane-aligned, from SMEM)
+#   segshift  = 8 static slices seg[128c : 128c + TP+128]        [8, TP+128]
+#   coarse    = onehot(rel >> 7) @ segshift   (MXU, K=8)       [128, TP+128]
+#   win       = per-128-lane-block lane-gathers by rel & 127
+#               + boundary selects                                 [128, TP]
+#   F1/F2     = lane-gathers from the transposed bank (lanes = phases,
+#               NC 128-lane blocks, NC-deep select); the fi+1 row comes from
+#               a pre-shifted second table so index/masks are shared
+#   out[j]    = sublane-sum(win.T * (F1 (1-frac) + F2 frac))
+#
+# The fractional read positions are the same fl(offset + fl(k/ratio))
+# float64 sequence as the host accounting (reference resampler.c:526);
+# the f64 prologue, window-base tiling and validity masking are fused into
+# the same jit (asrc_step_dense) so a process() call is one dispatch.
+
+_KB = 128       # outputs per (stream, tile)
+
+
+def _dense_windows(seg, rel_col, lane128, lane8, tp: int):
+    """seg [1, SEGL], rel_col [KB, 1] i32 -> win [KB, tp], row r =
+    seg[rel_r : rel_r + tp] (rel <= SEGL - tp - 1 enforced upstream)."""
+    sw = tp + 128
+    nshift = (seg.shape[1] - sw) // 128 + 1
+    segshift = jnp.concatenate(
+        [seg[:, 128 * c:128 * c + sw] for c in range(min(nshift, 8))]
+        + [seg[:, :sw]] * max(0, 8 - nshift), axis=0)       # [8, tp+128]
+    a = jax.lax.shift_right_logical(rel_col, 7)             # [KB, 1]
+    onehot = (a == lane8).astype(seg.dtype)                 # [KB, 8]
+    coarse = jax.lax.dot_general(
+        onehot, segshift, (((1,), (0,)), ((), ())),
+        preferred_element_type=seg.dtype,
+        precision=jax.lax.Precision.HIGHEST)                # [KB, tp+128]
+    b = jnp.bitwise_and(rel_col, 127)                       # [KB, 1]
+    idxf = jnp.bitwise_and(b + lane128, 127)                # [KB, 128]
+    nu = tp // 128
+    g = [jnp.take_along_axis(coarse[:, 128 * u:128 * (u + 1)], idxf, axis=1,
+                             mode="promise_in_bounds") for u in range(nu + 1)]
+    mask = lane128 < (128 - b)
+    return jnp.concatenate(
+        [jnp.where(mask, g[u], g[u + 1]) for u in range(nu)], axis=1)
+
+
+def _dense_bank_rows(bankT, idx, masks):
+    """bankT [tp, NC*128] (lanes = phases) -> [tp, KB] selected rows."""
+    tp = bankT.shape[0]
+    nc = bankT.shape[1] // 128
+    parts = [jnp.take_along_axis(bankT[:, 128 * u:128 * (u + 1)], idx,
+                                 axis=1, mode="promise_in_bounds")
+             for u in range(nc)]
+    out = parts[nc - 1]
+    for u in range(nc - 2, -1, -1):
+        out = jnp.where(masks[u], parts[u], out)
+    return out
+
+
+def _asrc_dense_kernel(relT_ref, fi_ref, frac_ref, buf_ref, tb_ref,
+                       bankT_ref, bankT2_ref, out_ref, *, tp: int,
+                       segl: int):
+    t = pl.program_id(0)
+    nc = bankT_ref.shape[1] // 128
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (_KB, 128), 1)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (_KB, 8), 1)
+    for j in range(8):
+        start = pl.multiple_of(tb_ref[j, t], 128)
+        seg = buf_ref[pl.ds(j, 1), pl.ds(start, segl)]
+        rel_col = relT_ref[0, 0, :, j:j + 1]                # [KB, 1]
+        win = _dense_windows(seg, rel_col, lane128, lane8, tp)
+        winT = win.T                                        # [tp, KB]
+        fi_row = fi_ref[0, j:j + 1, :]                      # [1, KB]
+        c = jax.lax.shift_right_logical(fi_row, 7)
+        idx = jnp.broadcast_to(jnp.bitwise_and(fi_row, 127), (tp, _KB))
+        masks = [jnp.broadcast_to(c == u, (tp, _KB)) for u in range(nc - 1)]
+        f1 = _dense_bank_rows(bankT_ref[:, :], idx, masks)
+        f2 = _dense_bank_rows(bankT2_ref[:, :], idx, masks)
+        fr = frac_ref[0, j:j + 1, :]                        # [1, KB]
+        w = f1 * (1.0 - fr) + f2 * fr                       # [tp, KB]
+        out_ref[0, j:j + 1, :] = jnp.sum(winT * w, axis=0, keepdims=True)
+
+
+def dense_bank_tables(bank: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Transpose the [F+1, taps] phase bank into the two lane-padded tables
+    the dense kernel gathers from: bankT[t, f] = bank[f, t] and
+    bankT2[t, f] = bank[f+1, t] (so the fi+1 row shares fi's gather index).
+    Taps pad to a 128 multiple, phases to a 128 multiple."""
+    fp1, taps = bank.shape
+    tp = -(-taps // 128) * 128
+    nc = -(-fp1 // 128)
+    bankT = np.zeros((tp, nc * 128), dtype=bank.dtype)
+    bankT2 = np.zeros((tp, nc * 128), dtype=bank.dtype)
+    bankT[:taps, :fp1] = bank.T
+    bankT2[:taps, :fp1 - 1] = bank[1:].T
+    return bankT, bankT2
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_taps", "num_filters", "k_max", "kp", "hist_len", "tp", "segl",
+    "interpret"))
+def asrc_step_dense(hist, x, bankT, bankT2, offsets, ratios, Ks, shift,
+                    num_taps: int, num_filters: int, k_max: int, kp: int,
+                    hist_len: int, tp: int, segl: int,
+                    interpret: bool = False):
+    """One fused batched-ASRC chunk on the dense kernel: f64 position
+    prologue + window-base tiling + pallas call + validity mask, one
+    dispatch.  hist [S, H]; x [S, n]; offsets/ratios f64 [S]; Ks i32 [S];
+    kp = k_max padded to a _KB multiple.  Returns (new_hist, out [S, k_max])
+    with k >= Ks zeroed."""
+    S = x.shape[0]
+    half = num_taps // 2
+    buf = jnp.concatenate([hist, x], axis=1)
+    blen = buf.shape[1]
+    pad = (-(-(blen + segl + 128) // 128) * 128) - blen
+    bufp = jnp.concatenate([buf, jnp.zeros((S, pad), dtype=x.dtype)], axis=1)
+
+    # the same fl(offset + fl(k/ratio)) float64 sequence as the host
+    # emission accounting (advisor round-1: division, not reciprocal)
+    k = jnp.arange(kp, dtype=jnp.float64)
+    pos = offsets[:, None] + k[None, :] / ratios[:, None]
+    ipos = jnp.floor(pos)
+    ff = (pos - ipos) * num_filters
+    fi = jnp.minimum(jnp.floor(ff), num_filters - 1).astype(jnp.int32)
+    frac = (ff - fi).astype(x.dtype)
+    base = ipos.astype(jnp.int32) - half + 1 + shift
+
+    nt = kp // _KB
+    kmask = (jnp.arange(kp, dtype=jnp.int32) < k_max)[None, :]
+    base = jnp.where(kmask, jnp.clip(base, 0, blen + pad - segl), 0)
+    fi = jnp.where(kmask, fi, 0)
+    frac = jnp.where(kmask, frac, jnp.asarray(0, x.dtype))
+
+    base_t = base.reshape(S, nt, _KB)
+    # masked entries carry base 0 and must not drag the tile minimum below
+    # the valid windows (a partial final tile would clip rel to garbage)
+    kbig = jnp.where(kmask, base, jnp.int32(2**30)).reshape(S, nt, _KB)
+    tb = jnp.min(kbig, axis=2)
+    tb = jnp.clip(tb - (tb % 128), 0, blen + pad - segl)    # lane-aligned
+    rel = jnp.clip(base_t - tb[:, :, None], 0, segl - tp - 1)
+
+    relT = rel.reshape(S // 8, 8, nt, _KB).transpose(2, 0, 3, 1)
+    fi_b = fi.reshape(S, nt, _KB).transpose(1, 0, 2)
+    frac_b = frac.reshape(S, nt, _KB).transpose(1, 0, 2)
+
+    blk = lambda t, s: (t, s, 0)
+    with jax.enable_x64(False):
+        out4 = pl.pallas_call(
+            functools.partial(_asrc_dense_kernel, tp=tp, segl=segl),
+            grid=(nt, S // 8),
+            in_specs=[
+                pl.BlockSpec((1, 1, _KB, 8), lambda t, s: (t, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, _KB), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, _KB), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, bufp.shape[1]), lambda t, s: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, nt), lambda t, s: (s, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(bankT.shape, lambda t, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(bankT.shape, lambda t, s: (0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 8, _KB), blk,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nt, S, _KB), x.dtype),
+            interpret=interpret,
+        )(relT, fi_b, frac_b, bufp, tb.astype(jnp.int32), bankT, bankT2)
+
+    out = out4.transpose(1, 0, 2).reshape(S, kp)[:, :k_max]
+    valid = (jnp.arange(k_max, dtype=jnp.int32)[None, :] < Ks[:, None])
+    out = out * valid.astype(out.dtype)
+    new_hist = buf[:, blen - hist_len:]
+    return new_hist, out
+
+
 # --------------------------------------------------------------- polyphase
 
 _TB = 512       # output block-rows per grid program

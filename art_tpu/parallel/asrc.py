@@ -137,7 +137,12 @@ class BatchedASRC:
                  kernel: str = "xla", mesh=None):
         """``mesh``: optional jax.sharding.Mesh with a "streams" axis; stream
         state and chunks are sharded across it (streams are independent, so
-        scale-out needs no hot-path collectives)."""
+        scale-out needs no hot-path collectives).
+
+        ``kernel``: "xla" (gather formulation, any config), "pallas" (the v1
+        per-output VMEM kernel), or "dense" (the full-density gather-select
+        kernel, fastest; f32, stream count a multiple of 8, per-call ratios
+        >= 0.25 — unsupported calls fall back to the xla step)."""
         validate_taps_filters(num_taps, num_filters)
         self.dtype = np.dtype(dtype)
         self.S = num_streams
@@ -149,9 +154,16 @@ class BatchedASRC:
                                      blackman_harris, self.dtype.type)
         self._bank_dev = jnp.asarray(self.bank)
         self._bank_pallas = None
+        self._bank_dense = None
         if kernel == "pallas":
             from ..ops.pallas_kernels import pad_bank_for_pallas
             self._bank_pallas = jnp.asarray(pad_bank_for_pallas(self.bank))
+        if kernel == "dense":
+            from ..ops.pallas_kernels import dense_bank_tables
+            bt, bt2 = dense_bank_tables(self.bank)
+            self._bank_dense = (jnp.asarray(bt), jnp.asarray(bt2))
+            self._tp = bt.shape[0]
+            self._segl = self._tp + 640
         self.offsets = np.full(num_streams, float(num_taps // 2),
                                dtype=np.float64)
         self.input_index = num_taps
@@ -208,7 +220,20 @@ class BatchedASRC:
 
         if self.sharding is not None:
             x = jax.device_put(x, self.sharding)
-        if self.kernel == "pallas":
+        use_dense = (self.kernel == "dense" and self.S % 8 == 0
+                     and self.dtype == np.float32
+                     and float(ratios.min()) >= 0.25)
+        if use_dense:
+            from ..ops.pallas_kernels import _KB, asrc_step_dense
+            kp = -(-k_max // _KB) * _KB
+            interpret = jax.default_backend() != "tpu"
+            new_hist, out = asrc_step_dense(
+                self.hist, x, *self._bank_dense, jnp.asarray(self.offsets),
+                jnp.asarray(ratios), jnp.asarray(Ks),
+                jnp.int32(self.num_samples - self.input_index),
+                self.num_taps, self.num_filters, k_max, kp,
+                self.num_samples, self._tp, self._segl, interpret)
+        elif self.kernel == "pallas":
             out, new_hist = self._process_pallas(x, ratios, k_max)
             valid = (np.arange(k_max)[None, :] < Ks[:, None])
             out = out * jnp.asarray(valid.astype(self.dtype.type))

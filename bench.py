@@ -17,6 +17,124 @@ import sys
 import time
 
 
+def _median_rate(run, produced_per_run, reps=5):
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return produced_per_run / sorted(times)[len(times) // 2]
+
+
+def _bench_device_fixed(ch, taps, filters, src, dst, flags, chunk, nchunks):
+    """Fixed-ratio device resample throughput (output Mframes/s)."""
+    import jax
+    import jax.numpy as jnp
+    from art_tpu.parallel.streams import DeviceStreamResampler
+
+    noise = jax.random.normal(jax.random.PRNGKey(0), (ch, chunk),
+                              dtype=jnp.float32) * 0.25
+    eng = DeviceStreamResampler(ch, taps, filters, src, dst, 0, flags)
+    eng.advance_position(taps // 2)
+    eng.prewarm()
+
+    def run_once():
+        produced = 0
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(nchunks):
+            out, K, acc = eng.process(noise, chunk, acc)
+            produced += K
+        float(acc)
+        return produced
+
+    produced = run_once()                 # warm (compiles)
+    return _median_rate(run_once, produced)
+
+
+def _bench_all():
+    """The five BASELINE.json configs, one JSON line each (medians of 5).
+
+    vs_baseline denominators are the single-core C rates measured on this
+    machine (BASELINE_MEASURED.md); config 5's denominator is one C stream
+    at preset -3 (the reference has no batched mode)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import jax
+
+    from art_tpu.core import flags as F
+
+    IB = F.SUBSAMPLE_INTERPOLATE | F.BLACKMAN_HARRIS
+    results = []
+
+    # 1. mono 44.1k->48k preset -1 (48x48), no lowpass
+    r = _bench_device_fixed(1, 48, 48, 44100, 48000, IB, 1 << 22, 2)
+    results.append(("preset-1 mono 44.1k->48k device resample",
+                    r / 1e6, "Mframes/s (output)", 32.0))
+
+    # 2. stereo 44.1k->96k preset -3, implicit lowpass (reduced to 320)
+    r = _bench_device_fixed(2, 380, 380, 44100, 96000,
+                            IB | F.INCLUDE_LOWPASS, 1 << 21, 2)
+    results.append(("preset-3 stereo 44.1k->96k device resample",
+                    r / 1e6, "Mframes/s (output)", 7.5))
+
+    # 3. 96k->44.1k preset -2 (320x156) downsample, implicit lowpass
+    r = _bench_device_fixed(2, 156, 320, 96000, 44100,
+                            IB | F.INCLUDE_LOWPASS, 1 << 22, 2)
+    results.append(("preset-2 stereo 96k->44.1k device resample",
+                    r / 1e6, "Mframes/s (output)", 9.6))
+
+    # 4. 5.1ch 48k->44.1k, -p cascaded biquad pre-filter, f64 path (host)
+    from art_tpu.engines.biquad import Biquad, biquad_lowpass
+    from art_tpu.engines.resampler import Resampler
+    ch, n = 6, 1 << 18
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((n, ch)) * 0.25).astype(np.float64)
+    res = Resampler.fixed_ratio(ch, 380, 380, 48000, 44100, 0,
+                                IB | F.INCLUDE_LOWPASS, dtype=np.float64)
+    res.advance_position(190)
+    coeffs = biquad_lowpass(0.45 * 44100 / 48000)
+    bqs = [[Biquad.init(coeffs, 1.0, channels=1, dtype=np.float64)
+            for _ in range(2)] for _ in range(ch)]
+
+    def run4():
+        y = x.copy()
+        for c in range(ch):
+            for bq in bqs[c]:
+                y[:, c] = bq.apply_buffer(y[:, c])
+        out, r_ = res.process_interleaved(y, n, n + 64, 0.0)
+        return r_.output_generated
+
+    produced = run4()
+    rate4 = _median_rate(run4, produced, reps=3)
+    results.append(("5.1ch 48k->44.1k f64 host chain (-p biquads)",
+                    rate4 / 1e6, "Mframes/s (output)", 2.3))
+
+    # 5. batched ASRC: 256 drifting streams, preset-3 bank, dense kernel
+    from art_tpu.parallel.asrc import BatchedASRC
+    S, nn = 256, 8192
+    eng = BatchedASRC(S, 380, 380, kernel="dense")
+    xs = jnp.asarray(rng.standard_normal((S, nn)).astype(np.float32))
+    ratios = 1.0 + 0.01 * np.sin(np.arange(S) * 0.1)
+
+    def run5():
+        tot = 0
+        for _ in range(3):
+            out, Ks = eng.process(xs, ratios)
+            tot += int(Ks.sum())
+        float(jnp.sum(out))
+        return tot
+
+    produced = run5()
+    rate5 = _median_rate(run5, produced)
+    results.append(("256-stream drifting ASRC (dense kernel engine)",
+                    rate5 / 1e6, "M out/s", 4.55))
+
+    for name, value, unit, base in results:
+        print(json.dumps({"metric": name, "value": round(value, 2),
+                          "unit": unit,
+                          "vs_baseline": round(value / base, 2)}))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -76,4 +194,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--all" in sys.argv:
+        _bench_all()
+    else:
+        main()

@@ -1,10 +1,15 @@
-"""End-to-end BatchedASRC engine throughput (kernel= xla | pallas)."""
+"""End-to-end BatchedASRC engine throughput (kernel = xla | pallas | dense).
+
+Usage: bench_asrc_engine.py [kernel] [chunk_frames]
+256-stream preset-3 drifting-ratio config (BASELINE config 5).
+"""
 import sys, time
 import numpy as np, jax, jax.numpy as jnp
 from art_tpu.parallel.asrc import BatchedASRC
 
-kernel = sys.argv[1] if len(sys.argv) > 1 else "pallas"
-S, n = 256, 2048
+kernel = sys.argv[1] if len(sys.argv) > 1 else "dense"
+n = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+S = 256
 eng = BatchedASRC(S, 380, 380, kernel=kernel)
 rng = np.random.default_rng(0)
 x = jnp.asarray(rng.standard_normal((S, n)).astype(np.float32))
@@ -18,4 +23,4 @@ for _ in range(reps):
     tot += int(Ks.sum())
 _ = float(jnp.sum(out))
 dt = (time.perf_counter() - t0) / reps
-print(f"{kernel}: {tot/reps/dt/1e6:.1f} M out/s  ({dt*1e3:.1f} ms/call)")
+print(f"{kernel} n={n}: {tot/reps/dt/1e6:.1f} M out/s  ({dt*1e3:.1f} ms/call)")
