@@ -27,8 +27,8 @@ from ..core.flags import (BLACKMAN_HARRIS, DECIMATE_MULTITHREADED,
                           NO_FILTER_REDUCTION, PRESETS,
                           RESAMPLE_MULTITHREADED, SHAPING_1ST_ORDER,
                           SHAPING_2ND_ORDER, SHAPING_3RD_ORDER,
-                          SHAPING_ATH_CURVE, STRETCH_DUAL_FLAG,
-                          SUBSAMPLE_INTERPOLATE)
+                          SHAPING_ATH_CURVE, SHAPING_ENABLED,
+                          STRETCH_DUAL_FLAG, SUBSAMPLE_INTERPOLATE)
 from ..engines.biquad import Biquad, biquad_lowpass
 from ..engines.decimator import Decimator
 from ..engines.resampler import Resampler
@@ -381,6 +381,23 @@ def process_file(opt: Options) -> int:
                                   1.0, resample_rate, dec_flags, dtype=dt,
                                   backend="native")
 
+        # --backend=device with an integer output: the decimate stage also
+        # runs on device, so steady-state chunks never fetch float32 samples
+        # — only packed bytes (and the clip count) cross device->host
+        # (reference chains the stages per chunk on host, art.c:933-1130;
+        # here the chain is resample -> quantize -> pack, device-resident).
+        # Shaped modes stay on the host: the error-feedback recurrence is a
+        # strictly serial scan, measured ~3.4 s per 2^22-frame chunk on TPU
+        # vs milliseconds in the native host runtime.
+        dev_decimator = None
+        if (decimator is not None and opt.backend == "device"
+                and dt == np.float32 and stretcher is None
+                and not (dec_flags & SHAPING_ENABLED)):
+            from ..engines.decimator import DeviceDecimator
+            dev_decimator = DeviceDecimator(
+                num_channels, outbits, (outbits + 7) // 8, 1.0,
+                resample_rate, dec_flags, dtype=dt)
+
         if resampler is not None:
             resampler.advance_position(opt.num_taps / 2.0 + opt.phase_shift)
 
@@ -407,14 +424,59 @@ def process_file(opt: Options) -> int:
                                 else 0)
             percent = -1
 
-            while output_samples < target_output:
-                to_read = min(remaining, BUFFER_SAMPLES)
+            # -m: the worker pool prefetches and decodes the next chunk
+            # while the engines process the current one (the reference's
+            # pool parallelizes within a chunk across channels,
+            # resampler.c:441-484; with vectorized channel engines the
+            # remaining host-side concurrency win is IO/decode overlap)
+            pool = None
+            if opt.multithreaded:
+                from ..parallel import workers as _w
+                pool = _w.workers_init(1)
+
+            def _read_decode(_ctx, slot):
+                to_read = min(slot[0], BUFFER_SAMPLES)
                 raw = f.read(to_read * frame_bytes)
                 frames_read = len(raw) // frame_bytes
-                remaining -= frames_read
-                frames = wavfile.decode_frames(
+                slot[1] = frames_read
+                slot[2] = wavfile.decode_frames(
                     raw[:frames_read * frame_bytes], info, opt.gain, dt) \
                     if frames_read else np.zeros((0, num_channels), dt)
+                return 0
+
+            # deferred packed-bytes fetch + ordered file write (device
+            # pipeline with -m: the ~5 MB/s tunneled d2h fetch of chunk i
+            # overlaps chunk i+1's dispatch; single worker => FIFO writes)
+            clip_cell = [0]
+            io_error = []
+
+            def _fetch_write(_ctx, job):
+                try:
+                    packed_dev, clip_dev, k = job
+                    out.write(np.asarray(packed_dev)[:k].tobytes())
+                    clip_cell[0] += int(clip_dev)
+                except BaseException as e:   # surfaced on the main thread
+                    io_error.append(e)
+                return 0
+
+            pending = [remaining, 0, None]
+            read_job = pool.enqueue(_read_decode, None, pending) \
+                if pool is not None else 0
+
+            while output_samples < target_output:
+                if pool is not None:
+                    pool.wait_on_job(read_job)
+                    if io_error:
+                        raise io_error[0]
+                    frames_read, frames = pending[1], pending[2]
+                    remaining -= frames_read
+                    pending = [remaining, 0, None]
+                    read_job = pool.enqueue(_read_decode, None, pending)
+                else:
+                    pending[0] = remaining
+                    _read_decode(None, pending)
+                    frames_read, frames = pending[1], pending[2]
+                    remaining -= frames_read
 
                 if stretcher is not None:
                     if frames_read:
@@ -432,11 +494,21 @@ def process_file(opt: Options) -> int:
                     frames = lowpass2.apply_buffer(
                         lowpass1.apply_buffer(frames))
 
+                dev_out = None
                 if resampler is not None:
-                    outbuf, res = resampler.process_interleaved(
-                        frames if frames.shape[0] else None,
-                        frames.shape[0] if frames.shape[0] else -1,
-                        outcap, sample_ratio)
+                    if (dev_decimator is not None and not post_filter
+                            and hasattr(resampler,
+                                        "process_interleaved_device")):
+                        outbuf, res, dev_out = \
+                            resampler.process_interleaved_device(
+                                frames if frames.shape[0] else None,
+                                frames.shape[0] if frames.shape[0] else -1,
+                                outcap, sample_ratio)
+                    else:
+                        outbuf, res = resampler.process_interleaved(
+                            frames if frames.shape[0] else None,
+                            frames.shape[0] if frames.shape[0] else -1,
+                            outcap, sample_ratio)
                     generated = res.output_generated
                     if generated == outcap:
                         raise SystemExit("fatal error: outputbuffer too "
@@ -456,12 +528,33 @@ def process_file(opt: Options) -> int:
 
                 if output_samples + generated > target_output:
                     generated = target_output - output_samples
-                outbuf = outbuf[:generated]
+                if outbuf is not None:
+                    outbuf = outbuf[:generated]
 
                 if outbits < 32:
-                    packed, c = decimator.process_interleaved(outbuf)
-                    clipped += c
-                    out.write(packed.tobytes())
+                    if dev_decimator is not None:
+                        if dev_out is not None:
+                            src = dev_out.T
+                        else:
+                            # host-produced chunk (edges, prefill, zero
+                            # pad): pad to the steady bucket so the fused
+                            # device step keeps one compiled shape
+                            src = np.zeros((outcap, num_channels), dt)
+                            src[:generated] = outbuf
+                        step = dev_decimator.process_chunk_async(src,
+                                                                 generated)
+                        if step is not None:
+                            job = (step[0], step[1], generated)
+                            if pool is not None:
+                                pool.enqueue(_fetch_write, None, job)
+                            else:
+                                _fetch_write(None, job)
+                                if io_error:
+                                    raise io_error[0]
+                    else:
+                        packed, c = decimator.process_interleaved(outbuf)
+                        clipped += c
+                        out.write(packed.tobytes())
                 else:
                     out.write(wavfile.encode_float_frames(outbuf, outbits))
 
@@ -472,6 +565,13 @@ def process_file(opt: Options) -> int:
                         percent = new_pct
                         print(f"\rprogress: {percent}% ", end="",
                               file=sys.stderr, flush=True)
+
+            if pool is not None:
+                pool.wait_all()
+                pool.deinit()
+                if io_error:
+                    raise io_error[0]
+            clipped += clip_cell[0]
 
             data_bytes = output_samples * num_channels * ((outbits + 7) // 8)
             if data_bytes & 1:

@@ -177,3 +177,138 @@ def float_integers(data, gain: float, input_bits: int, input_bytes: int,
     reference decimator.c:416-450)."""
     return dk.unpack_bytes(np.asarray(data, dtype=np.uint8), gain,
                            input_bits, input_bytes, dtype)
+
+
+class DeviceDecimator:
+    """Device-resident decimator: dither + (shaped) quantization + LE byte
+    pack fused into one jitted step per chunk; only the packed bytes and the
+    clip count cross device->host (at 16-bit that is half the d2h traffic of
+    fetching float32 samples — decisive on tunneled deployments where d2h
+    runs at ~5 MB/s).
+
+    Bit-exact vs the host ``Decimator`` for identical input samples (each
+    stage proven in tests/test_pipeline.py); ragged chunks advance the LCG /
+    shaper state by exactly K frames.  Mirrors decimateProcessInterleavedLE
+    (reference decimator.c:205-291); per-channel state layout per reference
+    decimator.h:42-60."""
+
+    def __init__(self, num_channels: int, output_bits: int,
+                 output_bytes: int, output_gain: float, sample_rate: int,
+                 flags: int, *, dtype=np.float32):
+        from .._jaxinit import ensure_jax
+        self._jax = ensure_jax()
+        import jax.numpy as jnp
+        host = Decimator(num_channels, output_bits, output_bytes,
+                         output_gain, sample_rate, flags, dtype=dtype)
+        self.num_channels = num_channels
+        self.output_bits = output_bits
+        self.output_bytes = output_bytes
+        self.dtype = np.dtype(dtype)
+        self.scaler = host.scaler
+        self.highclip, self.lowclip = host.highclip, host.lowclip
+        self.dithered = bool(flags & DITHER_ENABLED)
+        self.dither_type = host.dither_type
+        self.shaped = host.noise_shaper is not None
+        self.gens = jnp.asarray(host.tpdf_generators) if self.dithered \
+            else jnp.zeros(num_channels, jnp.uint32)
+        self.fb = jnp.asarray(host.feedback)
+        if self.shaped:
+            sh = host.noise_shaper
+            self._a = jnp.asarray(np.asarray(sh.a, self.dtype))
+            self._b = jnp.asarray(np.asarray(sh.b, self.dtype))
+            self.xh = jnp.asarray(np.asarray(sh.xh, self.dtype))
+            self.yh = jnp.asarray(np.asarray(sh.yh, self.dtype))
+        else:
+            self._a = self._b = jnp.zeros(5, self.dtype)
+            self.xh = self.yh = jnp.zeros((4, num_channels), self.dtype)
+        self._tables = {}
+
+    def _tables_for(self, n: int):
+        import jax.numpy as jnp
+        if n not in self._tables:
+            from ..ops import decimate_device as dd
+            self._tables[n] = tuple(jnp.asarray(t)
+                                    for t in dd.dither_tables(n))
+        return self._tables[n]
+
+    def process_chunk(self, samples, K: int):
+        """samples: [n, channels] array (device or host; n is a static jit
+        bucket); the first K frames are quantized and the state advances by
+        exactly K.  Returns (packed uint8 [K, channels*output_bytes] numpy,
+        clipped count)."""
+        dev = self.process_chunk_async(samples, K)
+        if dev is None:
+            return np.zeros((0, self.num_channels * self.output_bytes),
+                            np.uint8), 0
+        packed, clipped = dev
+        return np.asarray(packed)[:K], int(clipped)
+
+    def process_chunk_async(self, samples, K: int):
+        """process_chunk without the device->host fetch: returns
+        (packed_dev uint8 [n, channels*output_bytes], clipped_dev scalar)
+        still on device (None for an empty chunk).  The engine state has
+        already advanced, so the caller may dispatch the next chunk and
+        fetch this one's bytes concurrently — on tunneled deployments the
+        d2h link (~5 MB/s) is the file-pipeline bottleneck."""
+        import jax.numpy as jnp
+        n = int(samples.shape[0])
+        if n == 0 or K == 0:
+            return None
+        A, V0, V1 = self._tables_for(n)
+        packed, clipped, self.gens, self.fb, self.xh, self.yh = \
+            _device_decimate_step(
+                jnp.asarray(samples, self.dtype.type), jnp.int32(K),
+                self.gens, self.fb, self._a, self._b, self.xh, self.yh,
+                A, V0, V1, self.dtype.type(self.scaler), n,
+                self.dither_type if self.dithered else None,
+                self.output_bits, self.output_bytes, self.highclip,
+                self.lowclip, self.shaped)
+        return packed, clipped
+
+
+_DEVICE_STEP_CACHE: list = []
+
+
+def _device_decimate_step(y, K, gens, fb, a, b, xh, yh, A, V0, V1, scaler,
+                          n, dither_type, bits, nbytes, highclip, lowclip,
+                          shaped):
+    """Lazily-built jitted fused step (jax imports stay off the host-only
+    import path, like ops/decimate_kernel)."""
+    if not _DEVICE_STEP_CACHE:
+        import functools
+
+        from .._jaxinit import ensure_jax
+        jax = ensure_jax()
+        import jax.numpy as jnp
+
+        from ..ops import decimate_device as dd
+
+        @functools.partial(jax.jit, static_argnames=(
+            "n", "dither_type", "bits", "nbytes", "highclip", "lowclip",
+            "shaped"))
+        def fn(y, K, gens, fb, a, b, xh, yh, A, V0, V1, scaler, n,
+               dither_type, bits, nbytes, highclip, lowclip, shaped):
+            if dither_type is not None:
+                dither, seq = dd.tpdf_dither_dev(gens, A, V0, V1,
+                                                 dither_type, n)
+                dither = dither.T                           # [n, S]
+                new_gens = dd.advance_states(gens, seq, K)
+            else:
+                dither, new_gens = None, gens
+            if shaped:
+                outv, clipf, fb, xh, yh = dd.quantize_shaped_dev(
+                    y, dither, scaler, fb, a, b, xh, yh, K, highclip,
+                    lowclip)
+            else:
+                outv, clipf = dd.quantize_flat_dev(y, dither, scaler, fb,
+                                                   highclip, lowclip)
+                clipf = clipf & (jnp.arange(n, dtype=jnp.int32)
+                                 < K)[:, None]
+            packed = dd.pack_bytes_dev(outv, bits, nbytes)
+            clipped = jnp.sum(clipf.astype(jnp.int32))
+            return packed, clipped, new_gens, fb, xh, yh
+
+        _DEVICE_STEP_CACHE.append(fn)
+    return _DEVICE_STEP_CACHE[0](
+        y, K, gens, fb, a, b, xh, yh, A, V0, V1, scaler, n, dither_type,
+        bits, nbytes, highclip, lowclip, shaped)

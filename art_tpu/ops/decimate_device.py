@@ -92,13 +92,18 @@ def _mul_for(dtype):
     """Product at data-path precision.  For float32, XLA contracts mul+add
     chains into FMAs (skipping the product rounding the reference performs);
     lax.reduce_precision is the only reliable rounding barrier (see
-    decimate_kernel.quantize_shaped_jax)."""
+    decimate_kernel.quantize_shaped_jax).  The f64 product of two f32 values
+    is exact (48-bit mantissa), the downcast performs the single f32
+    rounding, and the f32-identity reduce_precision pins that rounding so no
+    later pass fuses the convert into a consumer.  (reduce_precision on an
+    f64 value is rejected by the TPU X64 rewriter, so the barrier must sit
+    on the f32 side.)"""
     if np.dtype(dtype) == np.float32:
         def mul(u, v):
-            p = jax.lax.reduce_precision(
-                u.astype(jnp.float64) * v.astype(jnp.float64),
-                exponent_bits=8, mantissa_bits=23)
-            return p.astype(jnp.float32)
+            p = (u.astype(jnp.float64) * v.astype(jnp.float64)) \
+                .astype(jnp.float32)
+            return jax.lax.reduce_precision(p, exponent_bits=8,
+                                            mantissa_bits=23)
     else:
         def mul(u, v):
             return u * v

@@ -216,6 +216,7 @@ class DeviceStreamResampler:
             self.M = int(round(self.L / self.fixed_ratio))
         self.qn = -(-(self.M + num_taps) // self.M)
         self._interp_cache: dict = {}
+        self._pattern_safe_cache: dict = {}
 
         self.output_offset = float(num_taps // 2)
         self.input_index = num_taps
@@ -310,11 +311,9 @@ class DeviceStreamResampler:
 
         The first period's (window offset, filter index, fraction) triples
         are computed exactly from the float64 streaming offset — the same
-        per-output math as the host engine — and cached by pattern.  The
-        integer pattern repeats across the chunk's periods up to float64
-        ties at the phase-grid edges (probability ~1e-10 per output; a tie
-        perturbs one sample by an adjacent-filter blend, ~-60 dB)."""
-        half = self.num_taps // 2
+        per-output math as the host engine — and the integer pattern is
+        tiled across the chunk's nb periods.  _pattern_safe verifies the
+        tiling exactly against the ring-coordinate oracle before use."""
         ratio = self.fixed_ratio
         j = np.arange(self.L, dtype=np.float64)
         pos = first_position + j / ratio
@@ -332,22 +331,82 @@ class DeviceStreamResampler:
                 self._bank_dev, jnp.asarray(d.astype(np.int32)),
                 jnp.asarray(fi.astype(np.int32)),
                 self.qn * self.M, self.L, self.num_taps)
-            m = (P2, jnp.asarray(frac.astype(self.dtype)))
+            m = (P2, jnp.asarray(frac.astype(self.dtype)),
+                 ipos[0], d, fi, frac)
             if len(self._interp_cache) > 64:
                 self._interp_cache.clear()
             self._interp_cache[key] = m
         return m
+
+    # max tolerated phase-position deviation of the tiled pattern from the
+    # ring-exact oracle, in input-sample units.  A deviation d perturbs the
+    # output by ~|signal slope| * d, so 1e-8 stays far below the f32 matmul
+    # floor; the expected worst case (ulp of fl(k/ratio) at k ~ 2^22-frame
+    # chunks) is ~1e-9.  Rational-ratio configs sit *systematically* on
+    # float64 phase-grid ties (exact positions are multiples of 1/L), so
+    # bitwise (window, filter) flips with compensating fractions are the
+    # norm, not a 1e-10 rarity — they are value-continuous (filter fi-1 at
+    # frac 1 == filter fi at frac 0; the rotated extra filter makes the
+    # window+1/fi=0 wrap continuous too, reference resampler.c:154-159).
+    PATTERN_TOL = 1e-8
+
+    def _pattern_safe(self, plan, n_in: int, K: int, nb: int,
+                      ipos0: float, d: np.ndarray, fi: np.ndarray,
+                      frac: np.ndarray) -> bool:
+        """Exact-fi verification of the tiled interpolated pattern against
+        the host oracle: the reference rounds emission positions in ring
+        coordinates (fl((o - slides) + fl(k/ratio)), resampler.c:526,
+        1147-1157); the device step assumes period p of this chunk reads
+        the continuous phase position ipos0 + d[j] + p*M + (fi[j] +
+        frac[j])/F.  Vectorized over all K emissions and cached per
+        (pattern, plan scalars); a deviation beyond PATTERN_TOL makes the
+        caller split the chunk into provably-exact sub-chunks."""
+        if nb <= 1 or not K:
+            return True
+        key = (plan.first_position, K, self.input_index, n_in,
+               d.tobytes(), fi.tobytes())
+        safe = self._pattern_safe_cache.get(key)
+        if safe is None:
+            ip, frac0 = accounting.ring_positions(
+                first_position=plan.first_position,
+                flush_shift=plan.flush_shift, ratio=self.fixed_ratio, K=K,
+                input_index=self.input_index, input_used=plan.input_used,
+                num_samples=self.num_samples, num_taps=self.num_taps,
+                flush=plan.flush)
+            pos_oracle = ip.astype(np.float64) + frac0
+            pidx = np.arange(K, dtype=np.int64)
+            F = float(self.num_filters)
+            pos_pat = (ipos0 + np.tile(d, nb)[:K]
+                       + (pidx // self.L).astype(np.float64) * self.M
+                       + np.tile((fi.astype(np.float64) + frac) / F,
+                                 nb)[:K])
+            safe = bool(np.abs(pos_oracle - pos_pat).max()
+                        <= self.PATTERN_TOL)
+            if len(self._pattern_safe_cache) > 256:
+                self._pattern_safe_cache.clear()
+            self._pattern_safe_cache[key] = safe
+        return safe
 
     def process(self, x, n_in: int, acc=None):
         """x: device array [ch, n_in].  Returns (out_dev [ch, nb*L] with
         entries beyond K zeroed, K) — or (out, K, acc') when a running
         output-power accumulator is passed (computed in the same dispatch).
         All n_in inputs are consumed."""
-        K, start, j0, pos0 = self._plan(n_in)
+        K, start, j0, pos0, plan = self._plan_compute(n_in)
         nb = -(-K // self.L) if K else 1
+        if self.interp:
+            P2, fracv, ipos0, dpat, fipat, fracpat = \
+                self._interp_matrix(pos0)
+            if not self._pattern_safe(plan, n_in, K, nb, ipos0, dpat,
+                                      fipat, fracpat):
+                return self._process_split(x, n_in, acc)
+        # adopt the plan's state advance verbatim: it reproduces the
+        # reference's ring-slide arithmetic exactly, so emission-count
+        # comparisons can never diverge from the host engine at float ties
+        self.output_offset = plan.new_output_offset
+        self.input_index = plan.new_input_index
         acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
         if self.interp:
-            P2, fracv = self._interp_matrix(pos0)
             new_hist, out, acc_out = _chunk_step_interp(
                 self.hist, x, P2, fracv, jnp.int32(start), jnp.int32(K),
                 acc_in, self.M, self.L, nb, self.qn, self.num_samples)
@@ -360,6 +419,26 @@ class DeviceStreamResampler:
         if acc is None:
             return out, K
         return out, K, acc_out
+
+    def _process_split(self, x, n_in: int, acc):
+        """Float64-tie chunk (the interpolated pattern does not repeat
+        exactly): halve until every sub-chunk is single-period, which the
+        tiled step computes exactly.  Expected ~once per 1e10 outputs."""
+        if n_in <= 1:
+            raise AssertionError("single-input chunk cannot be period-tied")
+        n1 = n_in // 2
+        r1 = self.process(x[:, :n1], n1, acc)
+        acc1 = r1[2] if acc is not None else None
+        r2 = self.process(x[:, n1:], n_in - n1, acc1)
+        K1, K2 = r1[1], r2[1]
+        K = K1 + K2
+        nb = max(1, -(-K // self.L))
+        out = jnp.zeros((x.shape[0], nb * self.L), dtype=self.dtype)
+        out = out.at[:, :K1].set(r1[0][:, :K1])
+        out = out.at[:, K1:K].set(r2[0][:, :K2])
+        if acc is None:
+            return out, K
+        return out, K, r2[2]
 
     def process_pair(self, x1, x2, n_in: int, acc):
         """Two chunks in one dispatch; both chunks must produce the same
@@ -458,19 +537,37 @@ class HybridStreamResampler:
 
     def process_interleaved(self, data, n_in: int, n_out: int,
                             ratio: float = 0.0):
+        out, res, dev = self.process_interleaved_device(data, n_in, n_out,
+                                                        ratio)
+        if dev is not None:
+            out = np.ascontiguousarray(
+                np.asarray(dev)[:, :res.output_generated].T)
+        return out, res
+
+    def process_interleaved_device(self, data, n_in: int, n_out: int,
+                                   ratio: float = 0.0):
+        """process_interleaved that keeps device output device-resident.
+
+        Returns (host_out | None, ResampleResult, dev_out | None): when the
+        steady-state device path fires, dev_out is the [channels, capacity]
+        device array (first output_generated columns valid) and host_out is
+        None — a device-resident consumer (e.g. DeviceDecimator) avoids the
+        large float32 device->host fetch entirely."""
         # flush / odd tail: host path (extrapolated postfill, any shape)
         prefill_pending = bool(self.host.flags & EXTRAPOLATE_PREFILL)
         if n_in < 0 or data is None:
             if self._on_device:
                 self._pull()
-            return self.host.process_interleaved(data, n_in, n_out, ratio)
+            return (*self.host.process_interleaved(data, n_in, n_out,
+                                                   ratio), None)
         if self._steady_n is None:
             self._steady_n = n_in
         if n_in != self._steady_n or prefill_pending:
             # first block (prefill) and tail blocks run on host
             if self._on_device:
                 self._pull()
-            return self.host.process_interleaved(data, n_in, n_out, ratio)
+            return (*self.host.process_interleaved(data, n_in, n_out,
+                                                   ratio), None)
         if not self._on_device:
             self._push()
         if self.dev.peek_output(n_in) > n_out:
@@ -479,9 +576,10 @@ class HybridStreamResampler:
             # mutated — planning first avoids the chunk being consumed by
             # the device and then re-processed on host
             self._pull()
-            return self.host.process_interleaved(data, n_in, n_out, ratio)
+            return (*self.host.process_interleaved(data, n_in, n_out,
+                                                   ratio), None)
         x = jnp.asarray(np.ascontiguousarray(np.asarray(data).T))
         out_dev, K = self.dev.process(x, n_in)
-        out = np.ascontiguousarray(np.asarray(out_dev)[:, :K].T)
         from ..engines.resampler import ResampleResult
-        return out, ResampleResult(input_used=n_in, output_generated=K)
+        return None, ResampleResult(input_used=n_in, output_generated=K), \
+            out_dev

@@ -347,3 +347,61 @@ def test_art_cli_error_paths_match_reference(art_ref, tmp_path):
         rc = art_cli.main(["-y", "-q", str(tmp_path / "nope.wav"),
                            str(tmp_path / "o3.wav")])
     assert rc != 0 and "can't open file" in buf.getvalue()
+
+
+def test_cli_device_pipeline_resample_decimate(tmp_path):
+    """--backend=device runs resample AND decimate on device (only packed
+    bytes fetched): counts + clip totals exactly match the numpy backend;
+    samples agree to the documented f32-conv shaped-noise floor; and with
+    no resample stage the bytes are identical."""
+    import io as _io
+    from contextlib import redirect_stderr
+
+    import numpy as np
+
+    from art_tpu.cli import art
+    from art_tpu.io import wavfile
+
+    rng = np.random.default_rng(5)
+    n = 44100
+    x = (rng.standard_normal((n, 2)) * 0.4).astype(np.float32)
+    src = tmp_path / "in.wav"
+    with open(src, "wb") as f:
+        wavfile.write_wav_header(f, bits=32, num_channels=2, num_frames=n,
+                                 sample_rate=44100, channel_mask=0x3)
+        f.write(x.astype("<f4").tobytes())
+
+    def convert(be, args):
+        dst = tmp_path / f"out_{be}_{len(args)}.wav"
+        buf = _io.StringIO()
+        with redirect_stderr(buf):
+            rc = art.main(["-q", "-y", f"--backend={be}", *args,
+                           str(src), str(dst)])
+        assert not rc
+        return dst.read_bytes(), buf.getvalue()
+
+    # resample + decimate: counts/clips exact, samples at the shaped-noise
+    # floor (the verify contract: judge counts + clip totals + noise level)
+    an, wn = convert("numpy", ["-r48k", "-o16"])
+    ad, wd = convert("device", ["-r48k", "-o16"])
+    assert len(an) == len(ad)
+    assert wn == wd                      # identical clip-count warnings
+    da = np.frombuffer(an[-96000 * 4:], "<i2").astype(np.int32)
+    db = np.frombuffer(ad[-96000 * 4:], "<i2").astype(np.int32)
+    diff = np.abs(da - db)
+    assert diff.max() <= 12 and diff.mean() < 2.0
+
+    # decimate-only: decimator inputs are bit-identical -> identical bytes
+    bn, _ = convert("numpy", ["-o16"])
+    bd, _ = convert("device", ["-o16"])
+    assert bn == bd
+
+    # non-shaped modes route through the fused DeviceDecimator (shaped
+    # modes stay host-side: the error-feedback scan is serial); inputs to
+    # the decimator are bit-identical here, so bytes must match exactly
+    cn, _ = convert("numpy", ["-o16", "-n0"])
+    cd, _ = convert("device", ["-o16", "-n0"])
+    assert cn == cd
+    dn, swn = convert("numpy", ["-r48k", "-o16", "-n0", "-m"])
+    dd, swd = convert("device", ["-r48k", "-o16", "-n0", "-m"])
+    assert len(dn) == len(dd) and swn == swd

@@ -266,3 +266,103 @@ def test_device_interpolated_rejects_irrational():
         DeviceStreamResampler(2, 380, 380, 44100.5, 48000, 0,
                               F.SUBSAMPLE_INTERPOLATE | F.BLACKMAN_HARRIS
                               | F.INCLUDE_LOWPASS | F.NO_FILTER_REDUCTION)
+
+
+def test_interp_device_exact_fi_selection_10M_outputs():
+    """Exact-fi verification (round-1 weak #5): over >=1e7 streamed outputs
+    the interpolated device mode's tiled per-chunk pattern reads the same
+    continuous phase position as the host oracle (ring-exact rounding,
+    reference resampler.c:526 + 1147-1157) to within PATTERN_TOL, and the
+    engine's _pattern_safe guard agrees with an independently computed
+    ground truth chunk by chunk.
+
+    Note the criterion is phase-equivalence, not bitwise (window, filter)
+    equality: rational-ratio positions sit exactly on the float64 phase
+    grid, so fi flips with compensating fractions (value-continuous via the
+    rotated extra filter) are systematic — both sides of each tie denote
+    the same continuous read position."""
+    import numpy as np
+
+    from art_tpu.core import accounting
+    from art_tpu.core.flags import (BLACKMAN_HARRIS, INCLUDE_LOWPASS,
+                                    SUBSAMPLE_INTERPOLATE)
+    from art_tpu.parallel.streams import DeviceStreamResampler
+
+    eng = DeviceStreamResampler(
+        1, 48, 48, 44100, 48000, 0,
+        SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS | INCLUDE_LOWPASS)
+    assert eng.interp
+    eng.advance_position(24)
+    total = 0
+    worst = 0.0
+    n_in = 14700
+    while total < 10_500_000:
+        K, start, j0, pos0, plan = eng._plan_compute(n_in)
+        nb = -(-K // eng.L) if K else 1
+        _, _, ipos0, d, fi, frac = eng._interp_matrix(pos0)
+        safe = eng._pattern_safe(plan, n_in, K, nb, ipos0, d, fi, frac)
+        # independent oracle (the host engine's exact position pipeline)
+        ip, frac0 = accounting.ring_positions(
+            first_position=plan.first_position,
+            flush_shift=plan.flush_shift, ratio=eng.fixed_ratio, K=K,
+            input_index=eng.input_index, input_used=plan.input_used,
+            num_samples=eng.num_samples, num_taps=eng.num_taps,
+            flush=plan.flush)
+        pidx = np.arange(K, dtype=np.int64)
+        pos_pat = (ipos0 + np.tile(d, nb)[:K]
+                   + (pidx // eng.L).astype(np.float64) * eng.M
+                   + np.tile((fi.astype(np.float64) + frac)
+                             / eng.num_filters, nb)[:K])
+        dev = np.abs((ip.astype(np.float64) + frac0) - pos_pat).max()
+        worst = max(worst, float(dev))
+        assert safe == bool(dev <= eng.PATTERN_TOL)
+        assert safe, f"phase deviation {dev} at output {total}"
+        total += K
+        eng.output_offset = plan.new_output_offset
+        eng.input_index = plan.new_input_index
+    assert total >= 10_000_000
+    assert worst <= eng.PATTERN_TOL
+
+
+def test_interp_device_split_path_matches_host():
+    """When a chunk's tiled pattern is flagged unsafe, the engine splits it
+    into provably-exact sub-chunks with unchanged results."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from art_tpu.core.flags import (BLACKMAN_HARRIS, INCLUDE_LOWPASS,
+                                    SUBSAMPLE_INTERPOLATE)
+    from art_tpu.engines.resampler import Resampler
+    from art_tpu.parallel.streams import DeviceStreamResampler
+    from art_tpu.utils.testsig import NoiseLCG
+
+    FLAGS = SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS | INCLUDE_LOWPASS
+    eng = DeviceStreamResampler(1, 48, 48, 44100, 48000, 0, FLAGS)
+    host = Resampler.fixed_ratio(1, 48, 48, 44100, 48000, 0, FLAGS,
+                                 backend="numpy")
+    eng.advance_position(24)
+    host.advance_position(24)
+    lcg = NoiseLCG()
+    md = 0.0
+    for it in range(4):
+        x = lcg.fill(1470).reshape(1, -1)
+        if it == 2:       # force the split path for one chunk
+            orig = eng._pattern_safe
+            tripped = []
+
+            def fake(plan, n_in, K, nb, *a):
+                if nb > 1 and not tripped:
+                    tripped.append(1)
+                    return False
+                return orig(plan, n_in, K, nb, *a)
+
+            eng._pattern_safe = fake
+        out, K = eng.process(jnp.asarray(x), 1470)
+        if it == 2:
+            assert tripped
+            eng._pattern_safe = orig
+        ho, res = host.process(x, 1470, 3000, 0.0)
+        assert res.output_generated == K
+        md = max(md, float(np.abs(np.asarray(out)[0, :K] - ho[0]).max()))
+        assert abs(eng.get_position() - host.get_position()) < 1e-12
+    assert md < 1e-6

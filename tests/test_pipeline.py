@@ -170,3 +170,31 @@ def test_sharded_production_step_matches_single_device():
     packed_h, clips_h = dec.process_interleaved(out_ref.T)
     assert int(clips) == clips_h
     np.testing.assert_array_equal(packed, np.asarray(packed_h))
+
+
+def test_device_decimator_engine_bit_exact():
+    """DeviceDecimator (fused dither+quantize+pack, packed-bytes-only fetch)
+    is byte-exact vs the host Decimator across dither/shaping modes and
+    ragged chunk tails."""
+    import numpy as np
+    from art_tpu.core import flags as F
+    from art_tpu.engines.decimator import Decimator, DeviceDecimator
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (F.DITHER_HIGHPASS | F.SHAPING_ATH_CURVE, 16, 2, 44100),
+        (F.DITHER_FLAT, 16, 2, 48000),
+        (F.DITHER_LOWPASS | F.SHAPING_2ND_ORDER, 8, 1, 32000),
+        (0, 24, 3, 96000),
+    ]
+    for flags, bits, nbytes, rate in cases:
+        ch = 2
+        host = Decimator(ch, bits, nbytes, 1.0, rate, flags,
+                         backend="numpy")
+        dev = DeviceDecimator(ch, bits, nbytes, 1.0, rate, flags)
+        for n, K in [(256, 256), (256, 100), (64, 64)]:
+            x = (rng.random((n, ch)).astype(np.float32) - 0.5) * 1.7
+            ph, ch_clip = host.process_interleaved(x[:K])
+            pd, cd_clip = dev.process_chunk(x, K)
+            assert ch_clip == cd_clip, (flags, n, K)
+            assert np.array_equal(ph.reshape(K, -1), pd), (flags, n, K)
