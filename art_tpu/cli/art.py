@@ -356,6 +356,15 @@ def process_file(opt: Options) -> int:
                           f"at {lp} Hz, {interp} interpolation",
                           file=sys.stderr)
 
+        if opt.extended_math and opt.verbosity > 0:
+            # reference -e selects apply_filter_precise (double-accumulating
+            # dot, resampler.c:84-88, 1159-1181); every path here already
+            # accumulates at >= float64 (host) or full-f32 MXU precision
+            # with a float64-vs-device floor test (device), so the flag is
+            # satisfied rather than ignored
+            print("extended convolution math: always active "
+                  "(double-precision accumulation)", file=sys.stderr)
+
         pre_filter = post_filter = False
         lowpass1 = lowpass2 = None
         if opt.pre_post_filter:

