@@ -231,6 +231,25 @@ class DeviceDecimator:
                                     for t in dd.dither_tables(n))
         return self._tables[n]
 
+    def state_dict(self) -> dict:
+        """Streaming state (reference decimator.h:42-60 analog): LCG
+        states, error feedback, shaper histories — host arrays, so a
+        checkpoint is portable across backends."""
+        return {
+            "gens": np.asarray(self.gens),
+            "feedback": np.asarray(self.fb),
+            "xh": np.asarray(self.xh),
+            "yh": np.asarray(self.yh),
+        }
+
+    def load_state(self, state: dict) -> None:
+        import jax.numpy as jnp
+        self.gens = jnp.asarray(np.asarray(state["gens"], np.uint32))
+        self.fb = jnp.asarray(np.asarray(state["feedback"],
+                                         self.dtype.type))
+        self.xh = jnp.asarray(np.asarray(state["xh"], self.dtype.type))
+        self.yh = jnp.asarray(np.asarray(state["yh"], self.dtype.type))
+
     def process_chunk(self, samples, K: int):
         """samples: [n, channels] array (device or host; n is a static jit
         bucket); the first K frames are quantized and the state advances by

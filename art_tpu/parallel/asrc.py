@@ -176,6 +176,24 @@ class BatchedASRC:
         if self.sharding is not None:
             self.hist = jax.device_put(self.hist, self.sharding)
 
+    def state_dict(self) -> dict:
+        """Full streaming state (the SURVEY checkpoint/resume contract:
+        state is (buffers, offsets, index) exactly like the reference
+        context, resampler.h:44-58)."""
+        return {
+            "offsets": self.offsets.copy(),
+            "input_index": int(self.input_index),
+            "hist": np.asarray(self.hist),
+        }
+
+    def load_state(self, state: dict) -> None:
+        self.offsets = np.asarray(state["offsets"], np.float64).copy()
+        self.input_index = int(state["input_index"])
+        hist = jnp.asarray(np.asarray(state["hist"], self.dtype))
+        if self.sharding is not None:
+            hist = jax.device_put(hist, self.sharding)
+        self.hist = hist
+
     def advance_position(self, delta) -> None:
         self.offsets += np.asarray(delta, dtype=np.float64)
 
@@ -220,8 +238,10 @@ class BatchedASRC:
 
         if self.sharding is not None:
             x = jax.device_put(x, self.sharding)
+        # the dense kernel is a single-device pallas call (XLA cannot
+        # partition it); sharded engines use the xla step per shard
         use_dense = (self.kernel == "dense" and self.S % 8 == 0
-                     and self.dtype == np.float32
+                     and self.dtype == np.float32 and self.sharding is None
                      and float(ratios.min()) >= 0.25)
         if use_dense:
             from ..ops.pallas_kernels import (_KB, asrc_step_dense,

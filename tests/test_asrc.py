@@ -93,3 +93,26 @@ def test_batched_asrc_phase_query_contract():
     out, Ks = b.process(jnp.asarray(x), np.array([1.0, 1.0]))
     pos = b.get_position()
     np.testing.assert_allclose(pos, [24.0, 10.0] + Ks - 100.0, atol=1e-12)
+
+
+def test_batched_asrc_checkpoint_resume():
+    """state_dict/load_state round-trip mid-stream: a resumed engine
+    continues bit-identically (the SURVEY checkpoint/resume contract)."""
+    lcg = NoiseLCG()
+    rng = np.random.default_rng(4)
+    a = BatchedASRC(8, 48, 64)
+    a.advance_position(24.0)
+    for _ in range(3):
+        x = lcg.fill(8 * 512).reshape(8, 512)
+        a.process(jnp.asarray(x), 1.0 + rng.uniform(-0.01, 0.01, 8))
+    snap = a.state_dict()
+    x = lcg.fill(8 * 512).reshape(8, 512)
+    ratios = 1.0 + rng.uniform(-0.01, 0.01, 8)
+    o1, K1 = a.process(jnp.asarray(x), ratios)
+
+    b = BatchedASRC(8, 48, 64)
+    b.load_state(snap)
+    o2, K2 = b.process(jnp.asarray(x), ratios)
+    assert np.array_equal(K1, K2)
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.array_equal(a.get_position(), b.get_position())

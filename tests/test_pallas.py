@@ -112,3 +112,37 @@ def test_asrc_dense_falls_back_below_ratio_bound():
         np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
                                    atol=2e-6)
         np.testing.assert_allclose(a.offsets, b.offsets, atol=0)
+
+
+def test_asrc_dense_large_taps_config():
+    """Dense kernel generalizes past one tap tile: preset-4-class bank
+    (988 taps -> TP 1024, 8 phase lane-blocks) against per-stream hosts."""
+    from art_tpu.core.flags import BLACKMAN_HARRIS, SUBSAMPLE_INTERPOLATE
+    from art_tpu.engines.resampler import Resampler
+    from art_tpu.parallel.asrc import BatchedASRC
+    from art_tpu.utils.testsig import NoiseLCG
+
+    S, taps, filters = 8, 988, 988
+    lcg = NoiseLCG()
+    b = BatchedASRC(S, taps, filters, kernel="dense")
+    b.advance_position(taps // 2)
+    singles = []
+    for _ in range(S):
+        r = Resampler(1, taps, filters, 0.0,
+                      SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS,
+                      backend="numpy")
+        r.advance_position(taps // 2)
+        singles.append(r)
+    rng = np.random.default_rng(2)
+    md = 0.0
+    for _ in range(2):
+        x = lcg.fill(S * 1024).reshape(S, 1024)
+        ratios = 1.0 + rng.uniform(-0.01, 0.01, S)
+        out, Ks = b.process(jnp.asarray(x), ratios)
+        out = np.asarray(out)
+        for s in range(S):
+            ho, res = singles[s].process(x[s:s + 1], 1024, 2000,
+                                         float(ratios[s]))
+            assert res.output_generated == Ks[s]
+            md = max(md, float(np.abs(ho[0] - out[s, :Ks[s]]).max()))
+    assert md < 2e-6

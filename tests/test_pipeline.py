@@ -198,3 +198,27 @@ def test_device_decimator_engine_bit_exact():
             pd, cd_clip = dev.process_chunk(x, K)
             assert ch_clip == cd_clip, (flags, n, K)
             assert np.array_equal(ph.reshape(K, -1), pd), (flags, n, K)
+
+
+def test_device_decimator_checkpoint_resume():
+    """DeviceDecimator state_dict/load_state: the resumed stream emits
+    byte-identical packed output."""
+    import numpy as np
+    from art_tpu.core import flags as F
+    from art_tpu.engines.decimator import DeviceDecimator
+
+    rng = np.random.default_rng(9)
+    d = DeviceDecimator(2, 16, 2, 1.0, 44100,
+                        F.DITHER_HIGHPASS | F.SHAPING_ATH_CURVE)
+    x0 = (rng.random((256, 2)).astype(np.float32) - 0.5) * 1.5
+    d.process_chunk(x0, 256)
+    snap = d.state_dict()
+    x1 = (rng.random((256, 2)).astype(np.float32) - 0.5) * 1.5
+    p1, c1 = d.process_chunk(x1, 200)
+
+    d2 = DeviceDecimator(2, 16, 2, 1.0, 44100,
+                         F.DITHER_HIGHPASS | F.SHAPING_ATH_CURVE)
+    d2.load_state(snap)
+    p2, c2 = d2.process_chunk(x1, 200)
+    assert c1 == c2
+    assert np.array_equal(p1, p2)
