@@ -162,7 +162,8 @@ def _call(S, B, K, tp, kb, grid, scalar_spec, base, fi, frac, buf, bank,
 # the f64 prologue, window-base tiling and validity masking are fused into
 # the same jit (asrc_step_dense) so a process() call is one dispatch.
 
-_KB = 128       # outputs per (stream, tile)
+_KB = 128       # default outputs per (stream, tile); asrc_step_dense's
+#                 kb static arg can raise it (256 needs segl >= tp + 1024)
 
 
 def _dense_windows(seg, rel_col, lane128, lane8, tp: int):
@@ -204,11 +205,11 @@ def _dense_bank_rows(bankT, idx, masks):
 
 def _asrc_dense_kernel(relT_ref, fi_ref, frac_ref, buf_ref, tb_ref,
                        bankT_ref, bankT2_ref, out_ref, *, tp: int,
-                       segl: int):
+                       segl: int, kb: int):
     t = pl.program_id(0)
     nc = bankT_ref.shape[1] // 128
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (_KB, 128), 1)
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (_KB, 8), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (kb, 128), 1)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (kb, 8), 1)
     for j in range(8):
         start = pl.multiple_of(tb_ref[j, t], 128)
         seg = buf_ref[pl.ds(j, 1), pl.ds(start, segl)]
@@ -217,10 +218,19 @@ def _asrc_dense_kernel(relT_ref, fi_ref, frac_ref, buf_ref, tb_ref,
         winT = win.T                                        # [tp, KB]
         fi_row = fi_ref[0, j:j + 1, :]                      # [1, KB]
         c = jax.lax.shift_right_logical(fi_row, 7)
-        idx = jnp.broadcast_to(jnp.bitwise_and(fi_row, 127), (tp, _KB))
-        masks = [jnp.broadcast_to(c == u, (tp, _KB)) for u in range(nc - 1)]
-        f1 = _dense_bank_rows(bankT_ref[:, :], idx, masks)
-        f2 = _dense_bank_rows(bankT2_ref[:, :], idx, masks)
+        # lane-gathers are vreg-local: index blocks must be exactly 128
+        # lanes wide, so wider tiles run the filter side in 128-lane halves
+        f1h, f2h = [], []
+        for h in range(kb // 128):
+            sl = slice(128 * h, 128 * (h + 1))
+            idx = jnp.broadcast_to(
+                jnp.bitwise_and(fi_row[:, sl], 127), (tp, 128))
+            masks = [jnp.broadcast_to(c[:, sl] == u, (tp, 128))
+                     for u in range(nc - 1)]
+            f1h.append(_dense_bank_rows(bankT_ref[:, :], idx, masks))
+            f2h.append(_dense_bank_rows(bankT2_ref[:, :], idx, masks))
+        f1 = f1h[0] if kb == 128 else jnp.concatenate(f1h, axis=1)
+        f2 = f2h[0] if kb == 128 else jnp.concatenate(f2h, axis=1)
         fr = frac_ref[0, j:j + 1, :]                        # [1, KB]
         w = f1 * (1.0 - fr) + f2 * fr                       # [tp, KB]
         out_ref[0, j:j + 1, :] = jnp.sum(winT * w, axis=0, keepdims=True)
@@ -282,11 +292,11 @@ def split_f64_pairs(x64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 @functools.partial(jax.jit, static_argnames=(
     "num_taps", "num_filters", "k_max", "kp", "hist_len", "tp", "segl",
-    "interpret"))
+    "kb", "interpret"))
 def asrc_step_dense(hist, x, bankT, bankT2, off_hi, off_lo, y_hi, y_lo,
                     Ks, shift,
                     num_taps: int, num_filters: int, k_max: int, kp: int,
-                    hist_len: int, tp: int, segl: int,
+                    hist_len: int, tp: int, segl: int, kb: int = _KB,
                     interpret: bool = False):
     """One fused batched-ASRC chunk on the dense kernel: double-single
     position prologue + window-base tiling + pallas call + validity mask,
@@ -334,34 +344,34 @@ def asrc_step_dense(hist, x, bankT, bankT2, off_hi, off_lo, y_hi, y_lo,
     frac = t.astype(x.dtype)
     base = ip.astype(jnp.int32) - half + 1 + shift
 
-    nt = kp // _KB
+    nt = kp // kb
     kmask = (jnp.arange(kp, dtype=jnp.int32) < k_max)[None, :]
     base = jnp.where(kmask, jnp.clip(base, 0, blen + pad - segl), 0)
     fi = jnp.where(kmask, fi, 0)
     frac = jnp.where(kmask, frac, jnp.asarray(0, x.dtype))
 
-    base_t = base.reshape(S, nt, _KB)
+    base_t = base.reshape(S, nt, kb)
     # masked entries carry base 0 and must not drag the tile minimum below
     # the valid windows (a partial final tile would clip rel to garbage)
-    kbig = jnp.where(kmask, base, jnp.int32(2**30)).reshape(S, nt, _KB)
+    kbig = jnp.where(kmask, base, jnp.int32(2**30)).reshape(S, nt, kb)
     tb = jnp.min(kbig, axis=2)
     tb = jnp.clip(tb - (tb % 128), 0, blen + pad - segl)    # lane-aligned
     rel = jnp.clip(base_t - tb[:, :, None], 0, segl - tp - 1)
 
-    relT = rel.reshape(S // 8, 8, nt, _KB).transpose(2, 0, 3, 1)
-    fi_b = fi.reshape(S, nt, _KB).transpose(1, 0, 2)
-    frac_b = frac.reshape(S, nt, _KB).transpose(1, 0, 2)
+    relT = rel.reshape(S // 8, 8, nt, kb).transpose(2, 0, 3, 1)
+    fi_b = fi.reshape(S, nt, kb).transpose(1, 0, 2)
+    frac_b = frac.reshape(S, nt, kb).transpose(1, 0, 2)
 
     blk = lambda t, s: (t, s, 0)
     with jax.enable_x64(False):
         out4 = pl.pallas_call(
-            functools.partial(_asrc_dense_kernel, tp=tp, segl=segl),
+            functools.partial(_asrc_dense_kernel, tp=tp, segl=segl, kb=kb),
             grid=(nt, S // 8),
             in_specs=[
-                pl.BlockSpec((1, 1, _KB, 8), lambda t, s: (t, s, 0, 0),
+                pl.BlockSpec((1, 1, kb, 8), lambda t, s: (t, s, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, _KB), blk, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, _KB), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, kb), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, kb), blk, memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, bufp.shape[1]), lambda t, s: (s, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, nt), lambda t, s: (s, 0),
@@ -370,9 +380,12 @@ def asrc_step_dense(hist, x, bankT, bankT2, off_hi, off_lo, y_hi, y_lo,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(bankT.shape, lambda t, s: (0, 0),
                              memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, 8, _KB), blk,
+            out_specs=pl.BlockSpec((1, 8, kb), blk,
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nt, S, _KB), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((nt, S, kb), x.dtype),
+            # wide tiles exceed the 16 MB scoped-vmem compiler default
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024) if kb > 128 else None,
             interpret=interpret,
         )(relT, fi_b, frac_b, bufp, tb.astype(jnp.int32), bankT, bankT2)
 

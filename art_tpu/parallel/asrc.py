@@ -8,13 +8,17 @@ device step:
 
   - per-call scalar accounting is vectorized over streams on the host
     (ratio is a runtime value per stream per call — never baked into the
-    compiled kernel),
-  - read positions are generated on device from (offset[s], ratio[s]) in
-    float64 (the phase recurrence is exact to the same precision as the
-    reference's double bookkeeping), decomposed into window base + phase
-    index + interpolation fraction,
+    compiled kernel); emission counts and the phase-position query stay
+    exact float64,
+  - read positions are generated on device from (offset[s], ratio[s]) —
+    double-single f32 pairs on the dense kernel (phase-continuous-
+    equivalent to the reference's double bookkeeping at ~2^-45 relative),
+    plain float64 on the xla/pallas paths — decomposed into window base +
+    phase index + interpolation fraction,
   - the two-phase-interpolated windowed dot runs batched over
-    [streams, outputs] (see ops/resample_kernel for the single-stream form).
+    [streams, outputs]: by default the full-density gather-select pallas
+    kernel (ops/pallas_kernels.asrc_step_dense), with transparent fallback
+    to the XLA gather step for configurations outside its tile geometry.
 
 All streams consume the same chunk length per call, so the history write
 index is shared; only the fractional offsets differ per stream.
@@ -134,15 +138,16 @@ class BatchedASRC:
 
     def __init__(self, num_streams: int, num_taps: int, num_filters: int,
                  *, dtype=np.float32, blackman_harris: bool = True,
-                 kernel: str = "xla", mesh=None):
+                 kernel: str = "dense", mesh=None, dense_kb: int = 128):
         """``mesh``: optional jax.sharding.Mesh with a "streams" axis; stream
         state and chunks are sharded across it (streams are independent, so
         scale-out needs no hot-path collectives).
 
-        ``kernel``: "xla" (gather formulation, any config), "pallas" (the v1
-        per-output VMEM kernel), or "dense" (the full-density gather-select
-        kernel, fastest; f32, stream count a multiple of 8, per-call ratios
-        >= 0.25 — unsupported calls fall back to the xla step)."""
+        ``kernel``: "dense" (default; the full-density gather-select
+        kernel — f32, stream count a multiple of 8, single device, per-call
+        ratio bound from the tile geometry; unsupported calls fall back to
+        the xla step transparently), "xla" (gather formulation, any
+        config), or "pallas" (the round-1 per-output VMEM kernel)."""
         validate_taps_filters(num_taps, num_filters)
         self.dtype = np.dtype(dtype)
         self.S = num_streams
@@ -163,7 +168,12 @@ class BatchedASRC:
             bt, bt2 = dense_bank_tables(self.bank)
             self._bank_dense = (jnp.asarray(bt), jnp.asarray(bt2))
             self._tp = bt.shape[0]
-            self._segl = self._tp + 640
+            self._kb = dense_kb
+            # segment slack covers per-tile window spread: up to 8 shifted
+            # rows of the coarse table => segl <= tp + 1024
+            self._segl = self._tp + (640 if dense_kb <= 128 else 1024)
+            self._step_max = (self._segl - self._tp - 1 - 127) \
+                / max(1, dense_kb - 1)
         self.offsets = np.full(num_streams, float(num_taps // 2),
                                dtype=np.float64)
         self.input_index = num_taps
@@ -242,11 +252,11 @@ class BatchedASRC:
         # partition it); sharded engines use the xla step per shard
         use_dense = (self.kernel == "dense" and self.S % 8 == 0
                      and self.dtype == np.float32 and self.sharding is None
-                     and float(ratios.min()) >= 0.25)
+                     and float(ratios.min()) >= 1.0 / self._step_max)
         if use_dense:
-            from ..ops.pallas_kernels import (_KB, asrc_step_dense,
+            from ..ops.pallas_kernels import (asrc_step_dense,
                                               split_f64_pairs)
-            kp = -(-k_max // _KB) * _KB
+            kp = -(-k_max // self._kb) * self._kb
             interpret = jax.default_backend() != "tpu"
             # positions run in double-single f32 on device (native vector
             # rate; ~2^-45 relative = phase-continuous-equivalent to the
@@ -259,7 +269,8 @@ class BatchedASRC:
                 jnp.asarray(Ks),
                 jnp.int32(self.num_samples - self.input_index),
                 self.num_taps, self.num_filters, k_max, kp,
-                self.num_samples, self._tp, self._segl, interpret)
+                self.num_samples, self._tp, self._segl, self._kb,
+                interpret)
         elif self.kernel == "pallas":
             out, new_hist = self._process_pallas(x, ratios, k_max)
             valid = (np.arange(k_max)[None, :] < Ks[:, None])

@@ -146,3 +146,37 @@ def test_asrc_dense_large_taps_config():
             assert res.output_generated == Ks[s]
             md = max(md, float(np.abs(ho[0] - out[s, :Ks[s]]).max()))
     assert md < 2e-6
+
+
+def test_asrc_dense_kb256_matches_host():
+    """The dense kernel's 256-output tile variant (dense_kb=256) stays
+    sample-exact vs per-stream host engines."""
+    from art_tpu.core.flags import BLACKMAN_HARRIS, SUBSAMPLE_INTERPOLATE
+    from art_tpu.engines.resampler import Resampler
+    from art_tpu.parallel.asrc import BatchedASRC
+    from art_tpu.utils.testsig import NoiseLCG
+
+    S, taps, filters = 8, 48, 64
+    rng = np.random.default_rng(6)
+    lcg = NoiseLCG()
+    b = BatchedASRC(S, taps, filters, kernel="dense", dense_kb=256)
+    b.advance_position(24.0)
+    singles = []
+    for _ in range(S):
+        r = Resampler(1, taps, filters, 0.0,
+                      SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS,
+                      backend="numpy")
+        r.advance_position(24.0)
+        singles.append(r)
+    md = 0.0
+    for _ in range(3):
+        x = lcg.fill(S * 600).reshape(S, 600)
+        ratios = 1.0 + rng.uniform(-0.01, 0.01, S)
+        out, Ks = b.process(jnp.asarray(x), ratios)
+        out = np.asarray(out)
+        for s in range(S):
+            ho, res = singles[s].process(x[s:s + 1], 600, 2000,
+                                         float(ratios[s]))
+            assert res.output_generated == Ks[s]
+            md = max(md, float(np.abs(ho[0] - out[s, :Ks[s]]).max()))
+    assert md < 1e-6
