@@ -180,3 +180,44 @@ def test_asrc_dense_kb256_matches_host():
             assert res.output_generated == Ks[s]
             md = max(md, float(np.abs(ho[0] - out[s, :Ks[s]]).max()))
     assert md < 1e-6
+
+
+@pytest.mark.parametrize("taps,filters", [
+    (16, 127),    # single phase lane-block, boundary F+2 > 128
+    (16, 126),    # F+2 == 128 exactly, nc == 1
+    (48, 1),      # degenerate single-filter bank
+    (100, 200),   # taps not a multiple of 128 after padding (100 -> 128)
+    (156, 320),   # preset-2 shape
+])
+def test_asrc_dense_fuzz_configs(taps, filters):
+    """Dense kernel vs per-stream hosts across bank geometries (phase
+    lane-block counts, tap padding, degenerate filter counts)."""
+    from art_tpu.core.flags import BLACKMAN_HARRIS, SUBSAMPLE_INTERPOLATE
+    from art_tpu.engines.resampler import Resampler
+    from art_tpu.parallel.asrc import BatchedASRC
+    from art_tpu.utils.testsig import NoiseLCG
+
+    S = 8
+    lcg = NoiseLCG()
+    rng = np.random.default_rng(taps * 1000 + filters)
+    b = BatchedASRC(S, taps, filters, kernel="dense")
+    b.advance_position(taps // 2)
+    singles = []
+    for _ in range(S):
+        r = Resampler(1, taps, filters, 0.0,
+                      SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS,
+                      backend="numpy")
+        r.advance_position(taps // 2)
+        singles.append(r)
+    md = 0.0
+    for _ in range(2):
+        x = lcg.fill(S * 300).reshape(S, 300)
+        ratios = rng.uniform(0.6, 1.8, S)
+        out, Ks = b.process(jnp.asarray(x), ratios)
+        out = np.asarray(out)
+        for s in range(S):
+            ho, res = singles[s].process(x[s:s + 1], 300, 1200,
+                                         float(ratios[s]))
+            assert res.output_generated == Ks[s], (taps, filters)
+            md = max(md, float(np.abs(ho[0] - out[s, :Ks[s]]).max()))
+    assert md < 2e-6, (taps, filters, md)
