@@ -433,31 +433,38 @@ def process_file(opt: Options) -> int:
                                 else 0)
             percent = -1
 
-            # -m: the worker pool prefetches and decodes the next chunk
-            # while the engines process the current one (the reference's
-            # pool parallelizes within a chunk across channels,
+            # -m: worker pools overlap host IO with engine compute (the
+            # reference's pool parallelizes within a chunk across channels,
             # resampler.c:441-484; with vectorized channel engines the
-            # remaining host-side concurrency win is IO/decode overlap)
-            pool = None
+            # remaining host-side concurrency is IO overlap).  Two
+            # single-worker pools: one prefetch-decodes the next chunk,
+            # one drains packed-byte fetches + file writes.  Each pool is
+            # FIFO (write ordering preserved); separating them keeps a
+            # pending slow d2h fetch from blocking the next read enqueue.
+            pool = wpool = None
             if opt.multithreaded:
                 from ..parallel import workers as _w
                 pool = _w.workers_init(1)
+                wpool = _w.workers_init(1)
 
-            def _read_decode(_ctx, slot):
-                to_read = min(slot[0], BUFFER_SAMPLES)
-                raw = f.read(to_read * frame_bytes)
-                frames_read = len(raw) // frame_bytes
-                slot[1] = frames_read
-                slot[2] = wavfile.decode_frames(
-                    raw[:frames_read * frame_bytes], info, opt.gain, dt) \
-                    if frames_read else np.zeros((0, num_channels), dt)
-                return 0
-
-            # deferred packed-bytes fetch + ordered file write (device
-            # pipeline with -m: the ~5 MB/s tunneled d2h fetch of chunk i
-            # overlaps chunk i+1's dispatch; single worker => FIFO writes)
             clip_cell = [0]
             io_error = []
+
+            def _read_decode(_ctx, slot):
+                try:
+                    to_read = min(slot[0], BUFFER_SAMPLES)
+                    raw = f.read(to_read * frame_bytes)
+                    frames_read = len(raw) // frame_bytes
+                    slot[1] = frames_read
+                    slot[2] = wavfile.decode_frames(
+                        raw[:frames_read * frame_bytes], info, opt.gain,
+                        dt) if frames_read \
+                        else np.zeros((0, num_channels), dt)
+                except BaseException as e:   # surfaced on the main thread
+                    slot[1] = 0
+                    slot[2] = np.zeros((0, num_channels), dt)
+                    io_error.append(e)
+                return 0
 
             def _fetch_write(_ctx, job):
                 try:
@@ -472,114 +479,123 @@ def process_file(opt: Options) -> int:
             read_job = pool.enqueue(_read_decode, None, pending) \
                 if pool is not None else 0
 
-            while output_samples < target_output:
-                if pool is not None:
-                    pool.wait_on_job(read_job)
-                    if io_error:
-                        raise io_error[0]
-                    frames_read, frames = pending[1], pending[2]
-                    remaining -= frames_read
-                    pending = [remaining, 0, None]
-                    read_job = pool.enqueue(_read_decode, None, pending)
-                else:
-                    pending[0] = remaining
-                    _read_decode(None, pending)
-                    frames_read, frames = pending[1], pending[2]
-                    remaining -= frames_read
-
-                if stretcher is not None:
-                    if frames_read:
-                        flat = stretcher.process(frames.reshape(-1),
-                                                 frames_read, stretch_ratio)
+            # drain both pools before the with-block closes the
+            # output file, on success AND on exception paths (a
+            # queued _fetch_write must never race the file close)
+            try:
+                while output_samples < target_output:
+                    if pool is not None:
+                        pool.wait_on_job(read_job)
+                        if io_error:
+                            raise io_error[0]
+                        frames_read, frames = pending[1], pending[2]
+                        remaining -= frames_read
+                        pending = [remaining, 0, None]
+                        read_job = pool.enqueue(_read_decode, None, pending)
                     else:
-                        flat = stretcher.flush()
-                    frames = flat.reshape(-1, num_channels)
+                        pending[0] = remaining
+                        _read_decode(None, pending)
+                        if io_error:
+                            raise io_error[0]
+                        frames_read, frames = pending[1], pending[2]
+                        remaining -= frames_read
 
-                # the reference filters the *raw read buffer*, which the
-                # resampler never sees when a stretcher is active
-                # (art.c:1011-1017 vs resample_buffer at art.c:1023) — so
-                # with a stretcher, -p has no effect on output
-                if pre_filter and stretcher is None and frames.shape[0]:
-                    frames = lowpass2.apply_buffer(
-                        lowpass1.apply_buffer(frames))
+                    if stretcher is not None:
+                        if frames_read:
+                            flat = stretcher.process(frames.reshape(-1),
+                                                     frames_read, stretch_ratio)
+                        else:
+                            flat = stretcher.flush()
+                        frames = flat.reshape(-1, num_channels)
 
-                dev_out = None
-                if resampler is not None:
-                    if (dev_decimator is not None and not post_filter
-                            and hasattr(resampler,
-                                        "process_interleaved_device")):
-                        outbuf, res, dev_out = \
-                            resampler.process_interleaved_device(
+                    # the reference filters the *raw read buffer*, which the
+                    # resampler never sees when a stretcher is active
+                    # (art.c:1011-1017 vs resample_buffer at art.c:1023) — so
+                    # with a stretcher, -p has no effect on output
+                    if pre_filter and stretcher is None and frames.shape[0]:
+                        frames = lowpass2.apply_buffer(
+                            lowpass1.apply_buffer(frames))
+
+                    dev_out = None
+                    if resampler is not None:
+                        if (dev_decimator is not None and not post_filter
+                                and hasattr(resampler,
+                                            "process_interleaved_device")):
+                            outbuf, res, dev_out = \
+                                resampler.process_interleaved_device(
+                                    frames if frames.shape[0] else None,
+                                    frames.shape[0] if frames.shape[0] else -1,
+                                    outcap, sample_ratio)
+                        else:
+                            outbuf, res = resampler.process_interleaved(
                                 frames if frames.shape[0] else None,
                                 frames.shape[0] if frames.shape[0] else -1,
                                 outcap, sample_ratio)
+                        generated = res.output_generated
+                        if generated == outcap:
+                            raise SystemExit("fatal error: outputbuffer too "
+                                             "small!")
                     else:
-                        outbuf, res = resampler.process_interleaved(
-                            frames if frames.shape[0] else None,
-                            frames.shape[0] if frames.shape[0] else -1,
-                            outcap, sample_ratio)
-                    generated = res.output_generated
-                    if generated == outcap:
-                        raise SystemExit("fatal error: outputbuffer too "
-                                         "small!")
-                else:
-                    outbuf = frames
-                    generated = frames.shape[0]
+                        outbuf = frames
+                        generated = frames.shape[0]
 
-                if (not frames.shape[0] and not generated
-                        and output_samples < target_output):
-                    generated = min(target_output - output_samples, outcap)
-                    outbuf = np.zeros((generated, num_channels), dt)
+                    if (not frames.shape[0] and not generated
+                            and output_samples < target_output):
+                        generated = min(target_output - output_samples, outcap)
+                        outbuf = np.zeros((generated, num_channels), dt)
 
-                if post_filter and generated:
-                    outbuf = lowpass2.apply_buffer(
-                        lowpass1.apply_buffer(outbuf[:generated]))
+                    if post_filter and generated:
+                        outbuf = lowpass2.apply_buffer(
+                            lowpass1.apply_buffer(outbuf[:generated]))
 
-                if output_samples + generated > target_output:
-                    generated = target_output - output_samples
-                if outbuf is not None:
-                    outbuf = outbuf[:generated]
+                    if output_samples + generated > target_output:
+                        generated = target_output - output_samples
+                    if outbuf is not None:
+                        outbuf = outbuf[:generated]
 
-                if outbits < 32:
-                    if dev_decimator is not None:
-                        if dev_out is not None:
-                            src = dev_out.T
-                        else:
-                            # host-produced chunk (edges, prefill, zero
-                            # pad): pad to the steady bucket so the fused
-                            # device step keeps one compiled shape
-                            src = np.zeros((outcap, num_channels), dt)
-                            src[:generated] = outbuf
-                        step = dev_decimator.process_chunk_async(src,
-                                                                 generated)
-                        if step is not None:
-                            job = (step[0], step[1], generated)
-                            if pool is not None:
-                                pool.enqueue(_fetch_write, None, job)
+                    if outbits < 32:
+                        if dev_decimator is not None:
+                            if dev_out is not None:
+                                src = dev_out.T
                             else:
-                                _fetch_write(None, job)
-                                if io_error:
-                                    raise io_error[0]
+                                # host-produced chunk (edges, prefill, zero
+                                # pad): pad to the steady bucket so the fused
+                                # device step keeps one compiled shape
+                                src = np.zeros((outcap, num_channels), dt)
+                                src[:generated] = outbuf
+                            step = dev_decimator.process_chunk_async(src,
+                                                                     generated)
+                            if step is not None:
+                                job = (step[0], step[1], generated)
+                                if pool is not None:
+                                    wpool.enqueue(_fetch_write, None, job)
+                                else:
+                                    _fetch_write(None, job)
+                                    if io_error:
+                                        raise io_error[0]
+                        else:
+                            packed, c = decimator.process_interleaved(outbuf)
+                            clipped += c
+                            out.write(packed.tobytes())
                     else:
-                        packed, c = decimator.process_interleaved(outbuf)
-                        clipped += c
-                        out.write(packed.tobytes())
-                else:
-                    out.write(wavfile.encode_float_frames(outbuf, outbits))
+                        out.write(wavfile.encode_float_frames(outbuf, outbits))
 
-                output_samples += generated
-                if progress_divider:
-                    new_pct = 100 - remaining // progress_divider
-                    if new_pct != percent:
-                        percent = new_pct
-                        print(f"\rprogress: {percent}% ", end="",
-                              file=sys.stderr, flush=True)
-
-            if pool is not None:
-                pool.wait_all()
-                pool.deinit()
-                if io_error:
-                    raise io_error[0]
+                    output_samples += generated
+                    if progress_divider:
+                        new_pct = 100 - remaining // progress_divider
+                        if new_pct != percent:
+                            percent = new_pct
+                            print(f"\rprogress: {percent}% ", end="",
+                                  file=sys.stderr, flush=True)
+            finally:
+                if pool is not None:
+                    pool.wait_all()
+                    pool.deinit()
+                if wpool is not None:
+                    wpool.wait_all()
+                    wpool.deinit()
+            if io_error:
+                raise io_error[0]
             clipped += clip_cell[0]
 
             data_bytes = output_samples * num_channels * ((outbits + 7) // 8)

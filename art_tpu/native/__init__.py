@@ -19,11 +19,22 @@ _LIB = _HERE / "libartnative.so"
 # -O3 is IEEE-safe here (no -ffast-math/-fassociative-math; contraction off):
 # it buys loop unswitching of the dither/shaper branches without changing
 # any rounding, so bit-parity with the reference data paths is preserved.
-# -mavx2 matches the reference build's ISA (reference Makefile:10); VEX
-# 3-operand encoding shaves register moves without touching FP semantics
-# (-ffp-contract=off still forbids FMA contraction).
-_CXXFLAGS = ["-O3", "-mavx2", "-ffp-contract=off", "-fPIC", "-shared",
-             "-std=c++17"]
+_CXXFLAGS = ["-O3", "-ffp-contract=off", "-fPIC", "-shared", "-std=c++17"]
+
+
+def _isa_flags() -> list[str]:
+    """-mavx2 matches the reference build's ISA (reference Makefile:10);
+    VEX 3-operand encoding shaves register moves without touching FP
+    semantics (-ffp-contract=off still forbids FMA contraction).  The lib
+    builds itself on whatever host imports it, so only emit AVX2 when the
+    CPU actually has it — an unconditional flag would SIGILL elsewhere."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            if " avx2" in f.read():
+                return ["-mavx2"]
+    except OSError:
+        pass
+    return []
 
 _lib = None
 _tried = False
@@ -36,7 +47,8 @@ def _load():
     _tried = True
     try:
         if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            subprocess.run(["g++", *_CXXFLAGS, str(_SRC), "-o", str(_LIB)],
+            subprocess.run(["g++", *_CXXFLAGS, *_isa_flags(), str(_SRC),
+                            "-o", str(_LIB)],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(str(_LIB))
     except (OSError, subprocess.CalledProcessError):

@@ -331,8 +331,7 @@ class DeviceStreamResampler:
                 self._bank_dev, jnp.asarray(d.astype(np.int32)),
                 jnp.asarray(fi.astype(np.int32)),
                 self.qn * self.M, self.L, self.num_taps)
-            m = (P2, jnp.asarray(frac.astype(self.dtype)),
-                 ipos[0], d, fi, frac)
+            m = (P2, jnp.asarray(frac.astype(self.dtype)), d, fi, frac)
             if len(self._interp_cache) > 64:
                 self._interp_cache.clear()
             self._interp_cache[key] = m
@@ -406,10 +405,13 @@ class DeviceStreamResampler:
         K, start, j0, pos0, plan = self._plan_compute(n_in)
         nb = -(-K // self.L) if K else 1
         if self.interp:
-            P2, fracv, ipos0, dpat, fipat, fracpat = \
-                self._interp_matrix(pos0)
-            if not self._pattern_safe(plan, n_in, K, nb, ipos0, dpat,
-                                      fipat, fracpat):
+            P2, fracv, dpat, fipat, fracpat = self._interp_matrix(pos0)
+            # ipos0 is recomputed from this chunk's own position: the
+            # matrix cache is keyed by the position-RELATIVE pattern
+            # (d, fi, frac), so a cached absolute position could belong to
+            # a different chunk sharing the pattern
+            if not self._pattern_safe(plan, n_in, K, nb, math.floor(pos0),
+                                      dpat, fipat, fracpat):
                 return self._process_split(x, n_in, acc)
         # adopt the plan's state advance verbatim: it reproduces the
         # reference's ring-slide arithmetic exactly, so emission-count

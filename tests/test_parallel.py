@@ -1,6 +1,8 @@
 """Device-resident streaming engine and multi-chip sharding tests (run on a
 virtual 8-device CPU mesh; see conftest)."""
 
+import math
+
 import numpy as np
 import pytest
 import jax
@@ -299,7 +301,8 @@ def test_interp_device_exact_fi_selection_10M_outputs():
     while total < 10_500_000:
         K, start, j0, pos0, plan = eng._plan_compute(n_in)
         nb = -(-K // eng.L) if K else 1
-        _, _, ipos0, d, fi, frac = eng._interp_matrix(pos0)
+        _, _, d, fi, frac = eng._interp_matrix(pos0)
+        ipos0 = math.floor(pos0)
         safe = eng._pattern_safe(plan, n_in, K, nb, ipos0, d, fi, frac)
         # independent oracle (the host engine's exact position pipeline)
         ip, frac0 = accounting.ring_positions(
