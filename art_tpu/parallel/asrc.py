@@ -169,6 +169,7 @@ class BatchedASRC:
             self._bank_dense = (jnp.asarray(bt), jnp.asarray(bt2))
             self._tp = bt.shape[0]
             self._kb = dense_kb
+            self._dense_sharded_cache: dict = {}
             # segment slack covers per-tile window spread: up to 8 shifted
             # rows of the coarse table => segl <= tp + 1024
             self._segl = self._tp + (640 if dense_kb <= 128 else 1024)
@@ -248,10 +249,17 @@ class BatchedASRC:
 
         if self.sharding is not None:
             x = jax.device_put(x, self.sharding)
-        # the dense kernel is a single-device pallas call (XLA cannot
-        # partition it); sharded engines use the xla step per shard
-        use_dense = (self.kernel == "dense" and self.S % 8 == 0
-                     and self.dtype == np.float32 and self.sharding is None
+        # a pallas call cannot be auto-partitioned by XLA, but streams are
+        # embarrassingly parallel: under a mesh the dense step runs inside
+        # shard_map, one kernel instance per device on its local stream
+        # block (the reference's threaded==unthreaded guarantee, scaled out)
+        n_shards = 1
+        if self.sharding is not None:
+            n_shards = self.sharding.mesh.shape["streams"]
+        use_dense = (self.kernel == "dense"
+                     and (self.S // n_shards) % 8 == 0
+                     and self.S % n_shards == 0
+                     and self.dtype == np.float32
                      and float(ratios.min()) >= 1.0 / self._step_max)
         if use_dense:
             from ..ops.pallas_kernels import (asrc_step_dense,
@@ -263,14 +271,18 @@ class BatchedASRC:
             # f64 sequence); counts/masks stay exact host float64 (Ks)
             oh, ol = split_f64_pairs(self.offsets)
             yh, yl = split_f64_pairs(1.0 / ratios)
-            new_hist, out = asrc_step_dense(
-                self.hist, x, *self._bank_dense, jnp.asarray(oh),
-                jnp.asarray(ol), jnp.asarray(yh), jnp.asarray(yl),
-                jnp.asarray(Ks),
-                jnp.int32(self.num_samples - self.input_index),
-                self.num_taps, self.num_filters, k_max, kp,
-                self.num_samples, self._tp, self._segl, self._kb,
-                interpret)
+            args = (self.hist, x, *self._bank_dense, jnp.asarray(oh),
+                    jnp.asarray(ol), jnp.asarray(yh), jnp.asarray(yl),
+                    jnp.asarray(Ks),
+                    jnp.int32(self.num_samples - self.input_index))
+            if self.sharding is None:
+                new_hist, out = asrc_step_dense(
+                    *args, self.num_taps, self.num_filters, k_max, kp,
+                    self.num_samples, self._tp, self._segl, self._kb,
+                    interpret)
+            else:
+                new_hist, out = self._dense_sharded(k_max, kp, interpret)(
+                    *args)
         elif self.kernel == "pallas":
             out, new_hist = self._process_pallas(x, ratios, k_max)
             valid = (np.arange(k_max)[None, :] < Ks[:, None])
@@ -292,6 +304,36 @@ class BatchedASRC:
         self.input_index = self.input_index + n - n_slides * slide
         self.offsets = (self.offsets - n_slides * slide) + Ks / ratios
         return out, Ks
+
+    def _dense_sharded(self, k_max: int, kp: int, interpret: bool):
+        """shard_map-wrapped dense step: one kernel instance per device on
+        its local block of streams (no collectives — streams are
+        independent, the scaled-out analog of the reference's per-channel
+        pool, workers.c:133-184)."""
+        key = (k_max, kp, interpret)
+        fn = self._dense_sharded_cache.get(key)
+        if fn is None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..ops.pallas_kernels import asrc_step_dense
+
+            def local(hist, x, bt, bt2, oh, ol, yh, yl, Ks, shift):
+                return asrc_step_dense(
+                    hist, x, bt, bt2, oh, ol, yh, yl, Ks, shift,
+                    self.num_taps, self.num_filters, k_max, kp,
+                    self.num_samples, self._tp, self._segl, self._kb,
+                    interpret)
+
+            st = P("streams", None)
+            rep = P(None, None)
+            fn = jax.jit(shard_map(
+                local, mesh=self.sharding.mesh,
+                in_specs=(st, st, rep, rep, P("streams"), P("streams"),
+                          P("streams"), P("streams"), P("streams"), P()),
+                out_specs=(st, st), check_rep=False))
+            self._dense_sharded_cache[key] = fn
+        return fn
 
     def _process_pallas(self, x, ratios: np.ndarray, k_max: int):
         """Device-side position decomposition + the VMEM-resident kernel.

@@ -116,3 +116,27 @@ def test_batched_asrc_checkpoint_resume():
     assert np.array_equal(K1, K2)
     assert np.array_equal(np.asarray(o1), np.asarray(o2))
     assert np.array_equal(a.get_position(), b.get_position())
+
+
+def test_batched_asrc_dense_sharded_matches_single_device():
+    """The dense kernel runs under shard_map (one instance per device on
+    its local stream block); results match the single-device dense engine
+    and shards stay distributed."""
+    from art_tpu.parallel.sharding import make_mesh
+    mesh = make_mesh(8, 1)
+    lcg = NoiseLCG()
+    rng = np.random.default_rng(8)
+    S = 64                              # 8 local streams per device
+    a = BatchedASRC(S, 48, 64, kernel="dense", mesh=mesh)
+    b = BatchedASRC(S, 48, 64, kernel="dense")
+    a.advance_position(24.0)
+    b.advance_position(24.0)
+    for _ in range(3):
+        x = lcg.fill(S * 512).reshape(S, 512)
+        ratios = 1.0 + rng.uniform(-0.01, 0.01, S)
+        oa, Ka = a.process(jnp.asarray(x), ratios)
+        ob, Kb = b.process(jnp.asarray(x), ratios)
+        assert np.array_equal(Ka, Kb)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                                   atol=1e-6)
+    assert len(a.hist.sharding.device_set) == 8
