@@ -25,6 +25,11 @@ CONFIGS = [
     ["-2", "-s48k", "-d44.1k", "-c2", "-n2", "-e", "-i", "-z", "-o24"],
     ["-4", "-s44.1k", "-d48k", "-c2", "-n1", "-e", "-i"],
     ["-1", "-s48k", "-d32k", "-c3", "-n2", "-e", "-i", "-o8"],
+    ["-3", "-s44.1k", "-d48k", "-c2", "-n2", "-e", "-i", "-v"],
+    ["-1", "-s44.1k", "-d48k", "-c2", "-n2", "-e", "-i", "-h3000"],
+    ["-2", "-s44.1k", "-d48k", "-c2", "-n2", "-e", "-i", "-o16", "-d2",
+     "-n1"],
+    ["-3", "-s44.1k", "-d48k", "-c2", "-n2", "-e", "-i", "-m"],
 ]
 
 _LINE = re.compile(r"(\w+) \(-w(\d)\): count =\s*(\d+), checksum = (\w+), "
