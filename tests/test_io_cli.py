@@ -405,3 +405,33 @@ def test_cli_device_pipeline_resample_decimate(tmp_path):
     dn, swn = convert("numpy", ["-r48k", "-o16", "-n0", "-m"])
     dd, swd = convert("device", ["-r48k", "-o16", "-n0", "-m"])
     assert len(dn) == len(dd) and swn == swd
+
+
+def test_cli_f64_device_backend_byte_identical(tmp_path):
+    """--f64 --backend=device: the float64 device data path (double-double
+    on real TPUs, ~1e-15 vs host) quantizes to byte-identical output."""
+    import io as _io
+    from contextlib import redirect_stderr
+
+    import numpy as np
+
+    from art_tpu.cli import art
+    from art_tpu.io import wavfile
+
+    rng = np.random.default_rng(11)
+    n = 44100
+    x = (rng.standard_normal((n, 2)) * 0.4).astype(np.float32)
+    src = tmp_path / "in.wav"
+    with open(src, "wb") as f:
+        wavfile.write_wav_header(f, bits=32, num_channels=2, num_frames=n,
+                                 sample_rate=44100, channel_mask=0x3)
+        f.write(x.astype("<f4").tobytes())
+    outs = []
+    for be in ("numpy", "device"):
+        dst = tmp_path / f"o_{be}.wav"
+        with redirect_stderr(_io.StringIO()):
+            rc = art.main(["-q", "-y", "--f64", f"--backend={be}", "-r48k",
+                           "-o16", str(src), str(dst)])
+        assert not rc
+        outs.append(dst.read_bytes())
+    assert outs[0] == outs[1]
