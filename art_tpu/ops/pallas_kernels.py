@@ -25,6 +25,7 @@ the dot); stream/output counts are padded to 8 / the block size upstream.
 from __future__ import annotations
 
 import functools
+import math
 
 from .._jaxinit import ensure_jax
 
@@ -203,37 +204,85 @@ def _dense_bank_rows(bankT, idx, masks):
     return out
 
 
-def _asrc_dense_kernel(relT_ref, fi_ref, frac_ref, buf_ref, tb_ref,
+def _asrc_dense_kernel(relc_ref, fir_ref, frr_ref, buf_ref, tb_ref,
                        bankT_ref, bankT2_ref, out_ref, *, tp: int,
                        segl: int, kb: int):
+    """All 8 streams of the program batched into single [8*kb, .] tiles:
+    one one-hot MXU matmul aligns every window coarsely, one set of
+    lane-gathers extracts all windows, one transpose and one dot close the
+    tile.  Measured 1.8x the per-stream-looped structure same-process
+    (tools/exp_batch8.py) — per-op invocation overhead dominates at these
+    tile sizes.  Filter gathers stay chunked per 128 output lanes: Mosaic
+    lane-gathers allow a single source vreg along the gather dimension."""
     t = pl.program_id(0)
+    r8 = 8 * kb
+    sw = tp + 128
+    nshift = (segl - sw) // 128 + 1
     nc = bankT_ref.shape[1] // 128
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (kb, 128), 1)
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (kb, 8), 1)
+
+    # per-stream segments -> one [64, sw] shift table (8 rows per stream,
+    # unused rows duplicated; the one-hot below never addresses them)
+    segs = []
     for j in range(8):
         start = pl.multiple_of(tb_ref[j, t], 128)
         seg = buf_ref[pl.ds(j, 1), pl.ds(start, segl)]
-        rel_col = relT_ref[0, 0, :, j:j + 1]                # [KB, 1]
-        win = _dense_windows(seg, rel_col, lane128, lane8, tp)
-        winT = win.T                                        # [tp, KB]
-        fi_row = fi_ref[0, j:j + 1, :]                      # [1, KB]
-        c = jax.lax.shift_right_logical(fi_row, 7)
-        # lane-gathers are vreg-local: index blocks must be exactly 128
-        # lanes wide, so wider tiles run the filter side in 128-lane halves
-        f1h, f2h = [], []
-        for h in range(kb // 128):
-            sl = slice(128 * h, 128 * (h + 1))
-            idx = jnp.broadcast_to(
-                jnp.bitwise_and(fi_row[:, sl], 127), (tp, 128))
-            masks = [jnp.broadcast_to(c[:, sl] == u, (tp, 128))
-                     for u in range(nc - 1)]
-            f1h.append(_dense_bank_rows(bankT_ref[:, :], idx, masks))
-            f2h.append(_dense_bank_rows(bankT2_ref[:, :], idx, masks))
-        f1 = f1h[0] if kb == 128 else jnp.concatenate(f1h, axis=1)
-        f2 = f2h[0] if kb == 128 else jnp.concatenate(f2h, axis=1)
-        fr = frac_ref[0, j:j + 1, :]                        # [1, KB]
-        w = f1 * (1.0 - fr) + f2 * fr                       # [tp, KB]
-        out_ref[0, j:j + 1, :] = jnp.sum(winT * w, axis=0, keepdims=True)
+        segs.extend(seg[:, 128 * c:128 * c + sw]
+                    for c in range(min(nshift, 8)))
+        segs.extend([seg[:, :sw]] * max(0, 8 - nshift))
+    segshift = jnp.concatenate(segs, axis=0)               # [64, sw]
+
+    rel = relc_ref[0, 0, :, :]                             # [r8, 1]
+    a = jax.lax.shift_right_logical(rel, 7)
+    sid = jax.lax.broadcasted_iota(jnp.int32, (r8, 1), 0)
+    # stream of row r is r // kb (kb is a power of two)
+    colidx = jax.lax.shift_right_logical(
+        sid, int(math.log2(kb))) * 8 + a
+    lane64 = jax.lax.broadcasted_iota(jnp.int32, (r8, 64), 1)
+    onehot = (colidx == lane64).astype(buf_ref.dtype)
+    coarse = jax.lax.dot_general(
+        onehot, segshift, (((1,), (0,)), ((), ())),
+        preferred_element_type=buf_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST)               # [r8, sw]
+
+    b = jnp.bitwise_and(rel, 127)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (r8, 128), 1)
+    idxf = jnp.bitwise_and(b + lane128, 127)
+    nu = tp // 128
+    g = [jnp.take_along_axis(coarse[:, 128 * u:128 * (u + 1)], idxf,
+                             axis=1, mode="promise_in_bounds")
+         for u in range(nu + 1)]
+    mask = lane128 < (128 - b)
+    win = jnp.concatenate(
+        [jnp.where(mask, g[u], g[u + 1]) for u in range(nu)], axis=1)
+    winT = win.T                                           # [tp, r8]
+
+    fi = fir_ref[0, 0, :, :]                               # [1, r8]
+    c = jax.lax.shift_right_logical(fi, 7)
+    f1c, f2c = [], []
+    for h in range(r8 // 128):
+        sl = slice(128 * h, 128 * (h + 1))
+        idx_h = jnp.broadcast_to(jnp.bitwise_and(fi[:, sl], 127),
+                                 (tp, 128))
+        p1 = [jnp.take_along_axis(bankT_ref[:, 128 * u:128 * (u + 1)],
+                                  idx_h, axis=1,
+                                  mode="promise_in_bounds")
+              for u in range(nc)]
+        p2 = [jnp.take_along_axis(bankT2_ref[:, 128 * u:128 * (u + 1)],
+                                  idx_h, axis=1,
+                                  mode="promise_in_bounds")
+              for u in range(nc)]
+        o1, o2 = p1[nc - 1], p2[nc - 1]
+        for u in range(nc - 2, -1, -1):
+            m = jnp.broadcast_to(c[:, sl] == u, (tp, 128))
+            o1 = jnp.where(m, p1[u], o1)
+            o2 = jnp.where(m, p2[u], o2)
+        f1c.append(o1)
+        f2c.append(o2)
+    f1 = f1c[0] if len(f1c) == 1 else jnp.concatenate(f1c, axis=1)
+    f2 = f2c[0] if len(f2c) == 1 else jnp.concatenate(f2c, axis=1)
+    fr = frr_ref[0, 0, :, :]                               # [1, r8]
+    w = f1 * (1.0 - fr) + f2 * fr                          # [tp, r8]
+    out_ref[0, 0, :, :] = jnp.sum(winT * w, axis=0, keepdims=True)
 
 
 def dense_bank_tables(bank: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -358,20 +407,24 @@ def asrc_step_dense(hist, x, bankT, bankT2, off_hi, off_lo, y_hi, y_lo,
     tb = jnp.clip(tb - (tb % 128), 0, blen + pad - segl)    # lane-aligned
     rel = jnp.clip(base_t - tb[:, :, None], 0, segl - tp - 1)
 
-    relT = rel.reshape(S // 8, 8, nt, kb).transpose(2, 0, 3, 1)
-    fi_b = fi.reshape(S, nt, kb).transpose(1, 0, 2)
-    frac_b = frac.reshape(S, nt, kb).transpose(1, 0, 2)
+    # batched layouts: within each 8-stream block, r = j*kb + k
+    r8 = 8 * kb
+    relc = rel.reshape(S // 8, 8, nt, kb).transpose(2, 0, 1, 3) \
+        .reshape(nt, S // 8, r8, 1)
+    fi_b = fi.reshape(S // 8, 8, nt, kb).transpose(2, 0, 1, 3) \
+        .reshape(nt, S // 8, 1, r8)
+    frac_b = frac.reshape(S // 8, 8, nt, kb).transpose(2, 0, 1, 3) \
+        .reshape(nt, S // 8, 1, r8)
 
-    blk = lambda t, s: (t, s, 0)
+    blk4 = lambda t, s: (t, s, 0, 0)
     with jax.enable_x64(False):
         out4 = pl.pallas_call(
             functools.partial(_asrc_dense_kernel, tp=tp, segl=segl, kb=kb),
             grid=(nt, S // 8),
             in_specs=[
-                pl.BlockSpec((1, 1, kb, 8), lambda t, s: (t, s, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, kb), blk, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, kb), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, r8, 1), blk4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, r8), blk4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, r8), blk4, memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, bufp.shape[1]), lambda t, s: (s, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, nt), lambda t, s: (s, 0),
@@ -380,16 +433,17 @@ def asrc_step_dense(hist, x, bankT, bankT2, off_hi, off_lo, y_hi, y_lo,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(bankT.shape, lambda t, s: (0, 0),
                              memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, 8, kb), blk,
+            out_specs=pl.BlockSpec((1, 1, 1, r8), blk4,
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nt, S, kb), x.dtype),
-            # wide tiles exceed the 16 MB scoped-vmem compiler default
+            out_shape=jax.ShapeDtypeStruct((nt, S // 8, 1, r8), x.dtype),
+            # batched tiles exceed the 16 MB scoped-vmem compiler default
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024) if kb > 128 else None,
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(relT, fi_b, frac_b, bufp, tb.astype(jnp.int32), bankT, bankT2)
+        )(relc, fi_b, frac_b, bufp, tb.astype(jnp.int32), bankT, bankT2)
 
-    out = out4.transpose(1, 0, 2).reshape(S, kp)[:, :k_max]
+    out = out4.reshape(nt, S // 8, 8, kb).transpose(1, 2, 0, 3) \
+        .reshape(S, kp)[:, :k_max]
     valid = (jnp.arange(k_max, dtype=jnp.int32)[None, :] < Ks[:, None])
     out = out * valid.astype(out.dtype)
     new_hist = buf[:, blen - hist_len:]

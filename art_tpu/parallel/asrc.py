@@ -168,6 +168,8 @@ class BatchedASRC:
             bt, bt2 = dense_bank_tables(self.bank)
             self._bank_dense = (jnp.asarray(bt), jnp.asarray(bt2))
             self._tp = bt.shape[0]
+            if dense_kb & (dense_kb - 1) or dense_kb < 128:
+                raise ValueError("dense_kb must be a power of two >= 128")
             self._kb = dense_kb
             self._dense_sharded_cache: dict = {}
             # segment slack covers per-tile window spread: up to 8 shifted
