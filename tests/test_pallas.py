@@ -148,8 +148,9 @@ def test_asrc_dense_large_taps_config():
     assert md < 2e-6
 
 
-def test_asrc_dense_kb256_matches_host():
-    """The dense kernel's 256-output tile variant (dense_kb=256) stays
+@pytest.mark.parametrize("kbv", [256, 512])
+def test_asrc_dense_wide_tiles_match_host(kbv):
+    """The dense kernel's wide-tile variants (dense_kb=256/512) stay
     sample-exact vs per-stream host engines."""
     from art_tpu.core.flags import BLACKMAN_HARRIS, SUBSAMPLE_INTERPOLATE
     from art_tpu.engines.resampler import Resampler
@@ -159,7 +160,7 @@ def test_asrc_dense_kb256_matches_host():
     S, taps, filters = 8, 48, 64
     rng = np.random.default_rng(6)
     lcg = NoiseLCG()
-    b = BatchedASRC(S, taps, filters, kernel="dense", dense_kb=256)
+    b = BatchedASRC(S, taps, filters, kernel="dense", dense_kb=kbv)
     b.advance_position(24.0)
     singles = []
     for _ in range(S):
