@@ -14,9 +14,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/tmp")
+sys.path.insert(0, "/root/repo/tools")
 import art_tpu.ops.pallas_kernels as pk
-from kernel_v1 import _asrc_dense_kernel_v1
+from kernel_v1_reference import _asrc_dense_kernel_v1
 
 F, TAPS = 380, 380
 TP = 384
