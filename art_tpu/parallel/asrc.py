@@ -223,8 +223,15 @@ class BatchedASRC:
         n = x.shape[1]
         half = self.num_taps // 2
         ratios = np.asarray(ratios, dtype=np.float64)
+        req_k_max = k_max
         if k_max is None:
             k_max = int(np.ceil((n + 2) * ratios.max())) + 2
+        # bucket the static capacity so per-call ratio drift cannot force a
+        # recompile of the jitted step (each distinct k_max is a distinct
+        # compilation; through a remote-compile deployment a drifting-max
+        # workload measured 0.9 M out/s from compile churn before this)
+        bucket = self._kb if self.kernel == "dense" else 128
+        k_max = -(-k_max // bucket) * bucket
 
         # per-stream emission counts: pos_k = offset + k/ratio is strictly
         # increasing, so a closed-form estimate bracket-corrected at the
@@ -246,7 +253,8 @@ class BatchedASRC:
             est = ((self.offsets[:, None] + ks[None, :] / ratios[:, None])
                    < bound).sum(axis=1)
         Ks = est.astype(np.int32)
-        if int(Ks.max(initial=0)) >= k_max:
+        if int(Ks.max(initial=0)) >= (req_k_max if req_k_max is not None
+                                      else k_max):
             raise ValueError("k_max too small for requested chunk")
 
         if self.sharding is not None:
@@ -285,16 +293,22 @@ class BatchedASRC:
             else:
                 new_hist, out = self._dense_sharded(k_max, kp, interpret)(
                     *args)
+            if req_k_max is not None and req_k_max != k_max:
+                out = out[:, :req_k_max]
         elif self.kernel == "pallas":
             out, new_hist = self._process_pallas(x, ratios, k_max)
             valid = (np.arange(k_max)[None, :] < Ks[:, None])
             out = out * jnp.asarray(valid.astype(self.dtype.type))
+            if req_k_max is not None and req_k_max != k_max:
+                out = out[:, :req_k_max]
         else:
             new_hist, out = _asrc_step(
                 self.hist, x, self._bank_dev, jnp.asarray(self.offsets),
                 jnp.asarray(ratios), jnp.asarray(Ks),
                 jnp.int32(self.num_samples - self.input_index),
                 self.num_taps, self.num_filters, k_max, self.num_samples)
+            if req_k_max is not None and req_k_max != k_max:
+                out = out[:, :req_k_max]
         self.hist = new_hist
 
         # advance per-stream offsets with the reference ring-slide
