@@ -181,3 +181,23 @@ def test_batched_asrc_chunk_size_invariance():
         assert abs(len(cat["a"][s]) - len(cat["c"][s])) <= 1
         assert np.abs(cat["a"][s][:n] - cat["b"][s][:n]).max() < 1e-6
         assert np.abs(cat["a"][s][:n] - cat["c"][s][:n]).max() < 1e-6
+
+
+def test_asrc_step_compilation_stable_under_drifting_ratios():
+    """Per-call ratio drift must not grow the jit cache: the output
+    capacity is bucketed to the kernel tile, so the compiled step is
+    reused (unbucketed k_max caused a recompile per distinct max ratio —
+    0.9 M out/s sustained on the remote-compile deployment)."""
+    from art_tpu.ops.pallas_kernels import asrc_step_dense
+    if not hasattr(asrc_step_dense, "_cache_size"):
+        pytest.skip("jit cache introspection unavailable")
+    rng = np.random.default_rng(0)
+    eng = BatchedASRC(8, 48, 64, kernel="dense")
+    eng.advance_position(24.0)
+    x = jnp.asarray(rng.standard_normal((8, 512)).astype(np.float32))
+    eng.process(x, 1.0 + 0.003 * np.arange(8))
+    base = asrc_step_dense._cache_size()
+    for it in range(5):
+        ratios = 1.0 + 0.01 * np.sin(np.arange(8) + it * 0.7)
+        eng.process(x, ratios)
+    assert asrc_step_dense._cache_size() == base
