@@ -24,7 +24,7 @@ RATE_PAIRS = [(44100, 48000), (48000, 44100), (96000, 44100), (8000, 32000),
               (22050, 24000), (44100, 44101)]
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", list(range(12)) + [500, 507, 513])
 def test_fuzz_decimator_bit_exact(golden_bin, seed):
     from art_tpu.core.flags import (DITHER_FLAT, DITHER_HIGHPASS,
                                     DITHER_LOWPASS, SHAPING_1ST_ORDER,
@@ -66,7 +66,7 @@ def test_fuzz_decimator_bit_exact(golden_bin, seed):
     assert clip == ref_clip
 
 
-@pytest.mark.parametrize("seed", range(32))
+@pytest.mark.parametrize("seed", list(range(32)) + [700, 708, 715])
 def test_fuzz_stream_parity(golden_bin, seed):
     rng = np.random.default_rng(1000 + seed)
     taps = int(rng.integers(1, 40)) * 4
