@@ -36,6 +36,14 @@ from ..engines.stretch import Stretcher
 from ..io import wavfile
 from ._common import num_suffix
 
+
+def _jnp():
+    """jax.numpy, imported lazily (jax stays off the host-only CLI path)."""
+    from .._jaxinit import ensure_jax
+    ensure_jax()
+    import jax.numpy as jnp
+    return jnp
+
 VERSION = 0.7
 BUFFER_SAMPLES = 16384
 
@@ -555,13 +563,24 @@ def process_file(opt: Options) -> int:
 
                     if outbits < 32:
                         if dev_decimator is not None:
+                            # both sources pad to ONE shared row capacity so
+                            # the fused device step compiles exactly once:
+                            # steady device chunks arrive with nb*L rows
+                            # (occasionally stepping by L), host edge chunks
+                            # with `generated` — on a remote-compile
+                            # deployment every extra shape is a multi-minute
+                            # stall (state advance is K-aware, so zero pad
+                            # rows are inert)
+                            dec_rows = -(-outcap // 256) * 256
                             if dev_out is not None:
                                 src = dev_out.T
+                                if src.shape[0] < dec_rows:
+                                    src = _jnp().concatenate(
+                                        [src, _jnp().zeros(
+                                            (dec_rows - src.shape[0],
+                                             num_channels), dt)], axis=0)
                             else:
-                                # host-produced chunk (edges, prefill, zero
-                                # pad): pad to the steady bucket so the fused
-                                # device step keeps one compiled shape
-                                src = np.zeros((outcap, num_channels), dt)
+                                src = np.zeros((dec_rows, num_channels), dt)
                                 src[:generated] = outbuf
                             step = dev_decimator.process_chunk_async(src,
                                                                      generated)
@@ -569,6 +588,11 @@ def process_file(opt: Options) -> int:
                                 job = (step[0], step[1], generated)
                                 if pool is not None:
                                     wpool.enqueue(_fetch_write, None, job)
+                                    # fail fast on a failed write (disk
+                                    # full): don't read/dispatch further
+                                    # chunks against a dead output file
+                                    if io_error:
+                                        raise io_error[0]
                                 else:
                                     _fetch_write(None, job)
                                     if io_error:

@@ -262,11 +262,34 @@ def _simulate_required_samples_loop(*, output_offset: float,
     return used
 
 
+def _check_sequential_cumsum() -> None:
+    """Pin the parity-load-bearing assumption that np.cumsum accumulates
+    float64 strictly left to right (fl(...fl(a0+a1)+a2...)).  True of every
+    NumPy to date but not a documented guarantee — a future pairwise/SIMD
+    accumulate would silently break the 'exact vs C' invariants, so fail
+    loudly at import instead."""
+    rng = np.random.default_rng(0x3141)
+    a = rng.standard_normal(257) * rng.choice([1.0, 1e-9, 1e9], 257)
+    acc, serial = 0.0, np.empty(257)
+    for i, v in enumerate(a):
+        acc += v
+        serial[i] = acc
+    if not np.array_equal(np.cumsum(a), serial):
+        raise RuntimeError(
+            "np.cumsum is no longer strictly sequential in float64; the "
+            "vectorized accounting queries would lose bit-parity with the "
+            "C reference loops — pin NumPy or revert to the loop oracles")
+
+
+_check_sequential_cumsum()
+
+
 def _accum_positions(offset: float, step: float, n: int) -> np.ndarray:
     """o[j] for j in 0..n = offset after j accumulated ``+= step`` rounds.
 
     np.add.accumulate applies fl(acc + step) strictly left to right, the
-    same float64 sequence as the reference's serial loop."""
+    same float64 sequence as the reference's serial loop (assumption
+    verified at import by _check_sequential_cumsum)."""
     o = np.empty(n + 1, dtype=np.float64)
     o[0] = offset
     o[1:] = step
@@ -373,7 +396,12 @@ def simulate_expected_output(*, output_offset: float, input_index: int,
     generated = 0
     n_left = int(max(n_in, 0))
     while True:
-        cap = num_samples - idx
+        # the reference loop never slides once the input budget is exhausted
+        # (it breaks first), so cap is clamped at 0: the flush-peek case
+        # (idx = input_index + half > num_samples) must keep the unslid
+        # offset sequence, not take a phantom-slide branch whose re-rounded
+        # offsets could flip a tie at the emit threshold
+        cap = max(num_samples - idx, 0)
         avail = min(cap, n_left)
         est = int(max(1, math.ceil((idx + avail - half - offset) * ratio)
                       + 4))

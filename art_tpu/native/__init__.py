@@ -8,6 +8,7 @@ package works without a compiler — just slower on the host file path.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 from pathlib import Path
 
@@ -45,15 +46,30 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    # rebuild keyed on a source digest, not mtimes: a cached/copied .so with
+    # a newer mtime than an updated artnative.cpp would otherwise be loaded
+    # stale and raise AttributeError on newly added symbols
+    stamp = _HERE / ".libartnative.hash"
     try:
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        digest = hashlib.sha256(
+            _SRC.read_bytes() + " ".join(_CXXFLAGS).encode()).hexdigest()
+        if (not _LIB.exists() or not stamp.exists()
+                or stamp.read_text().strip() != digest):
             subprocess.run(["g++", *_CXXFLAGS, *_isa_flags(), str(_SRC),
                             "-o", str(_LIB)],
                            check=True, capture_output=True)
+            stamp.write_text(digest)
         lib = ctypes.CDLL(str(_LIB))
-    except (OSError, subprocess.CalledProcessError):
+        _bind(lib)
+    except (OSError, subprocess.CalledProcessError, AttributeError):
+        # AttributeError: a stale library missing a symbol — fall back to
+        # the pure-Python paths rather than crash consumers
         return None
+    _lib = lib
+    return _lib
 
+
+def _bind(lib):
     i8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -99,8 +115,6 @@ def _load():
     lib.art_unpack_le_f64.restype = None
     lib.art_unpack_le_f64.argtypes = [i8p, ctypes.c_double, ctypes.c_int,
                                       ctypes.c_int, f64p, ll]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:
