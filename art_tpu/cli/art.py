@@ -76,6 +76,9 @@ USAGE = """
            --backend=<numpy|jax|device>  (device = fixed-ratio steady
                        state on the accelerator, host edges; falls back to
                        numpy when the config cannot reduce)
+           --mesh=<N|NxT>  (with --backend=device: shard steady-state
+                       chunks over N stream-parallel x T tap-parallel
+                       devices)
 """
 
 
@@ -104,6 +107,7 @@ class Options:
         self.duration = None           # (is_relative, seconds)
         self.dtype = np.float32
         self.backend = "numpy"
+        self.mesh = None               # (streams_shards, taps_shards)
         self.infile = None
         self.outfile = None
 
@@ -159,6 +163,15 @@ def parse_args(argv, opt: Options):
                     raise SystemExit("--backend needs a value, e.g. "
                                      "--backend=jax")
                 opt.backend = val
+            elif name == "mesh":
+                try:
+                    nstr, _, ntap = val.partition("x")
+                    opt.mesh = (int(nstr), int(ntap) if ntap else 1)
+                    if opt.mesh[0] < 1 or opt.mesh[1] < 1:
+                        raise ValueError
+                except ValueError:
+                    raise SystemExit("--mesh needs N or NxT device counts, "
+                                     "e.g. --mesh=8 or --mesh=4x2")
             else:
                 raise SystemExit(f"unknown option: {name} !")
         elif arg.startswith("-") and len(arg) > 1:
@@ -335,11 +348,21 @@ def process_file(opt: Options) -> int:
                 # device steady state + host edges; falls back to the host
                 # engine when the config cannot reduce to a fixed ratio
                 from ..parallel.streams import HybridStreamResampler
+                mesh = None
+                if opt.mesh is not None:
+                    # shard the steady-state chunks over a device mesh:
+                    # channels data-parallel on "streams", the polyphase
+                    # contraction tensor-parallel on "taps" (the multi-chip
+                    # analog of the reference's -m worker pool on its
+                    # shipped engines, reference resampler.c:441-484)
+                    from ..parallel.sharding import make_mesh
+                    nstr, ntap = opt.mesh
+                    mesh = make_mesh(nstr, ntap)
                 try:
                     resampler = HybridStreamResampler(
                         num_channels, opt.num_taps, opt.num_filters,
                         sample_rate * opt.pitch_ratio, resample_rate,
-                        opt.lowpass_freq, flags, dtype=dt)
+                        opt.lowpass_freq, flags, dtype=dt, mesh=mesh)
                 except ValueError:
                     resampler = None
             if resampler is None:

@@ -450,6 +450,217 @@ def asrc_step_dense(hist, x, bankT, bankT2, off_hi, off_lo, y_hi, y_lo,
     return new_hist, out
 
 
+# ------------------------------------------------------- Hankel ASRC kernel
+#
+# v3 of the ASRC kernel, specialized to the ASRC's home regime: per-call
+# ratios near 1.0 (BASELINE config 5 drifts +-1%; a real ASRC feedback loop
+# drifts +-hundreds of ppm).  There the window base advances by ~1 input
+# sample per output, so base_k - k is a small monotone staircase
+# carry_k in [0, smax] above a per-tile floor c0.  That kills the three
+# most expensive stages of the dense kernel at once (measured same-day by
+# tools/exp_asrc_ablate.py: window fine-gathers ~2.9 ms, gather-output
+# transpose ~2.6 ms, coarse one-hot matmul, of 7.96 ms per 512K outputs):
+#
+#   - the window matrix is a Hankel matrix B[t, k] = seg[rel + t + k]
+#     built from ONE aligned segment with 8 static row-rotations plus one
+#     lane-rotation per 8-row block - full-vreg ops, no gathers, and the
+#     result comes out sublane-major so the final dot needs NO transpose,
+#   - the per-output carry is applied to the *filter* side: pad the lerped
+#     filter block [tp, 8kb] with smax zero rows and select among smax+1
+#     sublane-rotated copies (a few full-density passes),
+#   - the filter phase gathers are unchanged (they measured only ~1.4 ms).
+#
+# Calls whose ratios fall outside |1/ratio - 1| <= smax/(kb-1) fall back to
+# the dense kernel (engine-side check), which remains the general path.
+
+def _asrc_hankel_kernel(carry_ref, fir_ref, frr_ref, buf_ref, tb_ref,
+                        rel_ref, bankT_ref, bankT2_ref, out_ref, *,
+                        tp: int, smax: int, segl: int, kb: int):
+    t = pl.program_id(0)
+    r8 = 8 * kb
+    nc = bankT_ref.shape[1] // 128
+    tpx = -(-(tp + smax) // 8) * 8       # B rows, 8-aligned; >= tp + smax
+
+    # ---- filter side: same phase gathers as the dense kernel ([tp, r8])
+    fi = fir_ref[0, 0, :, :]                               # [1, r8]
+    c = jax.lax.shift_right_logical(fi, 7)
+    f1c, f2c = [], []
+    for h in range(r8 // 128):
+        sl = slice(128 * h, 128 * (h + 1))
+        idx_h = jnp.broadcast_to(jnp.bitwise_and(fi[:, sl], 127),
+                                 (tp, 128))
+        p1 = [jnp.take_along_axis(bankT_ref[:, 128 * u:128 * (u + 1)],
+                                  idx_h, axis=1,
+                                  mode="promise_in_bounds")
+              for u in range(nc)]
+        p2 = [jnp.take_along_axis(bankT2_ref[:, 128 * u:128 * (u + 1)],
+                                  idx_h, axis=1,
+                                  mode="promise_in_bounds")
+              for u in range(nc)]
+        o1, o2 = p1[nc - 1], p2[nc - 1]
+        for u in range(nc - 2, -1, -1):
+            m = jnp.broadcast_to(c[:, sl] == u, (tp, 128))
+            o1 = jnp.where(m, p1[u], o1)
+            o2 = jnp.where(m, p2[u], o2)
+        f1c.append(o1)
+        f2c.append(o2)
+    f1 = f1c[0] if len(f1c) == 1 else jnp.concatenate(f1c, axis=1)
+    f2 = f2c[0] if len(f2c) == 1 else jnp.concatenate(f2c, axis=1)
+    fr = frr_ref[0, 0, :, :]                               # [1, r8]
+    w = f1 * (1.0 - fr) + f2 * fr                          # [tp, r8]
+
+    # ---- carry: w2[t] = w[t - carry_k] via smax+1 sublane-rotated copies
+    wpad = jnp.concatenate(
+        [w, jnp.zeros((tpx - tp, r8), dtype=w.dtype)], axis=0)  # [tpx, r8]
+    carry = carry_ref[0, 0, :, :]                          # [1, r8] i32
+    w2 = wpad
+    for cc in range(1, smax + 1):
+        m = jnp.broadcast_to(carry == cc, (tpx, r8))
+        w2 = jnp.where(m, pltpu.roll(wpad, cc, 0), w2)
+
+    # ---- window side: per-stream Hankel bands, accumulated in place
+    acc = None
+    for j in range(8):
+        start = pl.multiple_of(tb_ref[j, t], 128)
+        seg = buf_ref[pl.ds(j, 1), pl.ds(start, segl)]     # [1, segl]
+        # left-rotations expressed as (width - s) right-rotations (pltpu.roll
+        # requires non-negative static shifts)
+        C = jnp.concatenate(
+            [seg] + [pltpu.roll(seg, segl - s, 1) for s in range(1, 8)],
+            axis=0)                                        # [8, segl]
+        C2 = pltpu.roll(C, jnp.int32(segl) - rel_ref[j, t], 1)
+        parts = []
+        for a in range(tpx // 8):
+            band = (C2 if a == 0
+                    else pltpu.roll(C2, segl - 8 * a, 1))[:, :kb]  # [8, kb]
+            wband = w2[8 * a:8 * (a + 1), kb * j:kb * (j + 1)]
+            parts.append(jnp.sum(band * wband, axis=0, keepdims=True))
+        colsum = parts[0]
+        for p in parts[1:]:
+            colsum = colsum + p
+        acc = colsum if acc is None else jnp.concatenate([acc, colsum],
+                                                         axis=1)
+    out_ref[0, 0, :, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_taps", "num_filters", "k_max", "kp", "hist_len", "tp", "segl",
+    "kb", "smax", "interpret"))
+def asrc_step_hankel(hist, x, bankT, bankT2, off_hi, off_lo, y_hi, y_lo,
+                     Ks, shift,
+                     num_taps: int, num_filters: int, k_max: int, kp: int,
+                     hist_len: int, tp: int, segl: int, kb: int = 128,
+                     smax: int = 4, interpret: bool = False):
+    """One fused batched-ASRC chunk on the Hankel kernel (near-1 ratios):
+    double-single position prologue + per-tile (floor, rel, carry)
+    decomposition + pallas call + validity mask, one dispatch.  Same
+    contract as asrc_step_dense; caller must guarantee
+    ceil(|1/ratio - 1| * (kb - 1)) <= smax for every stream."""
+    S = x.shape[0]
+    half = num_taps // 2
+    buf = jnp.concatenate([hist, x], axis=1)
+    blen = buf.shape[1]
+    pad = (-(-(blen + segl + 128) // 128) * 128) - blen
+    bufp = jnp.concatenate([buf, jnp.zeros((S, pad), dtype=x.dtype)], axis=1)
+
+    f32 = jnp.float32
+    k = jnp.arange(kp, dtype=f32)[None, :]            # exact (kp < 2^23)
+    qh, qe = _two_prod(k, y_hi[:, None].astype(f32))
+    qh, ql = _two_sum(qh, qe + k * y_lo[:, None].astype(f32))
+    ph, pe = _two_sum(off_hi[:, None].astype(f32), qh)
+    ph, plo = _two_sum(ph, pe + (off_lo[:, None].astype(f32) + ql))
+    ip = jnp.floor(ph)
+    r0, r1 = _two_sum(ph - ip, plo)
+    neg = (r0 < 0).astype(f32)
+    ovf = (r0 >= 1).astype(f32)
+    ip = ip - neg + ovf
+    r0 = r0 + neg - ovf
+    Ff = f32(num_filters)
+    fh, fe = _two_prod(r0, Ff)
+    fh, fl_ = _two_sum(fh, fe + r1 * Ff)
+    fif = jnp.floor(fh)
+    t = (fh - fif) + fl_
+    tneg = (t < 0).astype(f32)
+    tovf = (t >= 1).astype(f32)
+    fif = fif - tneg + tovf
+    t = t + tneg - tovf
+    fi = jnp.clip(fif.astype(jnp.int32), 0, num_filters - 1)
+    t = jnp.where(fif.astype(jnp.int32) > fi, jnp.asarray(1.0, f32),
+                  jnp.where(fif.astype(jnp.int32) < fi,
+                            jnp.asarray(0.0, f32), t))
+    frac = t.astype(x.dtype)
+    base = ip.astype(jnp.int32) - half + 1 + shift
+
+    nt = kp // kb
+    kmask = (jnp.arange(kp, dtype=jnp.int32) < k_max)[None, :]
+    hib = blen + pad - segl
+    base = jnp.clip(base, 0, hib)
+    fi = jnp.where(kmask, fi, 0)
+    frac = jnp.where(kmask, frac, jnp.asarray(0, x.dtype))
+
+    # per-tile staircase decomposition: d = base - k_local; the tile floor
+    # c0 aligns to a lane multiple (tb) + in-segment offset rel in [0,128)
+    klocal = jnp.tile(jnp.arange(kb, dtype=jnp.int32), nt)[None, :]
+    d = jnp.clip(base - klocal, 0, hib)
+    dbig = jnp.where(kmask, d, jnp.int32(2**30)).reshape(S, nt, kb)
+    c0 = jnp.min(dbig, axis=2)                        # [S, nt]
+    c0 = jnp.clip(c0, 0, hib)
+    tb = jnp.clip(c0 - (c0 % 128), 0, hib)
+    rel = c0 - tb
+    carry = jnp.clip(d.reshape(S, nt, kb) - c0[:, :, None], 0, smax)
+
+    r8 = 8 * kb
+    carry_b = carry.reshape(S // 8, 8, nt, kb).transpose(2, 0, 1, 3) \
+        .reshape(nt, S // 8, 1, r8)
+    fi_b = fi.reshape(S // 8, 8, nt, kb).transpose(2, 0, 1, 3) \
+        .reshape(nt, S // 8, 1, r8)
+    frac_b = frac.reshape(S // 8, 8, nt, kb).transpose(2, 0, 1, 3) \
+        .reshape(nt, S // 8, 1, r8)
+
+    blk4 = lambda t, s: (t, s, 0, 0)
+    with jax.enable_x64(False):
+        out4 = pl.pallas_call(
+            functools.partial(_asrc_hankel_kernel, tp=tp, smax=smax,
+                              segl=segl, kb=kb),
+            grid=(nt, S // 8),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, r8), blk4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, r8), blk4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, r8), blk4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, bufp.shape[1]), lambda t, s: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, nt), lambda t, s: (s, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((8, nt), lambda t, s: (s, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(bankT.shape, lambda t, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(bankT.shape, lambda t, s: (0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1, 1, r8), blk4,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nt, S // 8, 1, r8), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(carry_b, fi_b, frac_b, bufp, tb.astype(jnp.int32),
+          rel.astype(jnp.int32), bankT, bankT2)
+
+    out = out4.reshape(nt, S // 8, 8, kb).transpose(1, 2, 0, 3) \
+        .reshape(S, kp)[:, :k_max]
+    valid = (jnp.arange(k_max, dtype=jnp.int32)[None, :] < Ks[:, None])
+    out = out * valid.astype(out.dtype)
+    new_hist = buf[:, blen - hist_len:]
+    return new_hist, out
+
+
+def hankel_segl(tp: int, kb: int, smax: int) -> int:
+    """Segment length the Hankel kernel loads per (stream, tile): covers
+    rel (<128) + window spread (kb-1) + carry (smax) + taps (tp) + the
+    8-row rotation slack, rounded to a lane multiple."""
+    return -(-(127 + kb + smax + tp + 8) // 128) * 128
+
+
 # --------------------------------------------------------------- polyphase
 
 _TB = 512       # output block-rows per grid program

@@ -160,6 +160,51 @@ def _build_interp_matrix(bank, d, fi, rows: int, L: int, T: int):
     return jnp.concatenate([P1, P2], axis=1)
 
 
+def _sharded_interp_body(hist, x, P2l, fracv, start, K, acc, *, M: int,
+                         L: int, nb: int, qn_pad: int, qn_local: int,
+                         hist_len: int, taps_axis, streams_axis):
+    """Interpolated chunk body over a local range of shift blocks: each
+    taps-rank contracts its slice of the stacked [qn_pad*M, 2L] interp
+    matrix, the psum completes the banked dots, and the phase lerp runs on
+    the replicated sum (reference subsample_interpolate,
+    resampler.c:1147-1157, scaled out)."""
+    ch = x.shape[0]
+    nbq = nb + qn_pad
+    xlen = nbq * M
+    buf = jnp.concatenate([hist, x], axis=1)
+    pad = jnp.zeros((ch, xlen), dtype=x.dtype)
+    win = jax.lax.dynamic_slice(
+        jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
+        (ch, xlen))
+    W2 = win.reshape(ch, nbq, M)
+    P3 = P2l.reshape(qn_local, M, 2 * L)
+    q0 = jnp.int32(0)
+    if taps_axis is not None:
+        q0 = jax.lax.axis_index(taps_axis).astype(jnp.int32) * qn_local
+    dd = None
+    for q in range(qn_local):
+        Wq = jax.lax.dynamic_slice(W2, (jnp.int32(0), q0 + q, jnp.int32(0)),
+                                   (ch, nb, M))
+        part = jax.lax.dot_general(
+            Wq, P3[q], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+        dd = part if dd is None else dd + part
+    if taps_axis is not None:
+        dd = jax.lax.psum(dd, taps_axis)
+    f = fracv[None, None, :]
+    out = (dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f).reshape(ch, nb * L)
+    valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
+    out = out * valid[None, :]
+    power = jnp.sum(out * out)
+    if streams_axis is not None:
+        power = jax.lax.psum(power, streams_axis)
+    acc = acc + power
+    new_hist = jax.lax.dynamic_slice(
+        buf, (0, buf.shape[1] - hist_len), (ch, hist_len))
+    return new_hist, out, acc
+
+
 class DeviceStreamResampler:
     """Fixed-ratio streaming resampler with device-resident state.
 
@@ -170,11 +215,21 @@ class DeviceStreamResampler:
     per-phase lerp; see _chunk_step_interp).  Endpoint extrapolation is not
     supported here; use the host engine (or HybridStreamResampler) when
     EXTRAPOLATE_ENDPOINTS is needed.
+
+    ``mesh``: optional jax.sharding.Mesh with a "streams" axis (and
+    optionally a "taps" axis).  Channel/stream rows shard data-parallel
+    over "streams" (rows pad up to a multiple of the axis size; pad rows
+    are inert) and the polyphase contraction shards tensor-parallel over
+    "taps" with one psum — the multi-chip analog of the reference's
+    per-channel worker pool on its shipped engines (reference
+    resampler.c:441-484).  Streams-only sharding is bit-identical to the
+    single-device step (same per-row float ops); taps sharding
+    reassociates the qn-term sum and sits at the f32 matmul floor.
     """
 
     def __init__(self, num_channels: int, num_taps: int, max_filters: int,
                  source_rate: float, destin_rate: float, lowpass_freq: float,
-                 flags: int, *, dtype=np.float32):
+                 flags: int, *, dtype=np.float32, mesh=None):
         plan = plan_fixed_ratio(num_taps, max_filters, source_rate,
                                 destin_rate, lowpass_freq, flags)
         self.interp = bool(plan.flags & SUBSAMPLE_INTERPOLATE)
@@ -218,9 +273,18 @@ class DeviceStreamResampler:
         self._interp_cache: dict = {}
         self._pattern_safe_cache: dict = {}
 
+        self.mesh = mesh
+        self._rows = num_channels
+        if mesh is not None:
+            nstr = mesh.shape["streams"]
+            self._ntap = mesh.shape.get("taps", 1)
+            self._rows = -(-num_channels // nstr) * nstr
+            self._qn_pad = -(-self.qn // self._ntap) * self._ntap
+            self._sharded_cache: dict = {}
+
         self.output_offset = float(num_taps // 2)
         self.input_index = num_taps
-        self.hist = jnp.zeros((num_channels, self.num_samples),
+        self.hist = jnp.zeros((self._rows, self.num_samples),
                               dtype=self.dtype)
         self._mats: dict[int, jax.Array] = {}
         self._bank_dev = None
@@ -263,11 +327,68 @@ class DeviceStreamResampler:
         if m is None:
             pm = PolyphaseMatrix(self.bank, self.L, self.M, j0,
                                  bool(self.flags & INCLUDE_LOWPASS))
-            P = np.zeros((self.qn * self.M, self.L), dtype=self.dtype)
+            qn_rows = self._qn_pad if self.mesh is not None else self.qn
+            P = np.zeros((qn_rows * self.M, self.L), dtype=self.dtype)
             P[:pm.S, :] = pm.P.T
             m = jnp.asarray(P)
             self._mats[j0] = m
         return m
+
+    def _sharded_step(self, nb: int):
+        """shard_map-wrapped chunk step over the engine's mesh (cached per
+        output-block count): streams axis data-parallel, taps axis
+        tensor-parallel over shift blocks with one psum (the production
+        _resample_block), power accumulator psum'd over streams."""
+        key = (nb, self.interp)
+        fn = self._sharded_cache.get(key)
+        if fn is None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from .pipeline import _resample_block
+
+            mesh = self.mesh
+            has_taps = "taps" in mesh.axis_names
+            taps_axis = "taps" if has_taps else None
+            qn_pad = self._qn_pad
+            qn_local = qn_pad // self._ntap
+            M, L, hist_len = self.M, self.L, self.num_samples
+            tspec = P("taps", None) if has_taps else P(None, None)
+
+            if self.interp:
+                def local(hist, x, P2l, fracv, start, K, acc):
+                    return _sharded_interp_body(
+                        hist, x, P2l, fracv, start, K, acc, M=M, L=L, nb=nb,
+                        qn_pad=qn_pad, qn_local=qn_local, hist_len=hist_len,
+                        taps_axis=taps_axis, streams_axis="streams")
+
+                fn = jax.jit(shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P("streams", None), P("streams", None), tspec,
+                              P(None), P(), P(), P()),
+                    out_specs=(P("streams", None), P("streams", None), P()),
+                    check_rep=False))
+            else:
+                def local(hist, x, Pl, start, K, acc):
+                    q0 = jnp.int32(0)
+                    if taps_axis is not None:
+                        q0 = jax.lax.axis_index(taps_axis) \
+                            .astype(jnp.int32) * qn_local
+                    out, new_hist = _resample_block(
+                        x, hist, Pl, start, K, M=M, L=L, nb=nb,
+                        qn_pad=qn_pad, qn_local=qn_local, hist_len=hist_len,
+                        q0=q0, taps_axis=taps_axis)
+                    acc = acc + jax.lax.psum(jnp.sum(out * out), "streams")
+                    return new_hist, out, acc
+
+                fn = jax.jit(shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P("streams", None), P("streams", None), tspec,
+                              P(), P(), P()),
+                    out_specs=(P("streams", None), P("streams", None), P()),
+                    check_rep=False))
+            self._sharded_cache[key] = fn
+        return fn
 
     def _plan_compute(self, n_in: int):
         """Pure consume/emit plan for a chunk: no state is mutated."""
@@ -327,10 +448,11 @@ class DeviceStreamResampler:
         if m is None:
             if self._bank_dev is None:
                 self._bank_dev = jnp.asarray(self.bank)
+            qn_rows = self._qn_pad if self.mesh is not None else self.qn
             P2 = _build_interp_matrix(
                 self._bank_dev, jnp.asarray(d.astype(np.int32)),
                 jnp.asarray(fi.astype(np.int32)),
-                self.qn * self.M, self.L, self.num_taps)
+                qn_rows * self.M, self.L, self.num_taps)
             m = (P2, jnp.asarray(frac.astype(self.dtype)), d, fi, frac)
             if len(self._interp_cache) > 64:
                 self._interp_cache.clear()
@@ -419,7 +541,22 @@ class DeviceStreamResampler:
         self.output_offset = plan.new_output_offset
         self.input_index = plan.new_input_index
         acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
-        if self.interp:
+        if self.mesh is not None:
+            if x.shape[0] != self._rows:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((self._rows - x.shape[0], x.shape[1]),
+                                  self.dtype)], axis=0)
+            step = self._sharded_step(nb)
+            if self.interp:
+                new_hist, out, acc_out = step(
+                    self.hist, x, P2, fracv, jnp.int32(start), jnp.int32(K),
+                    acc_in)
+            else:
+                new_hist, out, acc_out = step(
+                    self.hist, x, self._matrix(j0), jnp.int32(start),
+                    jnp.int32(K), acc_in)
+            out = out[:self.num_channels]
+        elif self.interp:
             new_hist, out, acc_out = _chunk_step_interp(
                 self.hist, x, P2, fracv, jnp.int32(start), jnp.int32(K),
                 acc_in, self.M, self.L, nb, self.qn, self.num_samples)
@@ -491,14 +628,15 @@ class HybridStreamResampler:
 
     def __init__(self, num_channels: int, num_taps: int, max_filters: int,
                  source_rate: float, destin_rate: float, lowpass_freq: float,
-                 flags: int, *, dtype=np.float32):
+                 flags: int, *, dtype=np.float32, mesh=None):
         from ..engines.resampler import Resampler
         self.host = Resampler.fixed_ratio(
             num_channels, num_taps, max_filters, source_rate, destin_rate,
             lowpass_freq, flags, dtype=dtype)
         self.dev = DeviceStreamResampler(
             num_channels, num_taps, max_filters, source_rate, destin_rate,
-            lowpass_freq, flags & ~EXTRAPOLATE_ENDPOINTS, dtype=dtype)
+            lowpass_freq, flags & ~EXTRAPOLATE_ENDPOINTS, dtype=dtype,
+            mesh=mesh)
         self.dev.prewarm()
         self._on_device = False
         self._steady_n = None
@@ -508,8 +646,8 @@ class HybridStreamResampler:
     def _push(self) -> None:
         st = self.host.state_dict()
         ns, ii = self.dev.num_samples, int(st["input_index"])
-        hist = np.zeros((self._ch, ns), self.host.dtype)
-        hist[:, ns - ii:] = st["history"][:, :ii]
+        hist = np.zeros((self.dev._rows, ns), self.host.dtype)
+        hist[:self._ch, ns - ii:] = st["history"][:, :ii]
         self.dev.hist = jnp.asarray(hist)
         self.dev.output_offset = st["output_offset"]
         self.dev.input_index = ii
@@ -519,7 +657,8 @@ class HybridStreamResampler:
         ns, ii = self.dev.num_samples, int(self.dev.input_index)
         st = self.host.state_dict()
         st["history"][:] = 0.0
-        st["history"][:, :ii] = np.asarray(self.dev.hist)[:, ns - ii:]
+        st["history"][:, :ii] = np.asarray(self.dev.hist)[:self._ch,
+                                                          ns - ii:]
         st["output_offset"] = self.dev.output_offset
         st["input_index"] = ii
         self.host.load_state(st)

@@ -376,3 +376,75 @@ def test_interp_device_split_path_matches_host():
         md = max(md, float(np.abs(np.asarray(out)[0, :K] - ho[0]).max()))
         assert abs(eng.get_position() - host.get_position()) < 1e-12
     assert md < 1e-6
+
+
+@pytest.mark.parametrize("meshspec", [(8, 1), (4, 2), (2, 4)])
+@pytest.mark.parametrize("config", ["reduced", "interp"])
+def test_device_stream_mesh_matches_single_device(meshspec, config):
+    """The SHIPPED streaming engine over a mesh (streams data-parallel,
+    taps tensor-parallel with one psum): emission counts are exact and
+    samples sit at the f32 matmul floor of the single-device step.  True
+    bitwise equality across partitionings is not a meaningful target: XLA
+    compiles each local shape separately and reassociates fp (the reference
+    itself is not bit-stable across compilers, -fassociative-math); the
+    reference's threaded==unthreaded bitwise guarantee maps to counts +
+    positions exact and samples within the documented floor."""
+    from art_tpu.core.flags import NO_FILTER_REDUCTION
+    from art_tpu.parallel.sharding import make_mesh
+
+    if config == "reduced":
+        ctor = (2, 380, 380, 44100, 48000, 0, IBL)
+    else:
+        ctor = (2, 48, 48, 44100, 48000, 0,
+                SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS
+                | NO_FILTER_REDUCTION)
+    e1 = DeviceStreamResampler(*ctor)
+    e2 = DeviceStreamResampler(*ctor, mesh=make_mesh(*meshspec))
+    assert e2.interp == (config == "interp")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32) * 0.25)
+    a1 = jnp.zeros((), jnp.float32)
+    a2 = jnp.zeros((), jnp.float32)
+    for _ in range(3):
+        o1, K1, a1 = e1.process(x, 4096, a1)
+        o2, K2, a2 = e2.process(x, 4096, a2)
+        assert K1 == K2
+        assert e1.output_offset == e2.output_offset
+        assert e1.input_index == e2.input_index
+        v1 = np.asarray(o1)[:, :K1]
+        v2 = np.asarray(o2)[:2, :K1]
+        assert np.abs(v1 - v2).max() <= 2e-6 * max(1.0, np.abs(v1).max())
+    assert np.isclose(float(a1), float(a2), rtol=1e-4)
+
+
+def test_hybrid_mesh_cli_reachable(tmp_path):
+    """A CLI-driven file conversion sharded over the virtual 8-device mesh
+    (--backend=device --mesh=8): output frame counts and file sizes match
+    the unsharded device backend exactly; decoded samples at the f32 floor
+    (the -o32 float container makes the comparison exact at sample level)."""
+    from art_tpu.cli import art
+    from art_tpu.io import wavfile
+
+    rng = np.random.default_rng(11)
+    n = 44100
+    x = (rng.standard_normal((n, 2)) * 0.4).astype(np.float32)
+    src = tmp_path / "in.wav"
+    with open(src, "wb") as f:
+        wavfile.write_wav_header(f, bits=32, num_channels=2, num_frames=n,
+                                 sample_rate=44100, channel_mask=0x3)
+        f.write(x.astype("<f4").tobytes())
+
+    outs = {}
+    for tag, extra in (("plain", []), ("mesh8", ["--mesh=8"]),
+                       ("mesh42", ["--mesh=4x2"])):
+        dst = tmp_path / f"out_{tag}.wav"
+        rc = art.main(["-q", "-y", "--backend=device", "-r48k", *extra,
+                       str(src), str(dst)])
+        assert not rc
+        outs[tag] = dst.read_bytes()
+
+    assert len(outs["plain"]) == len(outs["mesh8"]) == len(outs["mesh42"])
+    ref = np.frombuffer(outs["plain"][-n * 8:], "<f4")
+    for tag in ("mesh8", "mesh42"):
+        got = np.frombuffer(outs[tag][-n * 8:], "<f4")
+        assert np.abs(ref - got).max() <= 2e-6 * max(1.0, np.abs(ref).max())
