@@ -138,16 +138,20 @@ class BatchedASRC:
 
     def __init__(self, num_streams: int, num_taps: int, num_filters: int,
                  *, dtype=np.float32, blackman_harris: bool = True,
-                 kernel: str = "dense", mesh=None, dense_kb: int = 128):
+                 kernel: str = "auto", mesh=None, dense_kb: int = 128,
+                 hankel_kb: int = 128, hankel_smax: int = 4):
         """``mesh``: optional jax.sharding.Mesh with a "streams" axis; stream
         state and chunks are sharded across it (streams are independent, so
         scale-out needs no hot-path collectives).
 
-        ``kernel``: "dense" (default; the full-density gather-select
-        kernel — f32, stream count a multiple of 8, single device, per-call
-        ratio bound from the tile geometry; unsupported calls fall back to
-        the xla step transparently), "xla" (gather formulation, any
-        config), or "pallas" (the round-1 per-output VMEM kernel)."""
+        ``kernel``: "auto" (default) picks per call the fastest applicable
+        formulation: the Hankel kernel when every stream's ratio is near 1
+        (|1/ratio - 1| <= hankel_smax/(hankel_kb - 1), the ASRC home
+        regime; ~1.6x the dense kernel), else the full-density dense
+        gather-select kernel within its tile-geometry ratio bound, else
+        the XLA gather step.  Explicit "hankel"/"dense"/"xla"/"pallas"
+        pin one formulation (falling back down the same chain when a call
+        is outside its geometry)."""
         validate_taps_filters(num_taps, num_filters)
         self.dtype = np.dtype(dtype)
         self.S = num_streams
@@ -163,8 +167,8 @@ class BatchedASRC:
         if kernel == "pallas":
             from ..ops.pallas_kernels import pad_bank_for_pallas
             self._bank_pallas = jnp.asarray(pad_bank_for_pallas(self.bank))
-        if kernel == "dense":
-            from ..ops.pallas_kernels import dense_bank_tables
+        if kernel in ("auto", "dense", "hankel"):
+            from ..ops.pallas_kernels import dense_bank_tables, hankel_segl
             bt, bt2 = dense_bank_tables(self.bank)
             self._bank_dense = (jnp.asarray(bt), jnp.asarray(bt2))
             self._tp = bt.shape[0]
@@ -177,6 +181,11 @@ class BatchedASRC:
             self._segl = self._tp + (640 if dense_kb <= 128 else 1024)
             self._step_max = (self._segl - self._tp - 1 - 127) \
                 / max(1, dense_kb - 1)
+            if hankel_kb % 128 or hankel_kb < 128:
+                raise ValueError("hankel_kb must be a multiple of 128")
+            self._hkb = hankel_kb
+            self._hsmax = hankel_smax
+            self._hsegl = hankel_segl(self._tp, hankel_kb, hankel_smax)
         self.offsets = np.full(num_streams, float(num_taps // 2),
                                dtype=np.float64)
         self.input_index = num_taps
@@ -230,7 +239,8 @@ class BatchedASRC:
         # recompile of the jitted step (each distinct k_max is a distinct
         # compilation; through a remote-compile deployment a drifting-max
         # workload measured 0.9 M out/s from compile churn before this)
-        bucket = self._kb if self.kernel == "dense" else 128
+        pallas_family = self.kernel in ("auto", "dense", "hankel")
+        bucket = max(self._kb, self._hkb) if pallas_family else 128
         k_max = -(-k_max // bucket) * bucket
 
         # per-stream emission counts: pos_k = offset + k/ratio is strictly
@@ -266,15 +276,24 @@ class BatchedASRC:
         n_shards = 1
         if self.sharding is not None:
             n_shards = self.sharding.mesh.shape["streams"]
-        use_dense = (self.kernel == "dense"
-                     and (self.S // n_shards) % 8 == 0
-                     and self.S % n_shards == 0
-                     and self.dtype == np.float32
+        geometry_ok = (pallas_family
+                       and (self.S // n_shards) % 8 == 0
+                       and self.S % n_shards == 0
+                       and self.dtype == np.float32)
+        # the Hankel kernel covers the ASRC home regime (ratios near 1.0);
+        # its staircase bound is |1/ratio - 1| <= smax / (kb - 1)
+        qdev = float(np.abs(1.0 / ratios - 1.0).max())
+        use_hankel = (geometry_ok and self.kernel in ("auto", "hankel")
+                      and math.ceil(qdev * (self._hkb - 1)) <= self._hsmax)
+        use_dense = (geometry_ok and not use_hankel
+                     and self.kernel in ("auto", "dense")
                      and float(ratios.min()) >= 1.0 / self._step_max)
-        if use_dense:
+        if use_hankel or use_dense:
             from ..ops.pallas_kernels import (asrc_step_dense,
+                                              asrc_step_hankel,
                                               split_f64_pairs)
-            kp = -(-k_max // self._kb) * self._kb
+            kb = self._hkb if use_hankel else self._kb
+            kp = -(-k_max // kb) * kb
             interpret = jax.default_backend() != "tpu"
             # positions run in double-single f32 on device (native vector
             # rate; ~2^-45 relative = phase-continuous-equivalent to the
@@ -286,13 +305,19 @@ class BatchedASRC:
                     jnp.asarray(Ks),
                     jnp.int32(self.num_samples - self.input_index))
             if self.sharding is None:
-                new_hist, out = asrc_step_dense(
-                    *args, self.num_taps, self.num_filters, k_max, kp,
-                    self.num_samples, self._tp, self._segl, self._kb,
-                    interpret)
+                if use_hankel:
+                    new_hist, out = asrc_step_hankel(
+                        *args, self.num_taps, self.num_filters, k_max, kp,
+                        self.num_samples, self._tp, self._hsegl, self._hkb,
+                        self._hsmax, interpret)
+                else:
+                    new_hist, out = asrc_step_dense(
+                        *args, self.num_taps, self.num_filters, k_max, kp,
+                        self.num_samples, self._tp, self._segl, self._kb,
+                        interpret)
             else:
-                new_hist, out = self._dense_sharded(k_max, kp, interpret)(
-                    *args)
+                new_hist, out = self._dense_sharded(
+                    k_max, kp, interpret, use_hankel)(*args)
             if req_k_max is not None and req_k_max != k_max:
                 out = out[:, :req_k_max]
         elif self.kernel == "pallas":
@@ -321,20 +346,28 @@ class BatchedASRC:
         self.offsets = (self.offsets - n_slides * slide) + Ks / ratios
         return out, Ks
 
-    def _dense_sharded(self, k_max: int, kp: int, interpret: bool):
-        """shard_map-wrapped dense step: one kernel instance per device on
-        its local block of streams (no collectives — streams are
+    def _dense_sharded(self, k_max: int, kp: int, interpret: bool,
+                       hankel: bool = False):
+        """shard_map-wrapped dense/Hankel step: one kernel instance per
+        device on its local block of streams (no collectives — streams are
         independent, the scaled-out analog of the reference's per-channel
         pool, workers.c:133-184)."""
-        key = (k_max, kp, interpret)
+        key = (k_max, kp, interpret, hankel)
         fn = self._dense_sharded_cache.get(key)
         if fn is None:
             from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
-            from ..ops.pallas_kernels import asrc_step_dense
+            from ..ops.pallas_kernels import (asrc_step_dense,
+                                              asrc_step_hankel)
 
             def local(hist, x, bt, bt2, oh, ol, yh, yl, Ks, shift):
+                if hankel:
+                    return asrc_step_hankel(
+                        hist, x, bt, bt2, oh, ol, yh, yl, Ks, shift,
+                        self.num_taps, self.num_filters, k_max, kp,
+                        self.num_samples, self._tp, self._hsegl, self._hkb,
+                        self._hsmax, interpret)
                 return asrc_step_dense(
                     hist, x, bt, bt2, oh, ol, yh, yl, Ks, shift,
                     self.num_taps, self.num_filters, k_max, kp,

@@ -201,3 +201,55 @@ def test_asrc_step_compilation_stable_under_drifting_ratios():
         ratios = 1.0 + 0.01 * np.sin(np.arange(8) + it * 0.7)
         eng.process(x, ratios)
     assert asrc_step_dense._cache_size() == base
+
+
+def test_batched_asrc_kernel_chain_matches_host_oracle():
+    """The auto kernel chain (hankel for near-1 ratios -> dense -> xla)
+    picks a formulation per call; every leg must match the per-stream host
+    engine.  Ratios chosen to force each leg."""
+    S, taps, filters = 8, 48, 64
+    lcg = NoiseLCG()
+    b = BatchedASRC(S, taps, filters, kernel="auto")
+    b.advance_position(24.0)
+    singles = []
+    for _ in range(S):
+        r = Resampler(1, taps, filters, 0.0,
+                      SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS,
+                      backend="numpy")
+        r.advance_position(24.0)
+        singles.append(r)
+    legs = [
+        1.0 + 0.0005 * np.arange(S),          # hankel (tight drift)
+        np.full(S, 0.5) + 0.01 * np.arange(S),  # dense (hankel bound fails)
+        np.full(S, 0.2),                      # xla (dense bound fails)
+        1.0 - 0.0005 * np.arange(S),          # back to hankel
+    ]
+    for ratios in legs:
+        x = lcg.fill(S * 512).reshape(S, 512)
+        out, Ks = b.process(jnp.asarray(x), ratios)
+        out = np.asarray(out)
+        for s in range(S):
+            ho, res = singles[s].process(x[s:s + 1], 512, 4000,
+                                         float(ratios[s]))
+            assert res.output_generated == Ks[s]
+            assert np.abs(ho[0] - out[s, :Ks[s]]).max() < 1e-6
+            assert abs(b.get_position()[s]
+                       - singles[s].get_position()) < 1e-9
+
+
+def test_asrc_hankel_compilation_stable_under_drifting_ratios():
+    """The Hankel step's static capacity buckets like the dense step: a
+    drifting-ratio serving loop must reuse one compiled specialization."""
+    from art_tpu.ops.pallas_kernels import asrc_step_hankel
+    if not hasattr(asrc_step_hankel, "_cache_size"):
+        pytest.skip("jit cache introspection unavailable")
+    rng = np.random.default_rng(0)
+    eng = BatchedASRC(8, 48, 64, kernel="hankel")
+    eng.advance_position(24.0)
+    x = jnp.asarray(rng.standard_normal((8, 512)).astype(np.float32))
+    eng.process(x, 1.0 + 0.003 * np.arange(8))
+    base = asrc_step_hankel._cache_size()
+    for it in range(5):
+        ratios = 1.0 + 0.01 * np.sin(np.arange(8) + it * 0.7)
+        eng.process(x, ratios)
+    assert asrc_step_hankel._cache_size() == base
