@@ -339,21 +339,32 @@ def split_f64_pairs(x64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
+def pack_step_scalars(off_hi, off_lo, y_hi, y_lo, Ks, shift):
+    """Bundle the per-call scalars into two arrays (scal f32 [4, S], ints
+    i32 [2, S]) so a process() call ships TWO small host->device transfers
+    instead of six — each transfer pays tunnel dispatch latency."""
+    scal = np.stack([off_hi, off_lo, y_hi, y_lo]).astype(np.float32)
+    ints = np.stack([np.asarray(Ks, np.int32),
+                     np.full(len(Ks), shift, np.int32)])
+    return scal, ints
+
+
 @functools.partial(jax.jit, static_argnames=(
     "num_taps", "num_filters", "k_max", "kp", "hist_len", "tp", "segl",
     "kb", "interpret"))
-def asrc_step_dense(hist, x, bankT, bankT2, off_hi, off_lo, y_hi, y_lo,
-                    Ks, shift,
+def asrc_step_dense(hist, x, bankT, bankT2, scal, ints,
                     num_taps: int, num_filters: int, k_max: int, kp: int,
                     hist_len: int, tp: int, segl: int, kb: int = _KB,
                     interpret: bool = False):
     """One fused batched-ASRC chunk on the dense kernel: double-single
     position prologue + window-base tiling + pallas call + validity mask,
-    one dispatch.  hist [S, H]; x [S, n]; (off_hi, off_lo) split offsets,
-    (y_hi, y_lo) split reciprocal ratios (split_f64_pairs); Ks i32 [S];
-    kp = k_max padded to a _KB multiple.  Returns (new_hist, out
-    [S, k_max]) with k >= Ks zeroed."""
+    one dispatch.  hist [S, H]; x [S, n]; scal f32 [4, S] = split offsets
+    (hi, lo) ++ split reciprocal ratios (hi, lo) (pack_step_scalars);
+    ints i32 [2, S] = (Ks, shift).  kp = k_max padded to a _KB multiple.
+    Returns (new_hist, out [S, k_max]) with k >= Ks zeroed."""
     S = x.shape[0]
+    off_hi, off_lo, y_hi, y_lo = scal[0], scal[1], scal[2], scal[3]
+    Ks, shift = ints[0], ints[1][:, None]
     half = num_taps // 2
     buf = jnp.concatenate([hist, x], axis=1)
     blen = buf.shape[1]
@@ -546,8 +557,7 @@ def _asrc_hankel_kernel(carry_ref, fir_ref, frr_ref, buf_ref, tb_ref,
 @functools.partial(jax.jit, static_argnames=(
     "num_taps", "num_filters", "k_max", "kp", "hist_len", "tp", "segl",
     "kb", "smax", "interpret"))
-def asrc_step_hankel(hist, x, bankT, bankT2, off_hi, off_lo, y_hi, y_lo,
-                     Ks, shift,
+def asrc_step_hankel(hist, x, bankT, bankT2, scal, ints,
                      num_taps: int, num_filters: int, k_max: int, kp: int,
                      hist_len: int, tp: int, segl: int, kb: int = 128,
                      smax: int = 4, interpret: bool = False):
@@ -557,6 +567,8 @@ def asrc_step_hankel(hist, x, bankT, bankT2, off_hi, off_lo, y_hi, y_lo,
     contract as asrc_step_dense; caller must guarantee
     ceil(|1/ratio - 1| * (kb - 1)) <= smax for every stream."""
     S = x.shape[0]
+    off_hi, off_lo, y_hi, y_lo = scal[0], scal[1], scal[2], scal[3]
+    Ks, shift = ints[0], ints[1][:, None]
     half = num_taps // 2
     buf = jnp.concatenate([hist, x], axis=1)
     blen = buf.shape[1]

@@ -291,19 +291,21 @@ class BatchedASRC:
         if use_hankel or use_dense:
             from ..ops.pallas_kernels import (asrc_step_dense,
                                               asrc_step_hankel,
+                                              pack_step_scalars,
                                               split_f64_pairs)
             kb = self._hkb if use_hankel else self._kb
             kp = -(-k_max // kb) * kb
             interpret = jax.default_backend() != "tpu"
             # positions run in double-single f32 on device (native vector
             # rate; ~2^-45 relative = phase-continuous-equivalent to the
-            # f64 sequence); counts/masks stay exact host float64 (Ks)
+            # f64 sequence); counts/masks stay exact host float64 (Ks);
+            # the six per-call scalars ship as two bundled uploads
             oh, ol = split_f64_pairs(self.offsets)
             yh, yl = split_f64_pairs(1.0 / ratios)
-            args = (self.hist, x, *self._bank_dense, jnp.asarray(oh),
-                    jnp.asarray(ol), jnp.asarray(yh), jnp.asarray(yl),
-                    jnp.asarray(Ks),
-                    jnp.int32(self.num_samples - self.input_index))
+            scal, ints = pack_step_scalars(
+                oh, ol, yh, yl, Ks, self.num_samples - self.input_index)
+            args = (self.hist, x, *self._bank_dense, jnp.asarray(scal),
+                    jnp.asarray(ints))
             if self.sharding is None:
                 if use_hankel:
                     new_hist, out = asrc_step_hankel(
@@ -361,15 +363,15 @@ class BatchedASRC:
             from ..ops.pallas_kernels import (asrc_step_dense,
                                               asrc_step_hankel)
 
-            def local(hist, x, bt, bt2, oh, ol, yh, yl, Ks, shift):
+            def local(hist, x, bt, bt2, scal, ints):
                 if hankel:
                     return asrc_step_hankel(
-                        hist, x, bt, bt2, oh, ol, yh, yl, Ks, shift,
+                        hist, x, bt, bt2, scal, ints,
                         self.num_taps, self.num_filters, k_max, kp,
                         self.num_samples, self._tp, self._hsegl, self._hkb,
                         self._hsmax, interpret)
                 return asrc_step_dense(
-                    hist, x, bt, bt2, oh, ol, yh, yl, Ks, shift,
+                    hist, x, bt, bt2, scal, ints,
                     self.num_taps, self.num_filters, k_max, kp,
                     self.num_samples, self._tp, self._segl, self._kb,
                     interpret)
@@ -378,8 +380,8 @@ class BatchedASRC:
             rep = P(None, None)
             fn = jax.jit(shard_map(
                 local, mesh=self.sharding.mesh,
-                in_specs=(st, st, rep, rep, P("streams"), P("streams"),
-                          P("streams"), P("streams"), P("streams"), P()),
+                in_specs=(st, st, rep, rep, P(None, "streams"),
+                          P(None, "streams")),
                 out_specs=(st, st), check_rep=False))
             self._dense_sharded_cache[key] = fn
         return fn

@@ -25,7 +25,7 @@ sys.path.insert(0, "/root/repo")
 from art_tpu.core.filters import make_filter_bank
 from art_tpu.ops.pallas_kernels import (asrc_step_dense, asrc_step_hankel,
                                         dense_bank_tables, hankel_segl,
-                                        split_f64_pairs)
+                                        pack_step_scalars, split_f64_pairs)
 
 S, taps, F = 256, 380, 380
 hist_len = taps * 16
@@ -52,8 +52,8 @@ Ks = ((offsets[:, None] + ks[None, :] / ratios[:, None])
 
 oh, ol = split_f64_pairs(offsets)
 yh, yl = split_f64_pairs(1.0 / ratios)
-common = (hist, x, btj, bt2j, jnp.asarray(oh), jnp.asarray(ol),
-          jnp.asarray(yh), jnp.asarray(yl), jnp.asarray(Ks), shift)
+scal, ints = pack_step_scalars(oh, ol, yh, yl, Ks, int(shift))
+common = (hist, x, btj, bt2j, jnp.asarray(scal), jnp.asarray(ints))
 
 interp = cpu
 kb_d = 512
