@@ -438,6 +438,18 @@ def process_file(opt: Options) -> int:
                 num_channels, outbits, (outbits + 7) // 8, 1.0,
                 resample_rate, dec_flags, dtype=dt)
 
+        # -p upsampling with --backend=device: the post filter runs as the
+        # masked associative-scan cascade between the device resample and
+        # decimate stages, with exact filter-state handoff to the host
+        # Biquads at chunk edges (reference chains these on host,
+        # art.c:1052-1058; here the chain stays device-resident)
+        dev_post = None
+        dev_post_active = False
+        if (post_filter and opt.backend == "device"
+                and hasattr(resampler, "process_interleaved_device")):
+            from ..ops.biquad_kernel import DeviceBiquadCascade
+            dev_post = DeviceBiquadCascade(lowpass1, lowpass2)
+
         if resampler is not None:
             resampler.advance_position(opt.num_taps / 2.0 + opt.phase_shift)
 
@@ -549,7 +561,8 @@ def process_file(opt: Options) -> int:
 
                     dev_out = None
                     if resampler is not None:
-                        if (dev_decimator is not None and not post_filter
+                        if (dev_decimator is not None
+                                and (not post_filter or dev_post is not None)
                                 and hasattr(resampler,
                                             "process_interleaved_device")):
                             outbuf, res, dev_out = \
@@ -576,8 +589,19 @@ def process_file(opt: Options) -> int:
                         outbuf = np.zeros((generated, num_channels), dt)
 
                     if post_filter and generated:
-                        outbuf = lowpass2.apply_buffer(
-                            lowpass1.apply_buffer(outbuf[:generated]))
+                        if dev_out is not None:
+                            # device chunk: filter on device, adopting the
+                            # host filters' streaming state on first use
+                            if not dev_post_active:
+                                dev_post.push_from(lowpass1, lowpass2)
+                                dev_post_active = True
+                            dev_out = dev_post.process(dev_out, generated)
+                        else:
+                            if dev_post_active:
+                                dev_post.pull_to(lowpass1, lowpass2)
+                                dev_post_active = False
+                            outbuf = lowpass2.apply_buffer(
+                                lowpass1.apply_buffer(outbuf[:generated]))
 
                     if output_samples + generated > target_output:
                         generated = target_output - output_samples

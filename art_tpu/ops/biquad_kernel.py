@@ -105,6 +105,60 @@ def assoc_core_masked(x, a, b, xh, yh, K):
 
 
 @jax.jit
+def _cascade2_step(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, K):
+    """Two cascaded masked-scan sections in one dispatch (the ART CLI's
+    pre/post filter is always a 2-section cascade, reference
+    art.c:847-876)."""
+    y1, xh1n, yh1n = assoc_core_masked(x, a1, b1, xh1, yh1, K)
+    y2, xh2n, yh2n = assoc_core_masked(y1, a2, b2, xh2, yh2, K)
+    return y2, xh1n, yh1n, xh2n, yh2n
+
+
+class DeviceBiquadCascade:
+    """Two cascaded biquad sections applied device-side via the masked
+    associative scan, with streaming filter state carried device-resident
+    and exact state interchange with the host ``engines.biquad.Biquad``
+    pair (the CLI's -p post filter between the device resample and
+    decimate stages; reference art.c:1052-1058).
+
+    Parity class: the scan computes in float64 and rounds each output once
+    to the data dtype, while the host path rounds every intermediate at
+    dtype — outputs agree at the dtype rounding floor (documented in
+    PARITY.md), counts exactly."""
+
+    def __init__(self, bq1, bq2):
+        self._coef = tuple(
+            jnp.asarray(np.asarray(v, np.float64))
+            for v in (bq1.a, bq1.b, bq2.a, bq2.b))
+        self._state = None                 # (xh1, yh1, xh2, yh2) on device
+
+    def push_from(self, bq1, bq2) -> None:
+        """Adopt the host pair's streaming state (device takes over)."""
+        self._state = tuple(
+            jnp.asarray(np.asarray(v, np.float64))
+            for v in (bq1.xh, bq1.yh, bq2.xh, bq2.yh))
+
+    def pull_to(self, bq1, bq2) -> None:
+        """Hand the streaming state back to the host pair."""
+        xh1, yh1, xh2, yh2 = (np.asarray(s) for s in self._state)
+        bq1.xh = xh1.astype(bq1.xh.dtype)
+        bq1.yh = yh1.astype(bq1.yh.dtype)
+        bq2.xh = xh2.astype(bq2.xh.dtype)
+        bq2.yh = yh2.astype(bq2.yh.dtype)
+        self._state = None
+
+    def process(self, dev_out, K: int):
+        """Filter dev_out [ch, cap] (first K columns valid) through both
+        sections; returns the filtered [ch, cap] device array."""
+        a1, b1, a2, b2 = self._coef
+        xh1, yh1, xh2, yh2 = self._state
+        y, xh1, yh1, xh2, yh2 = _cascade2_step(
+            dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2, jnp.int32(K))
+        self._state = (xh1, yh1, xh2, yh2)
+        return y.T
+
+
+@jax.jit
 def _assoc_run(x, a, b, xh, yh):
     n, ch = x.shape
     # FIR part: f_n = sum_i a[i] * x_{n-i}, with the carried input history

@@ -81,11 +81,17 @@ def pipeline_chunk(x, hist, P_local, start, K, gens, fb, xh, yh,
                    highclip: int, lowclip: int, dither_type,
                    shaper_a, shaper_b, output_bits: int, output_bytes: int,
                    streams_axis: str | None = None,
-                   taps_axis: str | None = None):
-    """One full production chunk: resample -> dither -> shaped quantize ->
-    pack.  Pure; state flows through.  Returns
+                   taps_axis: str | None = None,
+                   post_bq=None, bq_state=None):
+    """One full production chunk: resample -> [biquad post-filter cascade]
+    -> dither -> shaped quantize -> pack.  Pure; state flows through.
+    ``post_bq``: optional ((a1, b1), (a2, b2)) cascade coefficients (the
+    CLI -p post filter, reference art.c:1052-1058) with ``bq_state`` =
+    (xh1, yh1, xh2, yh2) each [4, S]; filtered via the masked associative
+    scan (ops/biquad_kernel.assoc_core_masked), per-stream and therefore
+    shard-transparent over the streams axis.  Returns
     (packed u8 [nK, S*output_bytes], new_hist, new_gens, fb', xh', yh',
-     clips i32, power)."""
+     clips i32, power[, bq_state'])."""
     q0 = jnp.int32(0)
     if taps_axis is not None:
         q0 = jax.lax.axis_index(taps_axis).astype(jnp.int32) * qn_local
@@ -93,6 +99,16 @@ def pipeline_chunk(x, hist, P_local, start, K, gens, fb, xh, yh,
         x, hist, P_local, start, K, M=M, L=L, nb=nb, qn_pad=qn_pad,
         qn_local=qn_local, hist_len=hist_len, q0=q0, taps_axis=taps_axis)
     nK = nb * L
+
+    new_bq_state = None
+    if post_bq is not None:
+        from ..ops.biquad_kernel import assoc_core_masked
+        (a1, b1), (a2, b2) = post_bq
+        xh1, yh1, xh2, yh2 = bq_state
+        y, xh1, yh1 = assoc_core_masked(out.T, a1, b1, xh1, yh1, K)
+        y, xh2, yh2 = assoc_core_masked(y, a2, b2, xh2, yh2, K)
+        out = y.T
+        new_bq_state = (xh1, yh1, xh2, yh2)
 
     dither = None
     new_gens = gens
@@ -119,6 +135,9 @@ def pipeline_chunk(x, hist, P_local, start, K, gens, fb, xh, yh,
         clips = jax.lax.psum(clips, streams_axis)
         power = jax.lax.psum(power, streams_axis)
     packed = dd.pack_bytes_dev(outv, output_bits, output_bytes)
+    if post_bq is not None:
+        return (packed, new_hist, new_gens, fb, xh, yh, clips, power,
+                new_bq_state)
     return packed, new_hist, new_gens, fb, xh, yh, clips, power
 
 
@@ -126,12 +145,15 @@ def make_sharded_step(mesh: Mesh, *, M: int, L: int, nb: int, qn: int,
                       hist_len: int, scaler: float, highclip: int,
                       lowclip: int, dither_type=-1, shaper_a=None,
                       shaper_b=None, output_bits: int = 16,
-                      output_bytes: int = 2):
+                      output_bytes: int = 2, post_bq=None):
     """Jitted multi-device production step over a (streams x taps) mesh.
 
     Global input shapes: x [S, n], hist [S, hist_len], Pmat [qn_pad*M, L]
     (qn padded up to a taps-axis multiple; pad rows are zero), start/K
     scalars, gens u32 [S], fb [S], xh/yh [4, S], A/V0/V1 u32 [5*nb*L].
+    With ``post_bq`` (cascade coefficients, see pipeline_chunk) the step
+    additionally takes bq_state = (xh1, yh1, xh2, yh2) each f64 [4, S] and
+    returns the advanced tuple.
     """
     ntap = mesh.shape["taps"]
     qn_pad = -(-qn // ntap) * ntap
@@ -141,20 +163,31 @@ def make_sharded_step(mesh: Mesh, *, M: int, L: int, nb: int, qn: int,
               lowclip=lowclip, dither_type=dither_type, shaper_a=shaper_a,
               shaper_b=shaper_b, output_bits=output_bits,
               output_bytes=output_bytes, streams_axis="streams",
-              taps_axis="taps")
+              taps_axis="taps", post_bq=post_bq)
 
-    def step(x, hist, Pmat, start, K, gens, fb, xh, yh, A, V0, V1):
-        return pipeline_chunk(x, hist, Pmat, start, K, gens, fb, xh, yh,
-                              A, V0, V1, **kw)
+    base_in = (P("streams", None), P("streams", None), P("taps", None),
+               P(), P(), P("streams"), P("streams"), P(None, "streams"),
+               P(None, "streams"), P(), P(), P())
+    base_out = (P(None, "streams"), P("streams", None), P("streams"),
+                P("streams"), P(None, "streams"), P(None, "streams"),
+                P(), P())
+    if post_bq is None:
+        def step(x, hist, Pmat, start, K, gens, fb, xh, yh, A, V0, V1):
+            return pipeline_chunk(x, hist, Pmat, start, K, gens, fb, xh, yh,
+                                  A, V0, V1, **kw)
+        in_specs, out_specs = base_in, base_out
+    else:
+        def step(x, hist, Pmat, start, K, gens, fb, xh, yh, A, V0, V1,
+                 bq_state):
+            return pipeline_chunk(x, hist, Pmat, start, K, gens, fb, xh, yh,
+                                  A, V0, V1, bq_state=bq_state, **kw)
+        bq_spec = (P(None, "streams"),) * 4
+        in_specs = base_in + (bq_spec,)
+        out_specs = base_out + (bq_spec,)
 
     mapped = shard_map(
         step, mesh=mesh,
-        in_specs=(P("streams", None), P("streams", None), P("taps", None),
-                  P(), P(), P("streams"), P("streams"), P(None, "streams"),
-                  P(None, "streams"), P(), P(), P()),
-        out_specs=(P(None, "streams"), P("streams", None), P("streams"),
-                   P("streams"), P(None, "streams"), P(None, "streams"),
-                   P(), P()),
+        in_specs=in_specs, out_specs=out_specs,
         check_rep=False)
     return jax.jit(mapped)
 

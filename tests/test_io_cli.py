@@ -435,3 +435,58 @@ def test_cli_f64_device_backend_byte_identical(tmp_path):
         assert not rc
         outs.append(dst.read_bytes())
     assert outs[0] == outs[1]
+
+
+def test_cli_device_post_filter_stays_on_device(tmp_path):
+    """-p with --backend=device on an upsampling conversion: the post
+    filter runs as the device associative-scan cascade between the device
+    resample and decimate stages (the conversion no longer falls off the
+    device pipeline).  Counts and clip warnings match the numpy backend
+    exactly; 16-bit codes at the documented f32 resample+filter floor.
+    Downsampling (-p pre-filter) keeps the device decimate stage too."""
+    import io as _io
+    from contextlib import redirect_stderr
+
+    import numpy as np
+
+    from art_tpu.cli import art
+    from art_tpu.io import wavfile
+
+    rng = np.random.default_rng(9)
+    n = 44100
+    x = (rng.standard_normal((n, 2)) * 0.4).astype(np.float32)
+    src = tmp_path / "in.wav"
+    with open(src, "wb") as f:
+        wavfile.write_wav_header(f, bits=32, num_channels=2, num_frames=n,
+                                 sample_rate=44100, channel_mask=0x3)
+        f.write(x.astype("<f4").tobytes())
+
+    def convert(be, args):
+        dst = tmp_path / f"out_{be}_{''.join(args)}.wav".replace("/", "")
+        buf = _io.StringIO()
+        with redirect_stderr(buf):
+            rc = art.main(["-q", "-y", f"--backend={be}", *args,
+                           str(src), str(dst)])
+        assert not rc
+        return dst.read_bytes(), buf.getvalue()
+
+    # upsample + -p (post filter) + 16-bit unshaped: device pipeline end
+    # to end (resample -> biquad cascade -> decimate all device-resident)
+    an, wn = convert("numpy", ["-r48k", "-o16", "-n0", "-p"])
+    ad, wd = convert("device", ["-r48k", "-o16", "-n0", "-p"])
+    assert len(an) == len(ad)
+    assert wn == wd
+    da = np.frombuffer(an[-96000 * 4:], "<i2").astype(np.int32)
+    db = np.frombuffer(ad[-96000 * 4:], "<i2").astype(np.int32)
+    diff = np.abs(da - db)
+    assert diff.max() <= 12 and diff.mean() < 2.0
+
+    # downsample + -p (pre filter): host pre-filter feeds the device
+    # resample+decimate; parity bar identical
+    bn, _ = convert("numpy", ["-r22050", "-o16", "-n0", "-p"])
+    bd, _ = convert("device", ["-r22050", "-o16", "-n0", "-p"])
+    assert len(bn) == len(bd)
+    ca = np.frombuffer(bn[-44100:], "<i2").astype(np.int32)
+    cb = np.frombuffer(bd[-44100:], "<i2").astype(np.int32)
+    diff2 = np.abs(ca - cb)
+    assert diff2.max() <= 12 and diff2.mean() < 2.0

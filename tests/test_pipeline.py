@@ -222,3 +222,68 @@ def test_device_decimator_checkpoint_resume():
     p2, c2 = d2.process_chunk(x1, 200)
     assert c1 == c2
     assert np.array_equal(p1, p2)
+
+
+def test_sharded_production_step_with_post_biquad():
+    """pipeline_chunk's optional -p post-filter cascade (masked associative
+    scan between resample and quantize, reference art.c:1052-1058): sharded
+    over every mesh shape == 1x1 mesh bit-for-bit on a passthrough phase
+    matrix, and the filtered samples equal the host Biquad cascade at the
+    f64-reassociation floor."""
+    from art_tpu.engines.biquad import Biquad, biquad_lowpass
+    from art_tpu.engines.decimator import Decimator as D
+    from art_tpu.parallel.pipeline import make_sharded_step, pad_phase_matrix
+    from art_tpu.parallel.sharding import make_mesh
+
+    M, L, nb, qn, hist_len = 3, 2, 16, 4, 32
+    nK = nb * L
+    S, chunk = 8, nb * M
+    dec = D(S, 16, 2, 1.0, 44100, DITHER_HIGHPASS | SHAPING_ATH_CURVE)
+    sh = dec.noise_shaper
+    bq = Biquad.init(biquad_lowpass(0.2), 1.0, S, np.float64)
+    post_bq = ((bq.a, bq.b), (bq.a, bq.b))
+
+    Pq = np.zeros((qn * M, L), np.float32)
+    Pq[2, 0] = 1.0
+    Pq[5, 1] = 1.0
+
+    kw = dict(M=M, L=L, nb=nb, qn=qn, hist_len=hist_len, scaler=32768.0,
+              highclip=32767, lowclip=-32768, dither_type=-1,
+              shaper_a=sh.a, shaper_b=sh.b, output_bits=16, output_bytes=2,
+              post_bq=post_bq)
+    x, hist, gens, fb, xh, yh, A, V0, V1 = _tiny_sharded_inputs(
+        S, nK, hist_len, chunk)
+    bq_state = tuple(np.zeros((4, S), np.float64) for _ in range(4))
+    args0 = (np.int32(8), np.int32(nK), gens, fb, xh, yh, A, V0, V1,
+             bq_state)
+
+    results = []
+    for mesh_shape in [(1, 1), (8, 1), (4, 2)]:
+        mesh = make_mesh(*mesh_shape)
+        qn_pad = -(-qn // mesh_shape[1]) * mesh_shape[1]
+        step = make_sharded_step(mesh, **kw)
+        Pp = pad_phase_matrix(Pq, M, L, qn, qn_pad, np.float32)
+        out = step(x, hist, Pp, *args0)
+        flat = list(out[:8]) + list(out[8])
+        results.append(tuple(np.asarray(o) for o in flat))
+
+    ref = results[0]
+    for got in results[1:]:
+        for i, (r, g) in enumerate(zip(ref, got)):
+            if i == 7:
+                np.testing.assert_allclose(r, g, rtol=1e-6)
+            else:
+                np.testing.assert_array_equal(r, g)
+
+    # filtered+quantized output == host Biquad cascade -> host decimator
+    buf = np.concatenate([hist, x], axis=1)
+    win = buf[:, 8:8 + (nb + qn) * M].reshape(S, nb + qn, M)
+    Xq = np.stack([win[:, q:q + nb] for q in range(qn)], 2) \
+        .reshape(S, nb, qn * M)
+    res = (Xq @ Pq).reshape(S, nK)
+    h1 = Biquad.init(biquad_lowpass(0.2), 1.0, S, np.float64)
+    h2 = Biquad.init(biquad_lowpass(0.2), 1.0, S, np.float64)
+    filt = h2.apply_buffer(h1.apply_buffer(res.T.astype(np.float64)))
+    packed_h, clips_h = dec.process_interleaved(filt.astype(np.float32))
+    assert int(ref[6]) == clips_h
+    np.testing.assert_array_equal(ref[0], np.asarray(packed_h))

