@@ -189,6 +189,8 @@ class BatchedASRC:
         self.offsets = np.full(num_streams, float(num_taps // 2),
                                dtype=np.float64)
         self.input_index = num_taps
+        self.flushed = np.zeros(num_streams, dtype=bool)
+        self._flushed_pos = np.zeros(num_streams, dtype=np.float64)
         self.sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -206,11 +208,17 @@ class BatchedASRC:
             "offsets": self.offsets.copy(),
             "input_index": int(self.input_index),
             "hist": np.asarray(self.hist),
+            "flushed": self.flushed.copy(),
+            "flushed_pos": self._flushed_pos.copy(),
         }
 
     def load_state(self, state: dict) -> None:
         self.offsets = np.asarray(state["offsets"], np.float64).copy()
         self.input_index = int(state["input_index"])
+        self.flushed = np.asarray(
+            state.get("flushed", np.zeros(self.S, bool))).copy()
+        self._flushed_pos = np.asarray(
+            state.get("flushed_pos", np.zeros(self.S))).copy()
         hist = jnp.asarray(np.asarray(state["hist"], self.dtype))
         if self.sharding is not None:
             hist = jax.device_put(hist, self.sharding)
@@ -220,8 +228,11 @@ class BatchedASRC:
         self.offsets += np.asarray(delta, dtype=np.float64)
 
     def get_position(self) -> np.ndarray:
-        """Exact per-stream phase (reference resampler.c:965-968)."""
-        return self.offsets + (self.num_taps / 2.0) - self.input_index
+        """Exact per-stream phase (reference resampler.c:965-968); frozen
+        at flush time for FLUSHED streams (their context index stopped
+        advancing with the batch)."""
+        live = self.offsets + (self.num_taps / 2.0) - self.input_index
+        return np.where(self.flushed, self._flushed_pos, live)
 
     def process(self, x, ratios, k_max: int | None = None):
         """x: device [S, n]; ratios: [S] per-call drifting ratios.
@@ -263,10 +274,76 @@ class BatchedASRC:
             est = ((self.offsets[:, None] + ks[None, :] / ratios[:, None])
                    < bound).sum(axis=1)
         Ks = est.astype(np.int32)
+        Ks[self.flushed] = 0            # latched streams ignore input
         if int(Ks.max(initial=0)) >= (req_k_max if req_k_max is not None
                                       else k_max):
             raise ValueError("k_max too small for requested chunk")
 
+        new_hist, out = self._run_step(x, ratios, Ks, k_max, req_k_max)
+        self.hist = new_hist
+
+        # advance per-stream offsets with the reference ring-slide
+        # arithmetic (all streams consume the same count, so the write index
+        # stays shared); exact-integer shifts preserve float-tie behavior
+        slide = self.num_samples - self.num_taps
+        n_slides = max(0, math.ceil(
+            (self.input_index + n - self.num_samples) / slide))
+        self.input_index = self.input_index + n - n_slides * slide
+        self.offsets = (self.offsets - n_slides * slide) + Ks / ratios
+        return out, Ks
+
+    def flush(self, ratios, mask=None, k_max: int | None = None):
+        """End the masked streams: emit their final half-filter of output
+        from a zero postfill and latch them FLUSHED (reference
+        postfillAllChannels + RESAMPLER_FLUSHED, resampler.c:663-698,
+        438-439; the zero-postfill mode — endpoint extrapolation stays a
+        host-engine feature).  Streams NOT in ``mask`` are untouched: the
+        zero postfill never enters the shared history, so live streams
+        keep serving.  Flushed streams return 0 outputs from later calls
+        and their phase position freezes.
+
+        Returns (out [S, k_max], Ks [S]) with rows outside ``mask`` zero.
+        """
+        half = self.num_taps // 2
+        ratios = np.asarray(ratios, dtype=np.float64)
+        if mask is None:
+            mask = np.ones(self.S, dtype=bool)
+        mask = np.asarray(mask, bool) & ~self.flushed
+
+        req_k_max = k_max
+        if k_max is None:
+            k_max = int(np.ceil((half + 2) * ratios.max())) + 2
+        pallas_family = self.kernel in ("auto", "dense", "hankel")
+        bucket = max(self._kb, self._hkb) if pallas_family else 128
+        k_max = -(-k_max // bucket) * bucket
+
+        # final emission counts: the zero postfill raises the input bound
+        # by half and emission stops at idx_f - half = input_index
+        # (reference resampler.c:882-918 flush simulation)
+        bound = float(self.input_index)
+        ks = np.arange(k_max, dtype=np.float64)
+        Ks = ((self.offsets[:, None] + ks[None, :] / ratios[:, None])
+              < bound).sum(axis=1).astype(np.int32)
+        Ks[~mask] = 0
+        if int(Ks.max(initial=0)) >= (req_k_max if req_k_max is not None
+                                      else k_max):
+            raise ValueError("k_max too small for flush")
+
+        x = jnp.zeros((self.S, half), dtype=self.dtype)
+        _discard_hist, out = self._run_step(x, ratios, Ks, k_max, req_k_max)
+
+        final_off = self.offsets + Ks / ratios
+        self._flushed_pos = np.where(
+            mask, final_off - self.input_index, self._flushed_pos)
+        self.offsets = np.where(mask, final_off, self.offsets)
+        self.flushed = self.flushed | mask
+        return out, Ks
+
+    def _run_step(self, x, ratios, Ks, k_max, req_k_max):
+        """Kernel dispatch for one batched chunk: auto-select hankel /
+        dense / v1-pallas / xla, run it, return (new_hist, out) without
+        committing any engine state."""
+        pallas_family = self.kernel in ("auto", "dense", "hankel")
         if self.sharding is not None:
             x = jax.device_put(x, self.sharding)
         # a pallas call cannot be auto-partitioned by XLA, but streams are
@@ -336,17 +413,7 @@ class BatchedASRC:
                 self.num_taps, self.num_filters, k_max, self.num_samples)
             if req_k_max is not None and req_k_max != k_max:
                 out = out[:, :req_k_max]
-        self.hist = new_hist
-
-        # advance per-stream offsets with the reference ring-slide
-        # arithmetic (all streams consume the same count, so the write index
-        # stays shared); exact-integer shifts preserve float-tie behavior
-        slide = self.num_samples - self.num_taps
-        n_slides = max(0, math.ceil(
-            (self.input_index + n - self.num_samples) / slide))
-        self.input_index = self.input_index + n - n_slides * slide
-        self.offsets = (self.offsets - n_slides * slide) + Ks / ratios
-        return out, Ks
+        return new_hist, out
 
     def _dense_sharded(self, k_max: int, kp: int, interpret: bool,
                        hankel: bool = False):

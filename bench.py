@@ -112,33 +112,46 @@ def _bench_all():
     results.append(("5.1ch 48k->44.1k f64 host chain (-p biquads)",
                     rate4 / 1e6, "Mframes/s (output)", 1.35))
 
-    # 5. batched ASRC: 256 drifting streams, preset-3 bank, dense kernel
-    # (wide tiles + deep chunks are the measured optimum: 80.8 M out/s at
-    # n=8192/kb=128 -> 98.0 at n=65536/kb=512; n=32768 keeps per-call
-    # latency under 100 ms)
-    from art_tpu.parallel.asrc import BatchedASRC
-    S, nn = 256, 32768
-    eng = BatchedASRC(S, 380, 380, kernel="dense", dense_kb=512)
-    xs = jnp.asarray(rng.standard_normal((S, nn)).astype(np.float32))
-    ratios = 1.0 + 0.01 * np.sin(np.arange(S) * 0.1)
+    # 5. batched ASRC: 256 drifting streams, preset-3 bank, Hankel kernel
+    results.append(_bench_asrc_config5())
 
-    def run5():
+    for name, value, unit, base in results:
+        print(json.dumps({"metric": name, "value": round(value, 2),
+                          "unit": unit,
+                          "vs_baseline": round(value / base, 2)}))
+
+
+def _bench_asrc_config5(reps: int = 5):
+    """BASELINE config 5: 256 concurrent drifting-ratio streams through the
+    BatchedASRC engine (auto kernel = the Hankel formulation for the near-1
+    ratios of this config; per-call drifting ratios so the compiled-step
+    reuse is part of what is measured)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from art_tpu.parallel.asrc import BatchedASRC
+
+    S, nn = 256, 32768
+    rng = np.random.default_rng(0)
+    eng = BatchedASRC(S, 380, 380, kernel="auto", hankel_kb=256)
+    eng.advance_position(190.0)
+    xs = jnp.asarray(rng.standard_normal((S, nn)).astype(np.float32))
+
+    def run5(t0=[0]):
         tot = 0
         for _ in range(3):
+            t0[0] += 1
+            ratios = 1.0 + 0.01 * np.sin(np.arange(S) * 0.1
+                                         + 0.031 * t0[0])
             out, Ks = eng.process(xs, ratios)
             tot += int(Ks.sum())
         float(jnp.sum(out))
         return tot
 
     produced = run5()
-    rate5 = _median_rate(run5, produced)
-    results.append(("256-stream drifting ASRC (dense kernel engine)",
-                    rate5 / 1e6, "M out/s", 4.55))
-
-    for name, value, unit, base in results:
-        print(json.dumps({"metric": name, "value": round(value, 2),
-                          "unit": unit,
-                          "vs_baseline": round(value / base, 2)}))
+    rate5 = _median_rate(run5, produced, reps=reps)
+    return ("256-stream drifting ASRC (Hankel kernel engine)",
+            rate5 / 1e6, "M out/s", 4.55)
 
 
 def main():
@@ -197,6 +210,14 @@ def main():
     }))
     print(f"# produced={produced} frames, times={['%.3f' % t for t in times]}"
           f" power={power:.1f}", file=sys.stderr)
+
+    # the drifting-ratio flagship (BASELINE config 5) as a second record so
+    # the driver artifact carries both numbers without hand-transcription
+    # (the headline JSON above stays the first/parsed line)
+    name5, rate5, unit5, base5 = _bench_asrc_config5(reps=3)
+    print(json.dumps({"metric": name5, "value": round(rate5, 2),
+                      "unit": unit5,
+                      "vs_baseline": round(rate5 / base5, 2)}))
 
 
 if __name__ == "__main__":

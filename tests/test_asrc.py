@@ -253,3 +253,69 @@ def test_asrc_hankel_compilation_stable_under_drifting_ratios():
         ratios = 1.0 + 0.01 * np.sin(np.arange(8) + it * 0.7)
         eng.process(x, ratios)
     assert asrc_step_hankel._cache_size() == base
+
+
+def test_batched_asrc_staggered_flush_matches_host_engines():
+    """Per-stream flush/teardown (reference postfill + FLUSHED latch,
+    resampler.c:663-698, 438-439): streams end at staggered times; each
+    flushed stream's final outputs, counts, and frozen phase position
+    equal an independent host engine flushed at the same point, while
+    live streams keep serving unperturbed."""
+    S, taps, filters = 8, 48, 64
+    lcg = NoiseLCG()
+    rng = np.random.default_rng(3)
+    b = BatchedASRC(S, taps, filters)
+    b.advance_position(24.0)
+    singles = []
+    for _ in range(S):
+        r = Resampler(1, taps, filters, 0.0,
+                      SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS,
+                      backend="numpy")
+        r.advance_position(24.0)
+        singles.append(r)
+
+    # end two streams after every other chunk
+    flush_at = {1: [6, 3], 3: [0, 2], 5: [4, 7], 7: [1, 5]}
+    ended = set()
+    for t in range(8):
+        x = lcg.fill(S * 512).reshape(S, 512)
+        ratios = 1.0 + rng.uniform(-0.01, 0.01, S)
+        out, Ks = b.process(jnp.asarray(x), ratios)
+        out = np.asarray(out)
+        for s in range(S):
+            if s in ended:
+                assert Ks[s] == 0
+                assert not np.any(out[s])
+                continue
+            ho, res = singles[s].process(x[s:s + 1], 512, 2000,
+                                         float(ratios[s]))
+            assert res.output_generated == Ks[s]
+            assert np.abs(ho[0] - out[s, :Ks[s]]).max() < 1e-6
+        if t in flush_at:
+            fmask = np.zeros(S, bool)
+            fmask[flush_at[t]] = True
+            fr = 1.0 + rng.uniform(-0.01, 0.01, S)
+            fout, fKs = b.flush(fr, fmask)
+            fout = np.asarray(fout)
+            for s in range(S):
+                if not fmask[s]:
+                    assert fKs[s] == 0
+                    continue
+                ho, res = singles[s].process(None, -1, 2000, float(fr[s]))
+                assert res.output_generated == fKs[s]
+                assert np.abs(ho[0] - fout[s, :fKs[s]]).max() < 1e-6
+                ended.add(s)
+        # flushed positions frozen and equal to the host engines'
+        pos = b.get_position()
+        for s in ended:
+            assert pos[s] == singles[s].get_position()
+
+    # double-flush is a no-op; all streams end cleanly
+    fout, fKs = b.flush(np.ones(S), np.ones(S, bool))
+    for s in range(S):
+        if s in ended:
+            assert fKs[s] == 0
+        else:
+            ho, res = singles[s].process(None, -1, 2000, 1.0)
+            assert res.output_generated == fKs[s]
+    assert b.flushed.all()
