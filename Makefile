@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: all native golden test bench clean
+.PHONY: all native golden test bench bench-smoke clean
 
 all: native
 
@@ -22,6 +22,12 @@ test: native
 
 bench: native
 	$(PY) bench.py
+
+# on-TPU Mosaic regression gate: compile+run every shipped Pallas kernel at
+# a production geometry vs a host oracle (the pytest suite runs them in
+# interpret mode only); commit the artifact each round
+bench-smoke:
+	$(PY) tools/tpu_smoke.py --save=MOSAIC_SMOKE_r03.json
 
 clean:
 	rm -f art_tpu/native/*.so
