@@ -118,10 +118,23 @@ class Stretcher:
             elif pos >= n_flat:
                 break
 
+            runner = self._native_runner()
             min_buffered = self.longest * (3 if self.fast_mode else 2)
             while (self.tail >= self.longest
                    and self.head - self.tail >= min_buffered):
-                chunk = self._process_block(ratio)
+                if runner is not None:
+                    # the native loop runs EVERY buffered block in one call
+                    # (pitch detect + transform; per-block Python overhead
+                    # otherwise dominates the vectorized search).  The
+                    # returned chunk is a view into the runner's scratch:
+                    # next.process copies it immediately; the local append
+                    # path copies explicitly.
+                    chunk, self.tail, self.outsamples_error = runner.run(
+                        self.head, self.tail, ratio, self.outsamples_error)
+                    if self.next is None:
+                        chunk = chunk.copy()
+                else:
+                    chunk = self._process_block(ratio)
                 if self.next is not None:
                     next_chunks.append(self.next.process(
                         chunk, chunk.size // self.num_chans, next_ratio))
@@ -173,6 +186,14 @@ class Stretcher:
         return flushed
 
     # ------------------------------------------------------------ internals
+    def _native_runner(self):
+        if not hasattr(self, "_runner"):
+            from .. import native
+            self._runner = native.StretchRunner(
+                self.inbuff, self.longest, self.shortest, self.num_chans,
+                self.fast_mode) if native.available() else None
+        return self._runner
+
     def _process_block(self, ratio: float) -> np.ndarray:
         if ratio != 1.0 or self.outsamples_error:
             period = (self._find_period_fast() if self.fast_mode

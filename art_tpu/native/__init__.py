@@ -107,6 +107,15 @@ def _bind(lib):
     lib.art_stretch_search_f64.restype = ctypes.c_int
     lib.art_stretch_search_f64.argtypes = [f64p, ctypes.c_int, ctypes.c_int,
                                            f64p, f64p]
+    llp = ctypes.POINTER(ll)
+    lib.art_stretch_run_f32.restype = ll
+    lib.art_stretch_run_f32.argtypes = [
+        f32p, ll, llp, ll, ll, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        f64p, f32p, f32p, f32p]
+    lib.art_stretch_run_f64.restype = ll
+    lib.art_stretch_run_f64.argtypes = [
+        f64p, ll, llp, ll, ll, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        f64p, f64p, f64p, f64p]
     lib.art_pack_le.restype = None
     lib.art_pack_le.argtypes = [i32p, ll, ctypes.c_int, ctypes.c_int, i8p]
     lib.art_unpack_le_f32.restype = None
@@ -255,6 +264,53 @@ def unpack_le(raw: np.ndarray, gain: float, bits: int, nbytes: int,
         lib.art_unpack_le_f64(_ptr(raw, ctypes.c_uint8), gain, bits, nbytes,
                               _ptr(out, ctypes.c_double), count)
     return out
+
+
+class StretchRunner:
+    """Cached-pointer driver for the native TDHS block loop: the engine
+    calls run() once per buffered region (thousands of times per file), so
+    argument marshalling and scratch allocation happen once here.  run()
+    returns a VIEW into the shared out scratch — consume or copy before
+    the next call."""
+
+    def __init__(self, inbuff: np.ndarray, longest: int, shortest: int,
+                 num_chans: int, fast_mode: bool):
+        lib = _load()
+        dt = inbuff.dtype
+        self.out = np.empty(int(2 * inbuff.size + 8 * longest + 64),
+                            dtype=dt)
+        self._calc = np.empty(2 * longest, dtype=dt)
+        self._results = np.empty(longest + 2, dtype=dt)
+        ct = ctypes.c_float if dt == np.float32 else ctypes.c_double
+        self._fn = lib.art_stretch_run_f32 if dt == np.float32 \
+            else lib.art_stretch_run_f64
+        self._p_in = _ptr(inbuff, ct)
+        self._p_out = _ptr(self.out, ct)
+        self._p_calc = _ptr(self._calc, ct)
+        self._p_res = _ptr(self._results, ct)
+        self._longest, self._shortest = longest, shortest
+        self._nc, self._fast = num_chans, int(fast_mode)
+        self._tail_c = ctypes.c_longlong(0)
+        self._err_c = ctypes.c_double(0.0)
+
+    def run(self, head: int, tail: int, ratio: float, error: float):
+        self._tail_c.value = tail
+        self._err_c.value = error
+        outn = self._fn(self._p_in, head, ctypes.byref(self._tail_c),
+                        self._longest, self._shortest, self._nc, self._fast,
+                        ratio, ctypes.byref(self._err_c), self._p_out,
+                        self._p_calc, self._p_res)
+        return (self.out[:outn], int(self._tail_c.value),
+                float(self._err_c.value))
+
+
+def stretch_run(inbuff: np.ndarray, head: int, tail: int, longest: int,
+                shortest: int, num_chans: int, fast_mode: bool,
+                ratio: float, error: float):
+    """One-shot wrapper around StretchRunner (tests/ad-hoc use)."""
+    r = StretchRunner(inbuff, longest, shortest, num_chans, fast_mode)
+    out, new_tail, new_err = r.run(head, tail, ratio, error)
+    return out.copy(), new_tail, new_err
 
 
 def stretch_search(calc: np.ndarray, shortest: int, longest: int,

@@ -22,6 +22,7 @@
 #include <limits>
 #include <cstring>
 #include <cmath>
+#include <vector>
 
 
 // ---------------------------------------------------------------- dither
@@ -421,18 +422,363 @@ static int stretch_search(const S *calc, int shortest, int longest,
     return best_period;
 }
 
+// Lane-per-candidate vectorized search: W consecutive candidate periods
+// accumulate in W independent lanes, each lane running ITS candidate's
+// exact sequential top-down order — so SIMD here is value-preserving
+// (unlike the stock reference build, whose -fassociative-math vectorizes
+// the reduction *within* a candidate and changes its own results).  The
+// compare-and-update still walks candidates in ascending period order at
+// data-path precision.  ~W x the scalar search; the last partial group
+// falls back to the scalar path (also keeps every vector load in bounds:
+// full groups read at most calc[2*longest - W]).
+template <typename S, int W>
+static int stretch_search_lanes(const S *calc, int shortest, int longest,
+                                S *record, S *best_factor_out) {
+    if (longest - shortest + 1 < 2 * W)
+        return stretch_search<S>(calc, shortest, longest, record,
+                                 best_factor_out);
+    // running |x| sum per candidate: strictly serial chain as in the
+    // reference (stretch.c:417-457), O(longest)
+    std::vector<S> chain((size_t)longest + 1);
+    S s = 0;
+    for (int i = 0; i < shortest; ++i) {
+        S pair = (S)(std::fabs((double)calc[i])
+                     + std::fabs((double)calc[i + shortest]));
+        s = (S)(s + pair);
+    }
+    chain[shortest] = s;
+    for (int period = shortest; period < longest; ++period) {
+        S inc = (S)(std::fabs((double)calc[2 * period])
+                    + std::fabs((double)calc[2 * period + 1]));
+        s = (S)(s + inc);
+        chain[period + 1] = s;
+    }
+
+    int best_period = shortest;
+    S best_factor = (S)-1.0;
+    int P = shortest;
+    for (; P + W - 1 <= longest; P += W) {
+        S acc[W];
+        for (int w = 0; w < W; ++w) acc[w] = 0;
+        // ramp: lane w's first w terms (i from P+w-1 down to P), scalar
+        for (int w = 1; w < W; ++w)
+            for (int i = P + w - 1; i >= P; --i) {
+                S d = (S)(calc[i] - calc[i + P + w]);
+                acc[w] = (S)(acc[w] + (d < 0 ? (S)-d : d));
+            }
+        // common phase: all W lanes, fixed trip count (autovectorizes;
+        // independent per-lane accumulators, no reassociation anywhere)
+        for (int i = P - 1; i >= 0; --i) {
+            S x = calc[i];
+            const S *q = calc + i + P;
+            for (int w = 0; w < W; ++w) {
+                S d = (S)(x - q[w]);
+                acc[w] = (S)(acc[w] + (d < 0 ? (S)-d : d));
+            }
+        }
+        for (int w = 0; w < W; ++w) {
+            S factor = acc[w] == (S)0.0
+                ? (S)std::numeric_limits<float>::max()
+                : (S)(chain[P + w] / acc[w]);
+            if (record) record[P + w] = factor;
+            if (factor >= best_factor) {
+                best_factor = factor;
+                best_period = P + w;
+            }
+        }
+    }
+    // scalar tail for the last partial group
+    for (; P <= longest; ++P) {
+        S diff = 0;
+        for (int i = P - 1; i >= 0; --i) {
+            S d = (S)(calc[i] - calc[i + P]);
+            diff = (S)(diff + (d < 0 ? (S)-d : d));
+        }
+        S factor = diff == (S)0.0 ? (S)std::numeric_limits<float>::max()
+                                  : (S)(chain[P] / diff);
+        if (record) record[P] = factor;
+        if (factor >= best_factor) {
+            best_factor = factor;
+            best_period = P;
+        }
+    }
+    if (best_factor_out) *best_factor_out = best_factor;
+    return best_period;
+}
+
+#ifdef __AVX2__
+#include <immintrin.h>
+
+// Hand-vectorized f32 search: 16 candidate lanes per group in two ymm
+// accumulators.  Same value-exact lane-per-candidate scheme as
+// stretch_search_lanes (ramp terms first, then the shared descending-i
+// phase); |a-b| as an AND with the sign mask is the IEEE fabsf.
+static int stretch_search_avx2_f32(const float *calc, int shortest,
+                                   int longest, float *record,
+                                   float *best_factor_out) {
+    constexpr int W = 16;
+    if (longest - shortest + 1 < 2 * W)
+        return stretch_search<float>(calc, shortest, longest, record,
+                                     best_factor_out);
+    std::vector<float> chain((size_t)longest + 1);
+    float s = 0;
+    for (int i = 0; i < shortest; ++i)
+        s += std::fabs(calc[i]) + std::fabs(calc[i + shortest]);
+    chain[shortest] = s;
+    for (int period = shortest; period < longest; ++period) {
+        s += std::fabs(calc[2 * period]) + std::fabs(calc[2 * period + 1]);
+        chain[period + 1] = s;
+    }
+
+    const __m256 signmask =
+        _mm256_castsi256_ps(_mm256_set1_epi32(0x7fffffff));
+    int best_period = shortest;
+    float best_factor = -1.0f;
+    int P = shortest;
+    for (; P + W - 1 <= longest; P += W) {
+        alignas(32) float r[W] = {0};
+        for (int w = 1; w < W; ++w)
+            for (int i = P + w - 1; i >= P; --i)
+                r[w] += std::fabs(calc[i] - calc[i + P + w]);
+        __m256 acc0 = _mm256_load_ps(r);
+        __m256 acc1 = _mm256_load_ps(r + 8);
+        for (int i = P - 1; i >= 0; --i) {
+            __m256 x = _mm256_broadcast_ss(calc + i);
+            __m256 q0 = _mm256_loadu_ps(calc + i + P);
+            __m256 q1 = _mm256_loadu_ps(calc + i + P + 8);
+            acc0 = _mm256_add_ps(
+                acc0, _mm256_and_ps(_mm256_sub_ps(x, q0), signmask));
+            acc1 = _mm256_add_ps(
+                acc1, _mm256_and_ps(_mm256_sub_ps(x, q1), signmask));
+        }
+        _mm256_store_ps(r, acc0);
+        _mm256_store_ps(r + 8, acc1);
+        for (int w = 0; w < W; ++w) {
+            float factor = r[w] == 0.0f
+                ? std::numeric_limits<float>::max()
+                : chain[P + w] / r[w];
+            if (record) record[P + w] = factor;
+            if (factor >= best_factor) {
+                best_factor = factor;
+                best_period = P + w;
+            }
+        }
+    }
+    for (; P <= longest; ++P) {
+        float diff = 0;
+        for (int i = P - 1; i >= 0; --i)
+            diff += std::fabs(calc[i] - calc[i + P]);
+        float factor = diff == 0.0f ? std::numeric_limits<float>::max()
+                                    : chain[P] / diff;
+        if (record) record[P] = factor;
+        if (factor >= best_factor) {
+            best_factor = factor;
+            best_period = P;
+        }
+    }
+    if (best_factor_out) *best_factor_out = best_factor;
+    return best_period;
+}
+#endif  // __AVX2__
+
+template <typename S>
+static int search_dispatch(const S *calc, int shortest, int longest,
+                           S *record, S *best_factor);
+
+template <>
+int search_dispatch<float>(const float *calc, int shortest, int longest,
+                           float *record, float *best_factor) {
+#ifdef __AVX2__
+    return stretch_search_avx2_f32(calc, shortest, longest, record,
+                                   best_factor);
+#else
+    return stretch_search_lanes<float, 8>(calc, shortest, longest, record,
+                                          best_factor);
+#endif
+}
+
+template <>
+int search_dispatch<double>(const double *calc, int shortest, int longest,
+                            double *record, double *best_factor) {
+    return stretch_search_lanes<double, 8>(calc, shortest, longest, record,
+                                           best_factor);
+}
+
+// ------------------------------------------------- stretch block pipeline
+//
+// The TDHS steady-state block loop (behavioral port of the Python engine
+// engines/stretch.Stretcher._process_block; reference stretch.c:161-326):
+// per block, detect the pitch period (mono mix -> lane search -> fast-mode
+// neighbor refinement), pick the half-step process ratio steered by the
+// running output-count error, and emit the 2:1 / 1:1 / 2:3 / 1:2 transform
+// with linear crossfades.  Per-block Python overhead (~1 ms) dominated the
+// engine once the search was vectorized; this loop runs every block of a
+// buffered region in one call.
+
+template <typename S>
+static void merge_into(const S *in1, const S *in2, long long n, S *out) {
+    // linear crossfade, each product/sum rounded once in source order
+    // (reference merge_blocks, stretch.c:560-566)
+    for (long long i = 0; i < n; ++i) {
+        S p1 = (S)(in1[i] * (S)(n - i));
+        S p2 = (S)(in2[i] * (S)i);
+        out[i] = (S)((S)(p1 + p2) / (S)n);
+    }
+}
+
+template <typename S>
+static long long stretch_run(S *inbuff, long long head, long long *tail_io,
+                             long long longest, long long shortest,
+                             int num_chans, int fast_mode, double ratio,
+                             double *error_io, S *out, S *calc, S *results) {
+    long long tail = *tail_io;
+    double err = *error_io;
+    long long outn = 0;
+    long long min_buffered = longest * (fast_mode ? 3 : 2);
+
+    while (head - tail >= min_buffered && tail >= longest) {
+        long long period;
+        if (ratio != 1.0 || err != 0.0) {
+            // ---- pitch detection on inbuff[tail : tail + 2*longest]
+            const S *src = inbuff + tail;
+            long long decim = fast_mode ? 2 : 1;
+            long long n_mono = 2 * longest / (num_chans * decim);
+            if (!fast_mode) {
+                if (num_chans == 2)
+                    for (long long j = 0; j < n_mono; ++j)
+                        calc[j] = (S)((S)(src[2 * j] + src[2 * j + 1])
+                                      / (S)2.0);
+                else
+                    std::memcpy(calc, src, n_mono * sizeof(S));
+            } else if (num_chans == 2) {
+                for (long long j = 0; j < n_mono; ++j) {
+                    const S *g = src + 4 * j;
+                    S t = (S)((S)(g[0] + g[1]) + g[2]);
+                    calc[j] = (S)((S)(t + g[3]) / (S)2.0);
+                }
+            } else {
+                for (long long j = 0; j < n_mono; ++j)
+                    calc[j] = (S)((S)(src[2 * j] + src[2 * j + 1])
+                                  / (S)2.0);
+            }
+            bool any = false;
+            for (long long j = 0; j < n_mono; ++j)
+                if (calc[j] != (S)0.0) { any = true; break; }
+            if (!any) {
+                period = longest;
+            } else {
+                int sh = (int)(shortest / (num_chans * decim));
+                int lo = (int)(longest / (num_chans * decim));
+                S bf;
+                int bp = search_dispatch<S>(calc, sh, lo,
+                                            fast_mode ? results : nullptr,
+                                            &bf);
+                if (fast_mode) {
+                    // neighbor refinement at factor e asymmetry
+                    // (engine _find_period_fast; reference stretch.c:536-546)
+                    if (bp != sh && bp != lo) {
+                        // side diffs round at data-path precision before
+                        // the double compare (matches the engine's numpy)
+                        S hs = (S)(results[bp] - results[bp + 1]);
+                        S ls = (S)(results[bp] - results[bp - 1]);
+                        if ((double)ls > (double)hs * 2.718281828459045235)
+                            bp = bp * 2 + 1;
+                        else if ((double)hs
+                                 > (double)ls * 2.718281828459045235)
+                            bp = bp * 2 - 1;
+                        else
+                            bp *= 2;
+                    } else {
+                        bp *= 2;
+                    }
+                }
+                period = (long long)bp * num_chans;
+            }
+        } else {
+            period = longest;
+        }
+
+        double process_ratio;
+        if (err == 0.0)
+            process_ratio = std::floor(ratio * 2.0 + 0.5) / 2.0;
+        else if (err > 0.0)
+            process_ratio = std::floor(ratio * 2.0) / 2.0;
+        else
+            process_ratio = std::ceil(ratio * 2.0) / 2.0;
+
+        S *t = inbuff + tail;
+        if (process_ratio == 0.5) {
+            merge_into(t, t + period, period, out + outn);
+            outn += period;
+            err += (double)period - (double)period * 2.0 * ratio;
+            tail += 2 * period;
+        } else if (process_ratio == 1.0) {
+            std::memcpy(out + outn, t, 2 * period * sizeof(S));
+            outn += 2 * period;
+            if (ratio != 1.0)
+                err += (double)period * 2.0 - (double)period * 2.0 * ratio;
+            else
+                err = 0.0;
+            tail += 2 * period;
+        } else if (process_ratio == 1.5) {
+            std::memcpy(out + outn, t, period * sizeof(S));
+            merge_into(t + period, t, period, out + outn + period);
+            std::memcpy(out + outn + 2 * period, t + period,
+                        period * sizeof(S));
+            outn += 3 * period;
+            err += (double)period * 3.0 - (double)period * 2.0 * ratio;
+            tail += 2 * period;
+        } else {  // 2.0
+            merge_into(t, t - period, 2 * period, out + outn);
+            outn += 2 * period;
+            err += (double)period * 2.0 - (double)period * ratio;
+            tail += period;
+            if (fast_mode) {
+                t = inbuff + tail;
+                merge_into(t, t - period, 2 * period, out + outn);
+                outn += 2 * period;
+                err += (double)period * 2.0 - (double)period * ratio;
+                tail += period;
+            }
+        }
+    }
+    *tail_io = tail;
+    *error_io = err;
+    return outn;
+}
+
+extern "C" long long art_stretch_run_f32(
+        float *inbuff, long long head, long long *tail_io,
+        long long longest, long long shortest, int num_chans,
+        int fast_mode, double ratio, double *error_io, float *out,
+        float *calc, float *results) {
+    return stretch_run<float>(inbuff, head, tail_io, longest, shortest,
+                              num_chans, fast_mode, ratio, error_io, out,
+                              calc, results);
+}
+
+extern "C" long long art_stretch_run_f64(
+        double *inbuff, long long head, long long *tail_io,
+        long long longest, long long shortest, int num_chans,
+        int fast_mode, double ratio, double *error_io, double *out,
+        double *calc, double *results) {
+    return stretch_run<double>(inbuff, head, tail_io, longest, shortest,
+                               num_chans, fast_mode, ratio, error_io, out,
+                               calc, results);
+}
+
 extern "C" int art_stretch_search_f32(const float *calc, int shortest,
                                       int longest, float *record,
                                       float *best_factor) {
-    return stretch_search<float>(calc, shortest, longest, record,
-                                 best_factor);
+    return search_dispatch<float>(calc, shortest, longest, record,
+                                  best_factor);
 }
 
 extern "C" int art_stretch_search_f64(const double *calc, int shortest,
                                       int longest, double *record,
                                       double *best_factor) {
-    return stretch_search<double>(calc, shortest, longest, record,
-                                  best_factor);
+    return stretch_search_lanes<double, 8>(calc, shortest, longest, record,
+                                           best_factor);
 }
 
 // --------------------------------------------------------------- biquads

@@ -490,3 +490,42 @@ def test_cli_device_post_filter_stays_on_device(tmp_path):
     cb = np.frombuffer(bd[-44100:], "<i2").astype(np.int32)
     diff2 = np.abs(ca - cb)
     assert diff2.max() <= 12 and diff2.mean() < 2.0
+
+
+@pytest.mark.parametrize("nc,flags,dtype", [
+    (2, 0, np.float32), (1, 0, np.float32),
+    (2, 4, np.float32),                      # STRETCH_FAST_FLAG
+    (2, 0, np.float64),
+    (2, 2, np.float32),                      # STRETCH_DUAL_FLAG (cascade)
+])
+def test_stretch_native_block_loop_matches_python(nc, flags, dtype):
+    """The native TDHS block loop (art_stretch_run) is bit-identical to
+    the Python per-block engine across modes, channel counts, dtypes and
+    ratios (the Python loop is the parity oracle; the CLI byte-identity
+    tests anchor both to the reference build)."""
+    import unittest.mock as um
+
+    from art_tpu import native
+    from art_tpu.engines.stretch import Stretcher
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(17)
+    n = 30000
+    x = (rng.standard_normal(n * nc) * 0.5).astype(dtype)
+    ratio = 0.3 if flags & 2 else 0.8
+
+    a = Stretcher(100, 300, nc, flags, dtype=dtype)
+    out_a = [a.process(x, n, ratio), a.flush()]
+
+    def no_native(self):
+        return None
+
+    with um.patch.object(Stretcher, "_native_runner", no_native):
+        b = Stretcher(100, 300, nc, flags, dtype=dtype)
+        out_b = [b.process(x, n, ratio), b.flush()]
+    for ca, cb in zip(out_a, out_b):
+        assert ca.dtype == cb.dtype and ca.shape == cb.shape
+        assert np.array_equal(ca, cb)
+    assert a.outsamples_error == b.outsamples_error
+    assert a.tail == b.tail and a.head == b.head
