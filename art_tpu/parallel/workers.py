@@ -55,6 +55,12 @@ class Workers:
         self._running: set[int] = set()
         self._next_job = 1
         self._shutdown = False
+        # debug counters (reference workers.c:27-29, 425-427 DEBUG builds):
+        # total enqueues, failed FAIL_ON_NO_WORKER attempts, inline runs,
+        # and jobs observed completing out of enqueue order
+        self.stats = {"enqueues": 0, "failures": 0, "inline_runs": 0,
+                      "out_of_order": 0}
+        self._last_completed = 0
         self._threads = [
             threading.Thread(target=self._worker_loop, daemon=True)
             for _ in range(self.num_workers)]
@@ -76,6 +82,10 @@ class Workers:
             finally:
                 with self._cv:
                     self._running.discard(jobnum)
+                    if self._last_completed and a_before_b(
+                            jobnum, self._last_completed):
+                        self.stats["out_of_order"] += 1
+                    self._last_completed = jobnum
                     self._cv.notify_all()
 
     def _alloc_jobnum(self) -> int:
@@ -97,6 +107,8 @@ class Workers:
         if self.num_workers == 0 or policy == DONT_USE_WORKER_THREAD:
             fn(context, job)
             with self._cv:
+                self.stats["enqueues"] += 1
+                self.stats["inline_runs"] += 1
                 return self._alloc_jobnum()
         inline = None
         with self._cv:
@@ -105,12 +117,16 @@ class Workers:
                     self._cv.wait()
             elif self._busy() >= self.num_workers:
                 if policy == FAIL_ON_NO_WORKER_AVAILABLE:
+                    self.stats["failures"] += 1
                     return 0
                 # USE_WORKER_ONLY_IF_AVAILABLE: run inline, outside the
                 # lock (an in-job enqueue must not deadlock the pool)
                 inline = self._alloc_jobnum()
+                self.stats["enqueues"] += 1
+                self.stats["inline_runs"] += 1
             if inline is None:
                 n = self._alloc_jobnum()
+                self.stats["enqueues"] += 1
                 self._queue.append((n, fn, context, job))
                 self._cv.notify()
                 return n

@@ -448,3 +448,26 @@ def test_hybrid_mesh_cli_reachable(tmp_path):
     for tag in ("mesh8", "mesh42"):
         got = np.frombuffer(outs[tag][-n * 8:], "<f4")
         assert np.abs(ref - got).max() <= 2e-6 * max(1.0, np.abs(ref).max())
+
+
+def test_preset4_bank_taps_sharded_through_shipped_engine():
+    """SURVEY §5 'filter too large for one core's VMEM': the preset-4
+    988-tap bank sharded 2-way on the taps axis through the SHIPPED
+    DeviceStreamResampler (the same class art --backend=device --mesh=4x2
+    constructs) — counts exact, samples at the f32 floor of the
+    single-device engine."""
+    from art_tpu.parallel.sharding import make_mesh
+
+    ctor = (2, 988, 988, 44100, 48000, 0, IBL)
+    e1 = DeviceStreamResampler(*ctor)
+    e2 = DeviceStreamResampler(*ctor, mesh=make_mesh(4, 2))
+    assert e2._qn_pad % 2 == 0
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32) * 0.25)
+    for _ in range(2):
+        o1, K1 = e1.process(x, 2048)
+        o2, K2 = e2.process(x, 2048)
+        assert K1 == K2
+        v1 = np.asarray(o1)[:, :K1]
+        v2 = np.asarray(o2)[:2, :K1]
+        assert np.abs(v1 - v2).max() <= 2e-6 * max(1.0, np.abs(v1).max())

@@ -125,3 +125,36 @@ def test_job_number_ordering_wraps():
     assert w.a_before_b(0xFFFFFFF0, 5)      # across the uint32 wrap
     assert not w.a_before_b(5, 0xFFFFFFF0)
     assert not w.a_before_b(7, 7)
+
+
+def test_debug_counters():
+    """The reference's DEBUG counters (workers.c:27-29, 425-427):
+    enqueues, FAIL_ON_NO_WORKER failures, inline runs, out-of-order
+    completions."""
+    import time
+
+    from art_tpu.parallel import workers as w
+
+    pool = w.Workers(2)
+    done = []
+    pool.enqueue(lambda c, j: done.append(j), None, 1)
+    pool.enqueue(lambda c, j: done.append(j), None, 2,
+                 w.DONT_USE_WORKER_THREAD)
+    pool.wait_all()
+    # saturate, then fail-fast and inline policies
+    ev = [w.threading.Event() for _ in range(2)]
+    for e in ev:
+        pool.enqueue(lambda c, j: j.wait(), None, e)
+    time.sleep(0.02)
+    assert pool.enqueue(lambda c, j: None, None, 0,
+                        w.FAIL_ON_NO_WORKER_AVAILABLE) == 0
+    pool.enqueue(lambda c, j: done.append(j), None, 3,
+                 w.USE_WORKER_ONLY_IF_AVAILABLE)
+    for e in ev:
+        e.set()
+    pool.wait_all()
+    s = pool.stats
+    assert s["enqueues"] == 5 and s["failures"] == 1
+    assert s["inline_runs"] == 2
+    assert s["out_of_order"] >= 0
+    pool.deinit()
