@@ -666,6 +666,242 @@ def asrc_step_hankel(hist, x, bankT, bankT2, scal, ints,
     return new_hist, out
 
 
+# ---------------------------------------------- double-single Hankel (f64)
+#
+# The ART64 analog of the ASRC flagship: f64 audio processed as paired-f32
+# (hi, lo) planes with double-single arithmetic inside the same Hankel
+# structure — Mosaic cannot lower f64, and the XLA f64 gather step measured
+# 0.04 M out/s (emulated-f64 gathers).  Error class: every product carries
+# its exact f32 error (Dekker two_prod) plus the hi*lo cross terms, and
+# both accumulator channels are compensated (two_sum), so the result
+# agrees with the host float64 engine to ~2^-43 relative — far below any
+# audio requirement and the same class as the position machinery.
+
+def _ds_prod(ah, al, bh, bl):
+    """(ah+al)*(bh+bl) as an unnormalized (p, e) pair, al*bl dropped."""
+    p, e = _two_prod(ah, bh)
+    return p, e + (ah * bl + al * bh)
+
+
+def _asrc_hankel_ds_kernel(carry_ref, fir_ref, frh_ref, frl_ref, bufh_ref,
+                           bufl_ref, tb_ref, rel_ref, bTh_ref, bTl_ref,
+                           bT2h_ref, bT2l_ref, outh_ref, outl_ref, *,
+                           tp: int, smax: int, segl: int, kb: int):
+    t = pl.program_id(0)
+    r8 = 8 * kb
+    nc = bTh_ref.shape[1] // 128
+    tpx = -(-(tp + smax) // 8) * 8
+
+    # ---- filter side: phase gathers on all four planes
+    fi = fir_ref[0, 0, :, :]
+    c = jax.lax.shift_right_logical(fi, 7)
+    planes = {k: [] for k in range(4)}
+    refs = (bTh_ref, bTl_ref, bT2h_ref, bT2l_ref)
+    for h in range(r8 // 128):
+        sl = slice(128 * h, 128 * (h + 1))
+        idx_h = jnp.broadcast_to(jnp.bitwise_and(fi[:, sl], 127),
+                                 (tp, 128))
+        sel = [jnp.broadcast_to(c[:, sl] == u, (tp, 128))
+               for u in range(nc - 1)]
+        for k, ref in enumerate(refs):
+            p = [jnp.take_along_axis(ref[:, 128 * u:128 * (u + 1)], idx_h,
+                                     axis=1, mode="promise_in_bounds")
+                 for u in range(nc)]
+            o = p[nc - 1]
+            for u in range(nc - 2, -1, -1):
+                o = jnp.where(sel[u], p[u], o)
+            planes[k].append(o)
+    f1h, f1l, f2h, f2l = (
+        planes[k][0] if len(planes[k]) == 1
+        else jnp.concatenate(planes[k], axis=1) for k in range(4))
+
+    # lerp w = f1 + fr*(f2 - f1) in double-single
+    frh = frh_ref[0, 0, :, :]
+    frl = frl_ref[0, 0, :, :]
+    dh, de = _two_sum(f2h, -f1h)
+    dl = de + (f2l - f1l)
+    mh, me = _ds_prod(dh, dl, frh, frl)
+    wh, we = _two_sum(f1h, mh)
+    wl = we + (f1l + me)
+
+    # ---- carry: both planes shift together
+    zpad = jnp.zeros((tpx - tp, r8), dtype=wh.dtype)
+    wh = jnp.concatenate([wh, zpad], axis=0)
+    wl = jnp.concatenate([wl, zpad], axis=0)
+    carry = carry_ref[0, 0, :, :]
+    w2h, w2l = wh, wl
+    for cc in range(1, smax + 1):
+        m = jnp.broadcast_to(carry == cc, (tpx, r8))
+        w2h = jnp.where(m, pltpu.roll(wh, cc, 0), w2h)
+        w2l = jnp.where(m, pltpu.roll(wl, cc, 0), w2l)
+
+    # ---- window Hankel bands on both planes + compensated dot
+    acc_h_cols, acc_l_cols = [], []
+    for j in range(8):
+        start = pl.multiple_of(tb_ref[j, t], 128)
+        segh = bufh_ref[pl.ds(j, 1), pl.ds(start, segl)]
+        segl_ = bufl_ref[pl.ds(j, 1), pl.ds(start, segl)]
+        Ch = jnp.concatenate(
+            [segh] + [pltpu.roll(segh, segl - s, 1) for s in range(1, 8)],
+            axis=0)
+        Cl = jnp.concatenate(
+            [segl_] + [pltpu.roll(segl_, segl - s, 1) for s in range(1, 8)],
+            axis=0)
+        sh = jnp.int32(segl) - rel_ref[j, t]
+        C2h = pltpu.roll(Ch, sh, 1)
+        C2l = pltpu.roll(Cl, sh, 1)
+        ah = al = None
+        for a in range(tpx // 8):
+            bh = (C2h if a == 0 else pltpu.roll(C2h, segl - 8 * a, 1))[:, :kb]
+            bl = (C2l if a == 0 else pltpu.roll(C2l, segl - 8 * a, 1))[:, :kb]
+            wbh = w2h[8 * a:8 * (a + 1), kb * j:kb * (j + 1)]
+            wbl = w2l[8 * a:8 * (a + 1), kb * j:kb * (j + 1)]
+            ph, pe = _ds_prod(bh, bl, wbh, wbl)
+            if ah is None:
+                ah, al = ph, pe
+            else:
+                s_, e1 = _two_sum(ah, ph)
+                t_, _e2 = _two_sum(al, pe + e1)
+                ah, al = s_, t_
+        # 8-row tree reduction, both channels compensated
+        while ah.shape[0] > 1:
+            half = ah.shape[0] // 2
+            s_, e1 = _two_sum(ah[:half], ah[half:])
+            t_, _e2 = _two_sum(al[:half], al[half:] + e1)
+            ah, al = s_, t_
+        acc_h_cols.append(ah)
+        acc_l_cols.append(al)
+    outh_ref[0, 0, :, :] = jnp.concatenate(acc_h_cols, axis=1)
+    outl_ref[0, 0, :, :] = jnp.concatenate(acc_l_cols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_taps", "num_filters", "k_max", "kp", "hist_len", "tp", "segl",
+    "kb", "smax", "interpret"))
+def asrc_step_hankel_ds(hist, x, bTh, bTl, bT2h, bT2l, scal, ints,
+                        num_taps: int, num_filters: int, k_max: int,
+                        kp: int, hist_len: int, tp: int, segl: int,
+                        kb: int = 128, smax: int = 4,
+                        interpret: bool = False):
+    """One fused f64 batched-ASRC chunk on the double-single Hankel kernel.
+    hist/x float64; bank tables pre-split into f32 planes
+    (dense_bank_tables_ds).  Same contract as asrc_step_hankel; output
+    float64 (hi+lo), ~2^-43 relative of the host f64 engine."""
+    S = x.shape[0]
+    off_hi, off_lo, y_hi, y_lo = scal[0], scal[1], scal[2], scal[3]
+    Ks, shift = ints[0], ints[1][:, None]
+    half = num_taps // 2
+    buf = jnp.concatenate([hist, x], axis=1)
+    blen = buf.shape[1]
+    pad = (-(-(blen + segl + 128) // 128) * 128) - blen
+    bufp = jnp.concatenate([buf, jnp.zeros((S, pad), dtype=buf.dtype)],
+                           axis=1)
+    bufh = bufp.astype(jnp.float32)
+    bufl = (bufp - bufh.astype(jnp.float64)).astype(jnp.float32)
+
+    f32 = jnp.float32
+    k = jnp.arange(kp, dtype=f32)[None, :]
+    qh, qe = _two_prod(k, y_hi[:, None].astype(f32))
+    qh, ql = _two_sum(qh, qe + k * y_lo[:, None].astype(f32))
+    ph, pe = _two_sum(off_hi[:, None].astype(f32), qh)
+    ph, plo = _two_sum(ph, pe + (off_lo[:, None].astype(f32) + ql))
+    ip = jnp.floor(ph)
+    r0, r1 = _two_sum(ph - ip, plo)
+    neg = (r0 < 0).astype(f32)
+    ovf = (r0 >= 1).astype(f32)
+    ip = ip - neg + ovf
+    # the +-1 wrap must preserve the pair's low bits: a plain r0 +- 1
+    # rounds at ulp(1) ~ 6e-8 and silently drops that error — below the
+    # f32 kernels' floor but the dominant term at double-single accuracy
+    r0, rw = _two_sum(r0, neg - ovf)
+    r1 = r1 + rw
+    Ff = f32(num_filters)
+    fh, fe = _two_prod(r0, Ff)
+    fh, fl_ = _two_sum(fh, fe + r1 * Ff)
+    fif = jnp.floor(fh)
+    th, tl = _two_sum(fh - fif, fl_)
+    tneg = (th < 0).astype(f32)
+    tovf = (th >= 1).astype(f32)
+    fif = fif - tneg + tovf
+    th, tw = _two_sum(th, tneg - tovf)
+    tl = tl + tw
+    fi = jnp.clip(fif.astype(jnp.int32), 0, num_filters - 1)
+    pin_hi = fif.astype(jnp.int32) > fi
+    pin_lo = fif.astype(jnp.int32) < fi
+    th = jnp.where(pin_hi, f32(1.0), jnp.where(pin_lo, f32(0.0), th))
+    tl = jnp.where(pin_hi | pin_lo, f32(0.0), tl)
+    base = ip.astype(jnp.int32) - half + 1 + shift
+
+    nt = kp // kb
+    kmask = (jnp.arange(kp, dtype=jnp.int32) < k_max)[None, :]
+    hib = blen + pad - segl
+    base = jnp.clip(base, 0, hib)
+    fi = jnp.where(kmask, fi, 0)
+    th = jnp.where(kmask, th, f32(0.0))
+    tl = jnp.where(kmask, tl, f32(0.0))
+
+    klocal = jnp.tile(jnp.arange(kb, dtype=jnp.int32), nt)[None, :]
+    d = jnp.clip(base - klocal, 0, hib)
+    dbig = jnp.where(kmask, d, jnp.int32(2**30)).reshape(S, nt, kb)
+    c0 = jnp.clip(jnp.min(dbig, axis=2), 0, hib)
+    tb = jnp.clip(c0 - (c0 % 128), 0, hib)
+    rel = c0 - tb
+    carry = jnp.clip(d.reshape(S, nt, kb) - c0[:, :, None], 0, smax)
+
+    r8 = 8 * kb
+    def b4(v):
+        return v.reshape(S // 8, 8, nt, kb).transpose(2, 0, 1, 3) \
+            .reshape(nt, S // 8, 1, r8)
+    carry_b, fi_b, frh_b, frl_b = b4(carry.reshape(S, kp)), b4(fi), \
+        b4(th), b4(tl)
+
+    blk4 = lambda t, s: (t, s, 0, 0)
+    vspec = pl.BlockSpec((1, 1, 1, r8), blk4, memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((8, bufh.shape[1]), lambda t, s: (s, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((8, nt), lambda t, s: (s, 0),
+                         memory_space=pltpu.SMEM)
+    tspec = pl.BlockSpec(bTh.shape, lambda t, s: (0, 0),
+                         memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        outh4, outl4 = pl.pallas_call(
+            functools.partial(_asrc_hankel_ds_kernel, tp=tp, smax=smax,
+                              segl=segl, kb=kb),
+            grid=(nt, S // 8),
+            in_specs=[vspec, vspec, vspec, vspec, bspec, bspec, sspec,
+                      sspec, tspec, tspec, tspec, tspec],
+            out_specs=(vspec, vspec),
+            out_shape=(jax.ShapeDtypeStruct((nt, S // 8, 1, r8),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((nt, S // 8, 1, r8),
+                                            jnp.float32)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=interpret,
+        )(carry_b, fi_b, frh_b, frl_b, bufh, bufl, tb.astype(jnp.int32),
+          rel.astype(jnp.int32), bTh, bTl, bT2h, bT2l)
+
+    def unb4(v):
+        return v.reshape(nt, S // 8, 8, kb).transpose(1, 2, 0, 3) \
+            .reshape(S, kp)[:, :k_max]
+    out = unb4(outh4).astype(jnp.float64) + unb4(outl4).astype(jnp.float64)
+    valid = (jnp.arange(k_max, dtype=jnp.int32)[None, :] < Ks[:, None])
+    out = out * valid.astype(out.dtype)
+    new_hist = buf[:, blen - hist_len:]
+    return new_hist, out
+
+
+def dense_bank_tables_ds(bank64: np.ndarray):
+    """Split a float64 phase bank into the four f32 plane tables the
+    double-single Hankel kernel gathers from: (bTh, bTl, bT2h, bT2l)."""
+    bt, bt2 = dense_bank_tables(np.asarray(bank64, np.float64))
+    bth = bt.astype(np.float32)
+    btl = (bt - bth.astype(np.float64)).astype(np.float32)
+    bt2h = bt2.astype(np.float32)
+    bt2l = (bt2 - bt2h.astype(np.float64)).astype(np.float32)
+    return bth, btl, bt2h, bt2l
+
+
 def hankel_segl(tp: int, kb: int, smax: int) -> int:
     """Segment length the Hankel kernel loads per (stream, tile): covers
     rel (<128) + window spread (kb-1) + carry (smax) + taps (tp) + the

@@ -167,9 +167,20 @@ class BatchedASRC:
         if kernel == "pallas":
             from ..ops.pallas_kernels import pad_bank_for_pallas
             self._bank_pallas = jnp.asarray(pad_bank_for_pallas(self.bank))
+        self._bank_ds = None
         if kernel in ("auto", "dense", "hankel"):
-            from ..ops.pallas_kernels import dense_bank_tables, hankel_segl
-            bt, bt2 = dense_bank_tables(self.bank)
+            from ..ops.pallas_kernels import (dense_bank_tables,
+                                              dense_bank_tables_ds,
+                                              hankel_segl)
+            if self.dtype == np.float64:
+                # f64 flagship path: double-single (paired-f32) Hankel
+                # kernel; tables split into hi/lo planes
+                self._bank_ds = tuple(
+                    jnp.asarray(t) for t in dense_bank_tables_ds(self.bank))
+                bt = np.asarray(self._bank_ds[0])
+                bt2 = bt
+            else:
+                bt, bt2 = dense_bank_tables(self.bank)
             self._bank_dense = (jnp.asarray(bt), jnp.asarray(bt2))
             self._tp = bt.shape[0]
             if dense_kb & (dense_kb - 1) or dense_kb < 128:
@@ -356,15 +367,37 @@ class BatchedASRC:
         geometry_ok = (pallas_family
                        and (self.S // n_shards) % 8 == 0
                        and self.S % n_shards == 0
-                       and self.dtype == np.float32)
+                       and self.dtype in (np.float32, np.float64))
         # the Hankel kernel covers the ASRC home regime (ratios near 1.0);
         # its staircase bound is |1/ratio - 1| <= smax / (kb - 1)
         qdev = float(np.abs(1.0 / ratios - 1.0).max())
-        use_hankel = (geometry_ok and self.kernel in ("auto", "hankel")
-                      and math.ceil(qdev * (self._hkb - 1)) <= self._hsmax)
-        use_dense = (geometry_ok and not use_hankel
+        hankel_fits = (geometry_ok and self.kernel in ("auto", "hankel")
+                       and math.ceil(qdev * (self._hkb - 1)) <= self._hsmax)
+        use_hankel_ds = (hankel_fits and self.dtype == np.float64
+                         and self.sharding is None)
+        use_hankel = hankel_fits and self.dtype == np.float32
+        use_dense = (geometry_ok and self.dtype == np.float32
+                     and not use_hankel
                      and self.kernel in ("auto", "dense")
                      and float(ratios.min()) >= 1.0 / self._step_max)
+        if use_hankel_ds:
+            from ..ops.pallas_kernels import (asrc_step_hankel_ds,
+                                              pack_step_scalars,
+                                              split_f64_pairs)
+            kp = -(-k_max // self._hkb) * self._hkb
+            interpret = jax.default_backend() != "tpu"
+            oh, ol = split_f64_pairs(self.offsets)
+            yh, yl = split_f64_pairs(1.0 / ratios)
+            scal, ints = pack_step_scalars(
+                oh, ol, yh, yl, Ks, self.num_samples - self.input_index)
+            new_hist, out = asrc_step_hankel_ds(
+                self.hist, x, *self._bank_ds, jnp.asarray(scal),
+                jnp.asarray(ints), self.num_taps, self.num_filters, k_max,
+                kp, self.num_samples, self._tp, self._hsegl, self._hkb,
+                self._hsmax, interpret)
+            if req_k_max is not None and req_k_max != k_max:
+                out = out[:, :req_k_max]
+            return new_hist, out
         if use_hankel or use_dense:
             from ..ops.pallas_kernels import (asrc_step_dense,
                                               asrc_step_hankel,

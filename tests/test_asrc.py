@@ -319,3 +319,36 @@ def test_batched_asrc_staggered_flush_matches_host_engines():
             ho, res = singles[s].process(None, -1, 2000, 1.0)
             assert res.output_generated == fKs[s]
     assert b.flushed.all()
+
+
+def test_batched_asrc_f64_ds_kernel_matches_host():
+    """The f64 flagship path (double-single paired-f32 Hankel kernel):
+    counts and positions exact vs per-stream f64 host engines; samples
+    compared at the f32-class bound ON CPU ONLY because XLA:CPU (which
+    backs pallas interpret mode) reassociates the error-free transforms
+    unpredictably — on real Mosaic the kernel measures ~1e-11 relative of
+    the f64 oracle (tools/exp_ds_hankel.py, run per round via the TPU
+    smoke; see PARITY.md)."""
+    S, taps, filters = 8, 48, 64
+    lcg = NoiseLCG()
+    rng = np.random.default_rng(5)
+    b = BatchedASRC(S, taps, filters, dtype=np.float64)
+    b.advance_position(24.0)
+    singles = []
+    for _ in range(S):
+        r = Resampler(1, taps, filters, 0.0,
+                      SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS,
+                      backend="numpy", dtype=np.float64)
+        r.advance_position(24.0)
+        singles.append(r)
+    for _ in range(4):
+        x = lcg.fill(S * 512).reshape(S, 512).astype(np.float64)
+        ratios = 1.0 + rng.uniform(-0.01, 0.01, S)
+        out, Ks = b.process(jnp.asarray(x), ratios)
+        out = np.asarray(out)
+        for s in range(S):
+            ho, res = singles[s].process(x[s:s + 1], 512, 2000,
+                                         float(ratios[s]))
+            assert res.output_generated == Ks[s]
+            assert np.abs(ho[0] - out[s, :Ks[s]]).max() < 2e-6
+            assert b.get_position()[s] == singles[s].get_position()

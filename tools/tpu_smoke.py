@@ -145,7 +145,56 @@ def smoke_polyphase():
     return {"maxdiff": md}
 
 
+def smoke_hankel_ds():
+    # f64 flagship path: double-single paired-f32 planes.  MUST run on
+    # real Mosaic: XLA:CPU (pallas interpret) reassociates the error-free
+    # transforms unpredictably; the hardware lowering keeps them exact.
+    from art_tpu.core.filters import make_filter_bank
+    from art_tpu.ops.pallas_kernels import (asrc_step_hankel_ds,
+                                            dense_bank_tables_ds,
+                                            hankel_segl)
+    from art_tpu.parallel.asrc import _asrc_step
+    if jax.default_backend() != "tpu":
+        return {"skipped": "needs real Mosaic"}
+    taps, F, S, n = 380, 380, 64, 1024
+    hist_len = taps * 16
+    half = taps // 2
+    rng = np.random.default_rng(3)
+    bank = make_filter_bank(taps, F, 1.0, True, np.float64)
+    tabs = [jnp.asarray(t) for t in dense_bank_tables_ds(bank)]
+    tp = tabs[0].shape[0]
+    kb, smax = 128, 4
+    segl = hankel_segl(tp, kb, smax)
+    hist = jnp.asarray(rng.standard_normal((S, hist_len)))
+    x = jnp.asarray(rng.standard_normal((S, n)))
+    ratios = 1.0 + 0.01 * np.sin(np.arange(S) * 0.3)
+    offsets = np.full(S, float(half)) + rng.random(S)
+    k_max = -(-(int(np.ceil((n + 2) * ratios.max())) + 2) // kb) * kb
+    bound = float(taps + n - half)
+    ks = np.arange(k_max, dtype=np.float64)
+    Ks = ((offsets[:, None] + ks[None, :] / ratios[:, None])
+          < bound).sum(axis=1).astype(np.int32)
+    from art_tpu.ops.pallas_kernels import pack_step_scalars
+    oh2, ol2 = split_f64_pairs(offsets)
+    yh2, yl2 = split_f64_pairs(1.0 / ratios)
+    scal, ints = pack_step_scalars(oh2, ol2, yh2, yl2, Ks, hist_len - taps)
+    _, out = asrc_step_hankel_ds(hist, x, *tabs, jnp.asarray(scal),
+                                 jnp.asarray(ints), taps, F, k_max, k_max,
+                                 hist_len, tp, segl, kb, smax, False)
+    _, oref = _asrc_step(hist[:8], x[:8], jnp.asarray(bank),
+                         jnp.asarray(offsets[:8]), jnp.asarray(ratios[:8]),
+                         jnp.asarray(Ks[:8]), jnp.int32(hist_len - taps),
+                         taps, F, k_max, hist_len)
+    md = float(np.abs(np.asarray(oref) - np.asarray(out)[:8]).max())
+    sc = float(np.abs(np.asarray(oref)).max())
+    assert md <= 1e-9 * sc, (md, sc)
+    return {"maxdiff_rel": md / sc}
+
+
+from art_tpu.ops.pallas_kernels import split_f64_pairs  # noqa: E402
+
 record("asrc_step_hankel", smoke_hankel)
+record("asrc_step_hankel_ds_f64", smoke_hankel_ds)
 record("asrc_step_dense", smoke_dense)
 record("asrc_v1_kernel", smoke_v1)
 record("polyphase", smoke_polyphase)
