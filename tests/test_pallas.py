@@ -222,3 +222,47 @@ def test_asrc_dense_fuzz_configs(taps, filters):
             assert res.output_generated == Ks[s], (taps, filters)
             md = max(md, float(np.abs(ho[0] - out[s, :Ks[s]]).max()))
     assert md < 2e-6, (taps, filters, md)
+
+
+@pytest.mark.parametrize("taps,filters", [
+    (48, 64), (128, 380), (380, 380), (256, 129), (1024, 128),
+])
+def test_asrc_hankel_fuzz_configs(taps, filters):
+    """Hankel kernel vs per-stream hosts across bank geometries, with
+    ratios pushed to the staircase bound (|1/r - 1| <= smax/(kb-1)) and
+    the fi clamp edges exercised."""
+    from art_tpu.core.flags import BLACKMAN_HARRIS, SUBSAMPLE_INTERPOLATE
+    from art_tpu.engines.resampler import Resampler
+    from art_tpu.parallel.asrc import BatchedASRC
+    from art_tpu.utils.testsig import NoiseLCG
+
+    S = 8
+    lcg = NoiseLCG()
+    rng = np.random.default_rng(taps * 7 + filters)
+    b = BatchedASRC(S, taps, filters, kernel="hankel")
+    b.advance_position(taps // 2)
+    bound = b._hsmax / (b._hkb - 1)
+    singles = []
+    for _ in range(S):
+        r = Resampler(1, taps, filters, 0.0,
+                      SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS,
+                      backend="numpy")
+        r.advance_position(taps // 2)
+        singles.append(r)
+    md = 0.0
+    for it in range(3):
+        x = lcg.fill(S * 300).reshape(S, 300)
+        if it == 0:
+            # exactly at the staircase bound on both sides
+            q = 1.0 + bound * np.where(np.arange(S) % 2 == 0, 1.0, -1.0)
+            ratios = 1.0 / q
+        else:
+            ratios = 1.0 + rng.uniform(-0.8 * bound, 0.8 * bound, S)
+        out, Ks = b.process(jnp.asarray(x), ratios)
+        out = np.asarray(out)
+        for s in range(S):
+            ho, res = singles[s].process(x[s:s + 1], 300, 1200,
+                                         float(ratios[s]))
+            assert res.output_generated == Ks[s], (taps, filters)
+            md = max(md, float(np.abs(ho[0] - out[s, :Ks[s]]).max()))
+    assert md < 2e-6, (taps, filters, md)
