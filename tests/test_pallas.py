@@ -264,5 +264,6 @@ def test_asrc_hankel_fuzz_configs(taps, filters):
             ho, res = singles[s].process(x[s:s + 1], 300, 1200,
                                          float(ratios[s]))
             assert res.output_generated == Ks[s], (taps, filters)
-            md = max(md, float(np.abs(ho[0] - out[s, :Ks[s]]).max()))
+            if Ks[s]:       # 1024-tap banks emit nothing on early chunks
+                md = max(md, float(np.abs(ho[0] - out[s, :Ks[s]]).max()))
     assert md < 2e-6, (taps, filters, md)
