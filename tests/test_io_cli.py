@@ -529,3 +529,46 @@ def test_stretch_native_block_loop_matches_python(nc, flags, dtype):
         assert np.array_equal(ca, cb)
     assert a.outsamples_error == b.outsamples_error
     assert a.tail == b.tail and a.head == b.head
+
+
+def test_cli_device_mesh_postfilter_iooverlap_compose(tmp_path):
+    """All round-3 CLI features in ONE conversion: --backend=device
+    --mesh=4x2 (streams x taps sharding) + -p (device biquad cascade) +
+    -m (IO-overlap pools) + unshaped 16-bit device decimate.  Counts and
+    warnings match the plain numpy backend; codes at the documented
+    device floor."""
+    import io as _io
+    from contextlib import redirect_stderr
+
+    import numpy as np
+
+    from art_tpu.cli import art
+    from art_tpu.io import wavfile
+
+    rng = np.random.default_rng(23)
+    n = 30000
+    x = (rng.standard_normal((n, 2)) * 0.4).astype(np.float32)
+    src = tmp_path / "in.wav"
+    with open(src, "wb") as f:
+        wavfile.write_wav_header(f, bits=32, num_channels=2, num_frames=n,
+                                 sample_rate=44100, channel_mask=0x3)
+        f.write(x.astype("<f4").tobytes())
+
+    def convert(args, tag):
+        dst = tmp_path / f"out_{tag}.wav"
+        buf = _io.StringIO()
+        with redirect_stderr(buf):
+            rc = art.main(["-q", "-y", *args, str(src), str(dst)])
+        assert not rc
+        return dst.read_bytes(), buf.getvalue()
+
+    base_args = ["-r48k", "-o16", "-n0", "-p"]
+    an, wn = convert(["--backend=numpy", *base_args], "numpy")
+    ad, wd = convert(["--backend=device", "--mesh=4x2", "-m", *base_args],
+                     "devmesh")
+    assert len(an) == len(ad)
+    assert wn == wd
+    da = np.frombuffer(an[-40000:], "<i2").astype(np.int32)
+    db = np.frombuffer(ad[-40000:], "<i2").astype(np.int32)
+    diff = np.abs(da - db)
+    assert diff.max() <= 12 and diff.mean() < 2.0
