@@ -471,3 +471,45 @@ def test_preset4_bank_taps_sharded_through_shipped_engine():
         v1 = np.asarray(o1)[:, :K1]
         v2 = np.asarray(o2)[:2, :K1]
         assert np.abs(v1 - v2).max() <= 2e-6 * max(1.0, np.abs(v1).max())
+
+
+def test_sharded_hot_path_has_no_data_collectives():
+    """The communication-avoidance design claim, pinned on the compiled
+    HLO: streams-axis sharding of the shipped engine moves NO tensor data
+    between devices (streams are independent; the only collectives are
+    the scalar stats psums), and taps-axis sharding adds exactly the one
+    partial-dot reduction.  No all-gather / all-to-all / collective-
+    permute may ever appear in the hot path."""
+    import re
+
+    from art_tpu.parallel.sharding import make_mesh
+
+    def hlo_for(meshspec):
+        eng = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IBL,
+                                    mesh=make_mesh(*meshspec))
+        nb = 29          # steady-state block count for a 4096-frame chunk
+        step = eng._sharded_step(nb)
+        args = (eng.hist,
+                jnp.zeros((eng._rows, 4096), jnp.float32),
+                eng._matrix(0), jnp.int32(0), jnp.int32(nb * eng.L),
+                jnp.zeros((), jnp.float32))
+        return step.lower(*args).compile().as_text()
+
+    for meshspec in [(8, 1), (4, 2)]:
+        txt = hlo_for(meshspec)
+        assert "all-gather" not in txt, meshspec
+        assert "all-to-all" not in txt, meshspec
+        assert "collective-permute" not in txt, meshspec
+        # all-reduces: scalar stats psum(s) always; the taps-parallel
+        # contraction adds reductions over [S_local, nb, L] tiles.  Bound
+        # the count and, for streams-only sharding, require every
+        # all-reduce operand to be scalar-shaped (f32[] — no tensor data
+        # crosses devices)
+        ars = [l for l in txt.splitlines() if "all-reduce(" in l]
+        assert len(ars) <= (2 if meshspec[1] == 1 else 6), (meshspec, ars)
+        if meshspec[1] == 1:
+            for line in ars:
+                # scalar operand, or singleton replica groups (= the
+                # partitioner proved no cross-device movement at all)
+                assert re.search(r"f32\[\]", line) \
+                    or "{{0},{1}" in line.replace(" ", ""), (meshspec, line)
