@@ -16,9 +16,12 @@ device step:
     plain float64 on the xla/pallas paths — decomposed into window base +
     phase index + interpolation fraction,
   - the two-phase-interpolated windowed dot runs batched over
-    [streams, outputs]: by default the full-density gather-select pallas
-    kernel (ops/pallas_kernels.asrc_step_dense), with transparent fallback
-    to the XLA gather step for configurations outside its tile geometry.
+    [streams, outputs] on the fastest applicable formulation (kernel
+    "auto"): the Hankel pallas kernel for near-1 ratios (the ASRC home
+    regime; ops/pallas_kernels.asrc_step_hankel, double-single f32 planes
+    for float64 audio), the full-density gather-select dense kernel for
+    general ratios (asrc_step_dense), and the XLA gather step for
+    configurations outside both tile geometries.
 
 All streams consume the same chunk length per call, so the history write
 index is shared; only the fractional offsets differ per stream.
