@@ -376,8 +376,7 @@ class BatchedASRC:
         qdev = float(np.abs(1.0 / ratios - 1.0).max())
         hankel_fits = (geometry_ok and self.kernel in ("auto", "hankel")
                        and math.ceil(qdev * (self._hkb - 1)) <= self._hsmax)
-        use_hankel_ds = (hankel_fits and self.dtype == np.float64
-                         and self.sharding is None)
+        use_hankel_ds = hankel_fits and self.dtype == np.float64
         use_hankel = hankel_fits and self.dtype == np.float32
         use_dense = (geometry_ok and self.dtype == np.float32
                      and not use_hankel
@@ -393,11 +392,15 @@ class BatchedASRC:
             yh, yl = split_f64_pairs(1.0 / ratios)
             scal, ints = pack_step_scalars(
                 oh, ol, yh, yl, Ks, self.num_samples - self.input_index)
-            new_hist, out = asrc_step_hankel_ds(
-                self.hist, x, *self._bank_ds, jnp.asarray(scal),
-                jnp.asarray(ints), self.num_taps, self.num_filters, k_max,
-                kp, self.num_samples, self._tp, self._hsegl, self._hkb,
-                self._hsmax, interpret)
+            args = (self.hist, x, *self._bank_ds, jnp.asarray(scal),
+                    jnp.asarray(ints))
+            if self.sharding is None:
+                new_hist, out = asrc_step_hankel_ds(
+                    *args, self.num_taps, self.num_filters, k_max, kp,
+                    self.num_samples, self._tp, self._hsegl, self._hkb,
+                    self._hsmax, interpret)
+            else:
+                new_hist, out = self._ds_sharded(k_max, kp, interpret)(*args)
             if req_k_max is not None and req_k_max != k_max:
                 out = out[:, :req_k_max]
             return new_hist, out
@@ -450,6 +453,35 @@ class BatchedASRC:
             if req_k_max is not None and req_k_max != k_max:
                 out = out[:, :req_k_max]
         return new_hist, out
+
+    def _ds_sharded(self, k_max: int, kp: int, interpret: bool):
+        """shard_map-wrapped double-single (f64) Hankel step: one kernel
+        instance per device on its local stream block; the four bank plane
+        tables replicate."""
+        key = (k_max, kp, interpret, "ds")
+        fn = self._dense_sharded_cache.get(key)
+        if fn is None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..ops.pallas_kernels import asrc_step_hankel_ds
+
+            def local(hist, x, bth, btl, bt2h, bt2l, scal, ints):
+                return asrc_step_hankel_ds(
+                    hist, x, bth, btl, bt2h, bt2l, scal, ints,
+                    self.num_taps, self.num_filters, k_max, kp,
+                    self.num_samples, self._tp, self._hsegl, self._hkb,
+                    self._hsmax, interpret)
+
+            st = P("streams", None)
+            rep = P(None, None)
+            fn = jax.jit(shard_map(
+                local, mesh=self.sharding.mesh,
+                in_specs=(st, st, rep, rep, rep, rep, P(None, "streams"),
+                          P(None, "streams")),
+                out_specs=(st, st), check_rep=False))
+            self._dense_sharded_cache[key] = fn
+        return fn
 
     def _dense_sharded(self, k_max: int, kp: int, interpret: bool,
                        hankel: bool = False):

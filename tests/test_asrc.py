@@ -352,3 +352,27 @@ def test_batched_asrc_f64_ds_kernel_matches_host():
             assert res.output_generated == Ks[s]
             assert np.abs(ho[0] - out[s, :Ks[s]]).max() < 2e-6
             assert b.get_position()[s] == singles[s].get_position()
+
+
+def test_batched_asrc_f64_ds_sharded_matches_single_device():
+    """The f64 double-single Hankel step under shard_map (one kernel
+    instance per device on its local stream block): identical results to
+    the single-device f64 engine over the virtual 8-device mesh."""
+    from art_tpu.parallel.sharding import make_mesh
+    mesh = make_mesh(8, 1)
+    lcg = NoiseLCG()
+    rng = np.random.default_rng(12)
+    S = 64
+    a = BatchedASRC(S, 48, 64, dtype=np.float64, mesh=mesh)
+    b = BatchedASRC(S, 48, 64, dtype=np.float64)
+    a.advance_position(24.0)
+    b.advance_position(24.0)
+    for _ in range(3):
+        x = lcg.fill(S * 512).reshape(S, 512).astype(np.float64)
+        ratios = 1.0 + rng.uniform(-0.01, 0.01, S)
+        oa, Ka = a.process(jnp.asarray(x), ratios)
+        ob, Kb = b.process(jnp.asarray(x), ratios)
+        assert np.array_equal(Ka, Kb)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
+                                   atol=2e-6)
+    assert len(a.hist.sharding.device_set) == 8
