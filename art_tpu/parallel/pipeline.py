@@ -36,38 +36,68 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops import decimate_device as dd
 
 
+def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
+                        qn_local: int, q0):
+    """Residue-split block-Toeplitz contraction.
+
+    Output block i needs window elements [i*M, i*M + qn_pad*M) of the
+    padded window buffer; splitting blocks by residue r = i mod qn_pad
+    makes each residue class's windows a CONTIGUOUS stride-(qn_pad*M)
+    view — a pure reshape of a static slice, no gather and no operand
+    blowup.  The contraction then runs as qn_pad dots of K = qn_pad*M
+    over nb_rs/qn_pad rows instead of qn_pad dots of K = M over nb_rs
+    rows: identical FLOPs and element reads, but the MXU's K granularity
+    (cost steps at ceil(K/256)) is amortized — measured 1.11-1.25x on
+    the bench presets (tools/exp_residue_split.py).
+
+    ``win``: [S, (nb_rs + qn_pad) * M] padded window buffer; ``nb_rs``
+    must be a multiple of qn_pad.  Each taps-rank contracts rows
+    [q0*M, (q0+qn_local)*M) of the full [qn_pad*M, L2] phase matrix
+    (``P_local``); the caller psums over the taps axis to complete the
+    dot.  Returns [S, nb_rs, L2] (partial sums when qn_local < qn_pad).
+    """
+    S = win.shape[0]
+    nr = nb_rs // qn_pad
+    KQ = qn_pad * M
+    outs = []
+    for r in range(qn_pad):
+        Vr = jax.lax.slice(win, (0, r * M), (S, r * M + nr * KQ)) \
+            .reshape(S, nr, KQ)
+        if qn_local != qn_pad:
+            Vr = jax.lax.dynamic_slice_in_dim(Vr, q0 * M, qn_local * M,
+                                              axis=2)
+        outs.append(jax.lax.dot_general(
+            Vr, P_local, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=win.dtype,
+            precision=jax.lax.Precision.HIGHEST))
+    # [S, nr, qn_pad, L2] -> [S, nb_rs, L2]; i = j*qn_pad + r, pure reshape
+    return jnp.stack(outs, axis=2).reshape(S, nb_rs, -1)
+
+
 def _resample_block(x, hist, P_local, start, K, *, M: int, L: int, nb: int,
                     qn_pad: int, qn_local: int, hist_len: int, q0,
                     taps_axis: str | None):
     """Block-Toeplitz resample chunk over a local range of shift blocks.
 
     Each taps-rank holds shift blocks [q0, q0 + qn_local) of the padded
-    [qn_pad * M, L] phase matrix and contracts them against its shifted
-    window views; the psum over ``taps_axis`` completes the dot (the
-    single-device caller passes taps_axis=None, q0=0, qn_local=qn_pad).
+    [qn_pad * M, L] phase matrix; the residue-split contraction
+    (residue_window_dots) computes its partial dots and the psum over
+    ``taps_axis`` completes them (the single-device caller passes
+    taps_axis=None, q0=0, qn_local=qn_pad).
     Returns (out [S, nb*L] masked beyond K, new_hist)."""
     S = x.shape[0]
-    nbq = nb + qn_pad
-    xlen = nbq * M
+    nb_rs = -(-nb // qn_pad) * qn_pad
+    xlen = (nb_rs + qn_pad) * M
     buf = jnp.concatenate([hist, x], axis=1)
     pad = jnp.zeros((S, xlen), dtype=x.dtype)
     win = jax.lax.dynamic_slice(
         jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
         (S, xlen))
-    W2 = win.reshape(S, nbq, M)
-    P3 = P_local.reshape(qn_local, M, L)
-    out = None
-    for q in range(qn_local):
-        Wq = jax.lax.dynamic_slice(W2, (jnp.int32(0), q0 + q, jnp.int32(0)),
-                                   (S, nb, M))
-        part = jax.lax.dot_general(
-            Wq, P3[q], dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=x.dtype,
-            precision=jax.lax.Precision.HIGHEST)
-        out = part if out is None else out + part
+    out = residue_window_dots(win, P_local, M=M, nb_rs=nb_rs,
+                              qn_pad=qn_pad, qn_local=qn_local, q0=q0)
     if taps_axis is not None:
         out = jax.lax.psum(out, taps_axis)
-    out = out.reshape(S, nb * L)
+    out = jax.lax.slice(out, (0, 0, 0), (S, nb, L)).reshape(S, nb * L)
     valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
     out = out * valid[None, :]
     new_hist = jax.lax.dynamic_slice(

@@ -11,9 +11,10 @@ Kernel shape (chosen by measurement on TPU v5e):  the fixed-ratio steady
 state is *exactly* periodic (see ops/polyphase.py), so each chunk becomes a
 single fused XLA computation:
 
-  history concat -> block-Toeplitz window build (qn static shifted slices of
-  the stride-M reshape — no gather) -> one MXU matmul against the padded
-  [qn*M, L] phase matrix -> history extraction.
+  history concat -> residue-split block-Toeplitz contraction (qn pure
+  reshape-of-slice views, each dotted K=qn*M against the padded [qn*M, L]
+  phase matrix — no gather; see pipeline.residue_window_dots) -> history
+  extraction.
 
 This beats both lax.conv_general_dilated (poor lowering for 1-channel audio)
 and a lax.scan over chunks (the scan wrapper defeated XLA's layout
@@ -38,40 +39,32 @@ from ..core.flags import (BLACKMAN_HARRIS, EXTRAPOLATE_ENDPOINTS,
                           RESAMPLER_SNAP_OFFSET, SUBSAMPLE_INTERPOLATE)
 from ..core.filters import make_filter_bank, plan_fixed_ratio
 from ..ops.polyphase import PolyphaseMatrix
+from .pipeline import residue_window_dots
 
 
 def _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len):
     """The fused streaming step: history concat -> block-Toeplitz window
-    build (static shifted slices, no gather) -> MXU matmul against the
-    padded [qn*M, L] phase matrix -> validity mask -> power accumulate ->
-    history extraction.  start is the window origin in the padded buffer;
-    outputs beyond K are zeroed; acc carries running output power so
-    streaming statistics add no extra dispatches."""
+    build (static shifted slices, no gather) -> residue-split MXU matmuls
+    against the padded [qn*M, L] phase matrix (pipeline.residue_window_dots:
+    qn dots of K=qn*M on pure reshape views — 1.11-1.25x the per-shift
+    K=M dots on v5e, tools/exp_residue_split.py) -> validity mask ->
+    power accumulate -> history extraction.  start is the window origin in
+    the padded buffer; outputs beyond K are zeroed; acc carries running
+    output power so streaming statistics add no extra dispatches.
+    Precision is pinned to HIGHEST inside the helper: the TPU default is
+    single-pass bf16, which costs ~90 dB of output SNR — full float32
+    keeps the C reference's -142 dB round-trip at ~10% throughput cost."""
     ch = x.shape[0]
-    nbq = nb + qn
-    xlen = nbq * M
+    nb_rs = -(-nb // qn) * qn
+    xlen = (nb_rs + qn) * M
     buf = jnp.concatenate([hist, x], axis=1)
     pad = jnp.zeros((ch, xlen), dtype=x.dtype)
     win = jax.lax.dynamic_slice(
         jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
         (ch, xlen))
-    W2 = win.reshape(ch, nbq, M)
-    # per-shift contraction: qn dots on views of W2 instead of materializing
-    # the [ch, nb, qn*M] block-Toeplitz operand (a qn-times HBM blowup that
-    # measured slower than the extra dot dispatches on v5e).  Precision is
-    # pinned to HIGHEST: the TPU default is single-pass bf16, which costs
-    # ~90 dB of output SNR — full float32 keeps the C reference's -142 dB
-    # round-trip at ~10% throughput cost.
-    P3 = P.reshape(qn, M, L)
-    out = None
-    for q in range(qn):
-        part = jax.lax.dot_general(
-            W2[:, q:q + nb], P3[q],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=x.dtype,
-            precision=jax.lax.Precision.HIGHEST)
-        out = part if out is None else out + part
-    out = out.reshape(ch, nb * L)
+    out = residue_window_dots(win, P, M=M, nb_rs=nb_rs, qn_pad=qn,
+                              qn_local=qn, q0=0)
+    out = jax.lax.slice(out, (0, 0, 0), (ch, nb, L)).reshape(ch, nb * L)
     valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
     out = out * valid[None, :]
     acc = acc + jnp.sum(out * out)
@@ -109,23 +102,16 @@ def _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
     output blocks (reference subsample_interpolate, resampler.c:1147-1157,
     factored dot-then-lerp)."""
     ch = x.shape[0]
-    nbq = nb + qn
-    xlen = nbq * M
+    nb_rs = -(-nb // qn) * qn
+    xlen = (nb_rs + qn) * M
     buf = jnp.concatenate([hist, x], axis=1)
     pad = jnp.zeros((ch, xlen), dtype=x.dtype)
     win = jax.lax.dynamic_slice(
         jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
         (ch, xlen))
-    W2 = win.reshape(ch, nbq, M)
-    P3 = P2.reshape(qn, M, 2 * L)
-    dd = None
-    for q in range(qn):
-        part = jax.lax.dot_general(
-            W2[:, q:q + nb], P3[q],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=x.dtype,
-            precision=jax.lax.Precision.HIGHEST)
-        dd = part if dd is None else dd + part
+    dd = residue_window_dots(win, P2, M=M, nb_rs=nb_rs, qn_pad=qn,
+                             qn_local=qn, q0=0)
+    dd = jax.lax.slice(dd, (0, 0, 0), (ch, nb, 2 * L))
     f = fracv[None, None, :]
     out = (dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f).reshape(ch, nb * L)
     valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
@@ -169,29 +155,21 @@ def _sharded_interp_body(hist, x, P2l, fracv, start, K, acc, *, M: int,
     the replicated sum (reference subsample_interpolate,
     resampler.c:1147-1157, scaled out)."""
     ch = x.shape[0]
-    nbq = nb + qn_pad
-    xlen = nbq * M
+    nb_rs = -(-nb // qn_pad) * qn_pad
+    xlen = (nb_rs + qn_pad) * M
     buf = jnp.concatenate([hist, x], axis=1)
     pad = jnp.zeros((ch, xlen), dtype=x.dtype)
     win = jax.lax.dynamic_slice(
         jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
         (ch, xlen))
-    W2 = win.reshape(ch, nbq, M)
-    P3 = P2l.reshape(qn_local, M, 2 * L)
     q0 = jnp.int32(0)
     if taps_axis is not None:
         q0 = jax.lax.axis_index(taps_axis).astype(jnp.int32) * qn_local
-    dd = None
-    for q in range(qn_local):
-        Wq = jax.lax.dynamic_slice(W2, (jnp.int32(0), q0 + q, jnp.int32(0)),
-                                   (ch, nb, M))
-        part = jax.lax.dot_general(
-            Wq, P3[q], dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=x.dtype,
-            precision=jax.lax.Precision.HIGHEST)
-        dd = part if dd is None else dd + part
+    dd = residue_window_dots(win, P2l, M=M, nb_rs=nb_rs, qn_pad=qn_pad,
+                             qn_local=qn_local, q0=q0)
     if taps_axis is not None:
         dd = jax.lax.psum(dd, taps_axis)
+    dd = jax.lax.slice(dd, (0, 0, 0), (ch, nb, 2 * L))
     f = fracv[None, None, :]
     out = (dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f).reshape(ch, nb * L)
     valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
