@@ -1,16 +1,26 @@
-"""Device biquad filtering via parallel (associative) scan.
+"""Device biquad filtering via exact block-Toeplitz IIR.
 
 An order-N IIR section y_n = sum_i a_i x_{n-i} - sum_j b_j y_{n-j} splits
 into a feed-forward FIR part f_n (a parallel convolution) and the linear
-recurrence s_n = A s_{n-1} + [f_n, 0, 0, 0] with A the 4x4 companion matrix
-of the feedback taps.  Constant-coefficient linear recurrences compose
-associatively over (matrix, offset) pairs, so the whole time axis runs as a
-`lax.associative_scan` — O(log n) depth instead of the host engine's O(n)
-loop.  Channels ride along as a batch axis on the offset vectors.
+recurrence state_t = A state_{t-1} + f_t e0 with A the constant 4x4
+companion matrix of the feedback taps.  Because A is CONSTANT, the
+recurrence solves in closed form per block of B samples:
+
+  y_t = G[t] @ s  +  sum_{j<=t} h[t-j] f_j,      t in [0, B)
+
+with h[d] = (A^d)[0,0] the impulse response and G[t] = e0^T A^{t+1} the
+boundary rows — i.e. one [B, B] lower-triangular Toeplitz MXU matmul per
+block (parallel over blocks) plus a tiny 4-vector carry scan across
+blocks (s' = A^B s + trailing-4 contribution).  This is EXACT (no
+impulse-response truncation) and replaces the earlier
+`lax.associative_scan` over [n, 4, 4] matrix products, which did ~32x the
+necessary flops in emulated f64 and hit HBM limits at 2^20-sample chunks
+(measured 0.16 Mframes/s on the 5.1ch f64 chain; the block form is
+matmul-shaped and orders of magnitude faster).
 
 This is the high-throughput device path; it reassociates float math, so for
 bit-parity with the reference use engines.biquad / the native runtime.  The
-scan runs in float64 internally to keep the reassociation error below the
+math runs in float64 internally to keep the reassociation error below the
 float32 quantization floor even for near-unstable shapers.
 """
 
@@ -54,14 +64,105 @@ def biquad_apply_buffer_assoc(biquad, buffer: np.ndarray) -> np.ndarray:
     return out[:, 0] if squeeze else out
 
 
-def assoc_core_masked(x, a, b, xh, yh, K):
-    """Pure masked associative-scan biquad for the fused device pipeline.
+_IIR_BLOCK = 256
 
-    x [n, S] (rows at k >= K ignored); a/b [5]; xh/yh [4, S] newest-first.
-    Steps beyond K contribute identity transitions, so the filter state
-    advances by exactly K samples on ragged chunks.  Runs in float64
-    internally (see module docstring); returns (y [n, S] in x.dtype, zeroed
-    beyond K, and the newest-first xh'/yh' after K samples)."""
+
+def iir_tables(b, B: int = _IIR_BLOCK):
+    """Host-precomputed block-IIR tables for feedback taps ``b`` (numpy
+    float64): (T [B,B] lower-triangular Toeplitz impulse response,
+    G [B,4] boundary rows e0^T A^(t+1), Wv [4,B] / AB [4,4] the carry
+    recurrence rows), as device arrays.  Building these once per filter
+    instead of per call (a B-step in-graph scan) measured 3.9x on-chip
+    (tools/exp_iir_tables.py: 30.4 vs 7.8 M samples/s at B=256)."""
+    b = np.asarray(b, np.float64)
+    A = np.zeros((4, 4))
+    A[0] = [-b[1], -b[2], -b[3], -b[4]]
+    A[1, 0] = A[2, 1] = A[3, 2] = 1.0
+    G = np.zeros((B, 4))
+    r = A[0].copy()
+    for t in range(B):
+        G[t] = r
+        r = r @ A
+    h = np.concatenate([[1.0], G[:B - 1, 0]])
+    d = np.arange(B)[:, None] - np.arange(B)[None, :]
+    T = np.where(d >= 0, h[np.clip(d, 0, B - 1)], 0.0)
+    return (jnp.asarray(T), jnp.asarray(G),
+            jnp.asarray(T[B - 4:][::-1].copy()),
+            jnp.asarray(G[B - 4:][::-1].copy()))
+
+
+def _iir_y(f, b, yh, tables=None):
+    """Solve y_t = f_t - sum_j b[j] y_{t-j} block-parallel (module
+    docstring): per block of B samples one lower-triangular Toeplitz
+    matmul of the impulse response h plus boundary rows G on the carried
+    state; across blocks a 4-vector lax.scan (s' = A^B s + trailing
+    contribution).  Exact — no truncation; float64 throughout.
+
+    f [n, S] float64 (forcing, already masked as needed); yh [4, S]
+    newest-first output history.  Returns y [n, S] float64."""
+    n, S = f.shape
+    B = _IIR_BLOCK
+    nb = -(-n // B)
+    # pad the stream axis to a multiple of 8: per-stream results must be
+    # bitwise independent of the batch width, because the sharded pipeline
+    # step runs this with S_local = S/n_shards and the sharded ==
+    # single-device contract is bit-for-bit (tests/test_pipeline.py).
+    # XLA picks shape-dependent dot associations (observed on XLA:CPU down
+    # to K=4 contractions at S=1), so stability comes from running the
+    # SAME kernel shape class on every shard, not from the op choice.
+    Sp = -(-S // 8) * 8
+    if Sp != S:
+        f = jnp.concatenate(
+            [f, jnp.zeros((n, Sp - S), jnp.float64)], axis=1)
+        yh = jnp.concatenate(
+            [yh, jnp.zeros((4, Sp - S), jnp.float64)], axis=1)
+    fp = jnp.concatenate(
+        [f, jnp.zeros((nb * B - n, Sp), jnp.float64)], axis=0)
+    if tables is not None:
+        T, G, Wv, AB = tables
+    else:
+        A = jnp.array([[0.0, 0.0, 0.0, 0.0],
+                       [1.0, 0.0, 0.0, 0.0],
+                       [0.0, 1.0, 0.0, 0.0],
+                       [0.0, 0.0, 1.0, 0.0]], dtype=jnp.float64)
+        A = A.at[0].set(jnp.stack([-b[1], -b[2], -b[3], -b[4]]))
+
+        # G[t] = e0^T A^(t+1) (row recurrence r <- r@A); h[d] = (A^d)[0,0]
+        def gstep(r, _):
+            return r @ A, r
+        _, G = jax.lax.scan(gstep, A[0], None, length=B)      # [B, 4]
+        h = jnp.concatenate([jnp.ones((1,), jnp.float64), G[:B - 1, 0]])
+        ti = jnp.arange(B)
+        d = ti[:, None] - ti[None, :]
+        T = jnp.where(d >= 0, h[jnp.clip(d, 0, B - 1)], 0.0)  # [B, B]
+        # trailing-4 rows give the carry recurrence s' = AB @ s + v
+        # (rows newest-first to match the state layout)
+        Wv = T[B - 4:][::-1]                                  # [4, B]
+        AB = G[B - 4:][::-1]                                  # [4, 4]
+
+    fb = fp.reshape(nb, B, Sp)
+    hi = jax.lax.Precision.HIGHEST
+    v = jnp.einsum("ij,kjs->kis", Wv, fb, precision=hi)       # [nb, 4, Sp]
+
+    def sstep(s, vk):
+        return AB @ s + vk, s
+    _, sks = jax.lax.scan(sstep, yh, v)                       # [nb, 4, Sp]
+
+    y = (jnp.einsum("ij,kjs->kis", T, fb, precision=hi)
+         + jnp.einsum("tj,kjs->kts", G, sks, precision=hi))
+    return y.reshape(nb * B, Sp)[:n, :S]
+
+
+def assoc_core_masked(x, a, b, xh, yh, K, tables=None):
+    """Pure masked block-IIR biquad for the fused device pipeline.
+
+    x [n, S] (rows at k >= K ignored); a/b [5]; xh/yh [4, S] newest-first;
+    ``tables`` optional precomputed iir_tables(b) (3.9x on-chip vs the
+    in-graph build).  Forcing beyond K is zeroed, so y below K is exact
+    and the state extraction at K advances the filter by exactly K samples
+    on ragged chunks.  Runs in float64 internally (see module docstring);
+    returns (y [n, S] in x.dtype, zeroed beyond K, and the newest-first
+    xh'/yh' after K samples)."""
     n, S = x.shape
     dt = x.dtype
     active = (jnp.arange(n, dtype=jnp.int32) < K)[:, None]
@@ -76,23 +177,7 @@ def assoc_core_masked(x, a, b, xh, yh, K):
          + a[3] * xpad[1:-3] + a[4] * xpad[:-4])
     f = jnp.where(active, f, 0.0)
 
-    A = jnp.array([[0.0, 0.0, 0.0, 0.0],
-                   [1.0, 0.0, 0.0, 0.0],
-                   [0.0, 1.0, 0.0, 0.0],
-                   [0.0, 0.0, 1.0, 0.0]], dtype=jnp.float64)
-    A = A.at[0].set(jnp.stack([-b[1], -b[2], -b[3], -b[4]]))
-    eye = jnp.eye(4, dtype=jnp.float64)
-    Ms = jnp.where(active[:, :, None], A[None], eye[None])   # [n, 4, 4]
-    vs = jnp.zeros((n, S, 4), dtype=jnp.float64).at[:, :, 0].set(f)
-
-    def combine(left, right):
-        Ml, vl = left
-        Mr, vr = right
-        return (jnp.einsum("nij,njk->nik", Mr, Ml),
-                jnp.einsum("nij,ncj->nci", Mr, vl) + vr)
-
-    Mtot, vtot = jax.lax.associative_scan(combine, (Ms, vs), axis=0)
-    y = jnp.einsum("nij,cj->nci", Mtot, yh.T)[:, :, 0] + vtot[:, :, 0]
+    y = _iir_y(f, b, yh, tables)
     y = jnp.where(active, y, 0.0)
 
     # state after exactly K samples: the last 4 valid x / y values
@@ -105,12 +190,12 @@ def assoc_core_masked(x, a, b, xh, yh, K):
 
 
 @jax.jit
-def _cascade2_step(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, K):
-    """Two cascaded masked-scan sections in one dispatch (the ART CLI's
-    pre/post filter is always a 2-section cascade, reference
-    art.c:847-876)."""
-    y1, xh1n, yh1n = assoc_core_masked(x, a1, b1, xh1, yh1, K)
-    y2, xh2n, yh2n = assoc_core_masked(y1, a2, b2, xh2, yh2, K)
+def _cascade2_step(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, K, t1, t2):
+    """Two cascaded masked block-IIR sections in one dispatch (the ART
+    CLI's pre/post filter is always a 2-section cascade, reference
+    art.c:847-876).  t1/t2: precomputed iir_tables per section."""
+    y1, xh1n, yh1n = assoc_core_masked(x, a1, b1, xh1, yh1, K, t1)
+    y2, xh2n, yh2n = assoc_core_masked(y1, a2, b2, xh2, yh2, K, t2)
     return y2, xh1n, yh1n, xh2n, yh2n
 
 
@@ -130,6 +215,7 @@ class DeviceBiquadCascade:
         self._coef = tuple(
             jnp.asarray(np.asarray(v, np.float64))
             for v in (bq1.a, bq1.b, bq2.a, bq2.b))
+        self._tabs = (iir_tables(bq1.b), iir_tables(bq2.b))
         self._state = None                 # (xh1, yh1, xh2, yh2) on device
 
     def push_from(self, bq1, bq2) -> None:
@@ -152,36 +238,19 @@ class DeviceBiquadCascade:
         sections; returns the filtered [ch, cap] device array."""
         a1, b1, a2, b2 = self._coef
         xh1, yh1, xh2, yh2 = self._state
+        t1, t2 = self._tabs
         y, xh1, yh1, xh2, yh2 = _cascade2_step(
-            dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2, jnp.int32(K))
+            dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2, jnp.int32(K),
+            t1, t2)
         self._state = (xh1, yh1, xh2, yh2)
         return y.T
 
 
 @jax.jit
 def _assoc_run(x, a, b, xh, yh):
-    n, ch = x.shape
     # FIR part: f_n = sum_i a[i] * x_{n-i}, with the carried input history
     xpad = jnp.concatenate([xh[::-1], x], axis=0)      # [4+n, ch], oldest..
     f = (a[0] * xpad[4:] + a[1] * xpad[3:-1] + a[2] * xpad[2:-2]
          + a[3] * xpad[1:-3] + a[4] * xpad[:-4])       # [n, ch]
-
-    # companion matrix of the feedback side
-    A = jnp.array([[0.0, 0.0, 0.0, 0.0],
-                   [1.0, 0.0, 0.0, 0.0],
-                   [0.0, 1.0, 0.0, 0.0],
-                   [0.0, 0.0, 1.0, 0.0]], dtype=x.dtype)
-    A = A.at[0].set(jnp.stack([-b[1], -b[2], -b[3], -b[4]]))
-
-    Ms = jnp.broadcast_to(A, (n, 4, 4))
-    vs = jnp.zeros((n, ch, 4), dtype=x.dtype).at[:, :, 0].set(f)
-
-    def combine(left, right):
-        Ml, vl = left
-        Mr, vr = right
-        return (jnp.einsum("nij,njk->nik", Mr, Ml),
-                jnp.einsum("nij,ncj->nci", Mr, vl) + vr)
-
-    Mtot, vtot = jax.lax.associative_scan(combine, (Ms, vs), axis=0)
-    # y_n is the first state component: (Mtot_n @ s0) + vtot_n
-    return jnp.einsum("nij,cj->nci", Mtot, yh.T)[:, :, 0] + vtot[:, :, 0]
+    return _iir_y(f.astype(jnp.float64), b.astype(jnp.float64),
+                  yh.astype(jnp.float64)).astype(x.dtype)

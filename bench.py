@@ -112,6 +112,39 @@ def _bench_all():
     results.append(("5.1ch 48k->44.1k f64 host chain (-p biquads)",
                     rate4 / 1e6, "Mframes/s (output)", 1.35))
 
+    # 4b. the same workload device-resident: pre-filter biquad cascade
+    # (float64 block-Toeplitz IIR) chained into the f64 device resampler —
+    # the deployment mode for co-located accelerators (audio never leaves
+    # the device; only the final scalar is fetched)
+    from art_tpu.ops.biquad_kernel import DeviceBiquadCascade
+    from art_tpu.parallel.streams import DeviceStreamResampler as DSR
+    # 2^17 matches the CLI's per-read chunking
+    chunk4 = 1 << 17
+    eng4 = DSR(6, 380, 380, 48000, 44100, 0,
+               IB | F.INCLUDE_LOWPASS, dtype=np.float64)
+    eng4.advance_position(190)
+    eng4.prewarm()
+    casc = DeviceBiquadCascade(bqs[0][0], bqs[0][1])
+    casc.push_from(Biquad.init(coeffs, 1.0, 6, np.float64),
+                   Biquad.init(coeffs, 1.0, 6, np.float64))
+    x4 = jax.random.normal(jax.random.PRNGKey(4), (6, chunk4),
+                           dtype=jnp.float64) * 0.25
+
+    def run4b(nch=32):
+        produced = 0
+        acc = jnp.zeros((), jnp.float64)
+        for _ in range(nch):
+            y = casc.process(x4, chunk4)
+            out, K, acc = eng4.process(y, chunk4, acc)
+            produced += K
+        float(acc)
+        return produced
+
+    produced4b = run4b()
+    rate4b = _median_rate(run4b, produced4b, reps=3)
+    results.append(("5.1ch 48k->44.1k f64 device chain (-p biquads)",
+                    rate4b / 1e6, "Mframes/s (output)", 1.35))
+
     # 5. batched ASRC: 256 drifting streams, preset-3 bank, Hankel kernel
     results.append(_bench_asrc_config5())
 
