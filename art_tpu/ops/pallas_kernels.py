@@ -686,7 +686,8 @@ def _ds_prod(ah, al, bh, bl):
 def _asrc_hankel_ds_kernel(carry_ref, fir_ref, frh_ref, frl_ref, bufh_ref,
                            bufl_ref, tb_ref, rel_ref, bTh_ref, bTl_ref,
                            bT2h_ref, bT2l_ref, outh_ref, outl_ref, *,
-                           tp: int, smax: int, segl: int, kb: int):
+                           tp: int, smax: int, segl: int, kb: int,
+                           fold_low: bool = False):
     t = pl.program_id(0)
     r8 = 8 * kb
     nc = bTh_ref.shape[1] // 128
@@ -759,16 +760,28 @@ def _asrc_hankel_ds_kernel(carry_ref, fir_ref, frh_ref, frl_ref, bufh_ref,
             ph, pe = _ds_prod(bh, bl, wbh, wbl)
             if ah is None:
                 ah, al = ph, pe
+            elif fold_low:
+                # the low channel accumulates plainly: its magnitude is
+                # ~2^-24 of the high channel, so dropping its own rounding
+                # costs ~2^-48 of the result — accuracy measured identical
+                # on-chip, but throughput NEUTRAL (0.994x, exp_ds_fold.py:
+                # the kernel is gather/roll-bound, not VPU-add-bound), so
+                # the compensated form stays the default
+                s_, e1 = _two_sum(ah, ph)
+                ah, al = s_, al + (pe + e1)
             else:
                 s_, e1 = _two_sum(ah, ph)
                 t_, _e2 = _two_sum(al, pe + e1)
                 ah, al = s_, t_
-        # 8-row tree reduction, both channels compensated
+        # 8-row tree reduction; high channel stays compensated
         while ah.shape[0] > 1:
             half = ah.shape[0] // 2
             s_, e1 = _two_sum(ah[:half], ah[half:])
-            t_, _e2 = _two_sum(al[:half], al[half:] + e1)
-            ah, al = s_, t_
+            if fold_low:
+                ah, al = s_, al[:half] + (al[half:] + e1)
+            else:
+                t_, _e2 = _two_sum(al[:half], al[half:] + e1)
+                ah, al = s_, t_
         acc_h_cols.append(ah)
         acc_l_cols.append(al)
     outh_ref[0, 0, :, :] = jnp.concatenate(acc_h_cols, axis=1)
@@ -777,12 +790,12 @@ def _asrc_hankel_ds_kernel(carry_ref, fir_ref, frh_ref, frl_ref, bufh_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_taps", "num_filters", "k_max", "kp", "hist_len", "tp", "segl",
-    "kb", "smax", "interpret"))
+    "kb", "smax", "interpret", "fold_low"))
 def asrc_step_hankel_ds(hist, x, bTh, bTl, bT2h, bT2l, scal, ints,
                         num_taps: int, num_filters: int, k_max: int,
                         kp: int, hist_len: int, tp: int, segl: int,
                         kb: int = 128, smax: int = 4,
-                        interpret: bool = False):
+                        interpret: bool = False, fold_low: bool = False):
     """One fused f64 batched-ASRC chunk on the double-single Hankel kernel.
     hist/x float64; bank tables pre-split into f32 planes
     (dense_bank_tables_ds).  Same contract as asrc_step_hankel; output
@@ -866,7 +879,7 @@ def asrc_step_hankel_ds(hist, x, bTh, bTl, bT2h, bT2l, scal, ints,
     with jax.enable_x64(False):
         outh4, outl4 = pl.pallas_call(
             functools.partial(_asrc_hankel_ds_kernel, tp=tp, smax=smax,
-                              segl=segl, kb=kb),
+                              segl=segl, kb=kb, fold_low=fold_low),
             grid=(nt, S // 8),
             in_specs=[vspec, vspec, vspec, vspec, bspec, bspec, sspec,
                       sspec, tspec, tspec, tspec, tspec],
