@@ -159,7 +159,20 @@ def calc_lpc_coeffs(values: np.ndarray, maxloops: int = MAXLOOPS
 def extrapolate_forward(values: np.ndarray, num_to_extrapolate: int,
                         maxloops: int = MAXLOOPS) -> np.ndarray:
     """Predict ``num_to_extrapolate`` samples following ``values``
-    (reference extrapolator.c:22-43).  Returns the predicted samples."""
+    (reference extrapolator.c:22-43).  Returns the predicted samples.
+
+    Dispatches to the native runtime when available: the descent is a
+    strictly serial trial loop (up to 100k trials), 30-300x faster native
+    and bit-identical (tests/test_extrapolator_golden.py A/Bs the two)."""
+    from .. import native
+    if native.available():
+        return native.extrapolate(values, num_to_extrapolate, maxloops)
+    return extrapolate_forward_host(values, num_to_extrapolate, maxloops)
+
+
+def extrapolate_forward_host(values: np.ndarray, num_to_extrapolate: int,
+                             maxloops: int = MAXLOOPS) -> np.ndarray:
+    """Pure-numpy fallback path of :func:`extrapolate_forward`."""
     dtype = values.dtype
     coeffs, _ = calc_lpc_coeffs(values, maxloops)
     rev = coeffs[::-1].copy()      # coeffs[N-1-c] ordering

@@ -124,6 +124,14 @@ def _bind(lib):
     lib.art_unpack_le_f64.restype = None
     lib.art_unpack_le_f64.argtypes = [i8p, ctypes.c_double, ctypes.c_int,
                                       ctypes.c_int, f64p, ll]
+    lib.art_extrapolate_f32.restype = ctypes.c_double
+    lib.art_extrapolate_f32.argtypes = [f32p, ll, ll, ll, f32p]
+    lib.art_extrapolate_f64.restype = ctypes.c_double
+    lib.art_extrapolate_f64.argtypes = [f64p, ll, ll, ll, f64p]
+    lib.art_extrap_fit_f32.restype = ctypes.c_double
+    lib.art_extrap_fit_f32.argtypes = [f32p, ll, ll, f32p]
+    lib.art_extrap_fit_f64.restype = ctypes.c_double
+    lib.art_extrap_fit_f64.argtypes = [f64p, ll, ll, f32p]
 
 
 def available() -> bool:
@@ -332,3 +340,38 @@ def stretch_search(calc: np.ndarray, shortest: int, longest: int,
                                        longest, rec,
                                        _ptr(best, ctypes.c_double))
     return int(p), float(best[0])
+
+
+def extrapolate(values: np.ndarray, num_to_extrapolate: int,
+                maxloops: int) -> np.ndarray:
+    """Native LPC endpoint extrapolation (forward); bit-exact vs the
+    numpy path in engines.extrapolator (reference extrapolator.c:22-43).
+    Raises FloatingPointError on a degenerate fit like the reference's
+    hard exit (extrapolator.c:224-227)."""
+    lib = _load()
+    dt = values.dtype
+    values = np.ascontiguousarray(values)
+    out = np.empty(num_to_extrapolate, dtype=dt)
+    if dt == np.float32:
+        fn, ct = lib.art_extrapolate_f32, ctypes.c_float
+    else:
+        fn, ct = lib.art_extrapolate_f64, ctypes.c_double
+    q = fn(_ptr(values, ct), values.size, num_to_extrapolate, maxloops,
+           _ptr(out, ct))
+    if q < 0.0 or q != q:
+        raise FloatingPointError(f"extrapolator quality factor = {q}")
+    return out
+
+
+def extrap_fit(values: np.ndarray, maxloops: int
+               ) -> tuple[np.ndarray, float]:
+    """Native coordinate-descent LPC fit; returns (coeffs f32[4], quality)."""
+    lib = _load()
+    dt = values.dtype
+    values = np.ascontiguousarray(values)
+    coeffs = np.zeros(4, dtype=np.float32)
+    fn = lib.art_extrap_fit_f32 if dt == np.float32 else lib.art_extrap_fit_f64
+    ct = ctypes.c_float if dt == np.float32 else ctypes.c_double
+    q = fn(_ptr(values, ct), values.size, maxloops,
+           _ptr(coeffs, ctypes.c_float))
+    return coeffs, float(q)

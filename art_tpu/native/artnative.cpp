@@ -880,3 +880,202 @@ extern "C" void art_unpack_le_f64(const uint8_t *in, double gain, int bits, int 
     unpack_run<double>(in, gain, bits, bytes, out, count);
 }
 
+
+
+// ---------------------------------------------------------------- extrapolator
+
+// LPC endpoint extrapolation (behavioral contract: reference
+// extrapolator.c:22-283 — 4-coefficient coordinate-descent fit with
+// halving step, PARCOR stability clamp, delta/zero-filter fallbacks).
+// Bit-exact mirror of the host numpy path (engines/extrapolator.py):
+// float32 coefficient products on the f32 data path, strict left-to-right
+// float64 accumulation everywhere.  This is the flush/prefill latency
+// path: the descent runs up to 100k trials over <= 16*taps samples, which
+// costs 10-300 ms per channel in numpy but sub-ms here.
+
+// one coefficient*sample product, rounded the way the data path rounds
+template <typename S>
+static inline double extrap_prod(float c, S v);
+template <>
+inline double extrap_prod<float>(float c, float v) {
+    return (double)(c * v);            // f32 product, then widen
+}
+template <>
+inline double extrap_prod<double>(float c, double v) {
+    return (double)c * v;              // f64 product (f32 coeff widened)
+}
+
+template <typename S>
+static double extrap_calc_lpc(const S *values, long long nvalues,
+                              long long maxloops, float *coeffs) {
+    const int NC = 4;
+    long long nevals = nvalues - NC;
+    for (int i = 0; i < NC; i++) coeffs[i] = 0.0f;
+    double step = 3.0 / 16.0;
+    double quality = 20.0;
+    if (nevals <= 0) return quality;
+
+    double deltas_rms = 0.0, values_rms = 0.0;
+    for (long long k = 0; k < nevals; k++) {
+        double t = (double)values[NC + k];
+        double p = (double)values[NC - 1 + k];
+        double d = t - p;
+        deltas_rms += d * d;
+        values_rms += t * t;
+    }
+    if (values_rms == 0.0) return quality;
+
+    double fre = values_rms;
+    long long loops = 0, changes = 0;
+    std::vector<double> sums((size_t)nevals);
+
+    while (fre > 0.0 && (!maxloops || loops < maxloops)) {
+        for (long long k = 0; k < nevals; k++) {
+            double s = 0.0;
+            for (int c = 0; c < NC; c++)
+                s += extrap_prod<S>(coeffs[NC - 1 - c], values[k + c]);
+            sums[k] = s + (double)values[k + NC];
+        }
+        bool improved = false;
+        for (int t = 0; t < NC && !improved; t++) {
+            loops++;
+            const S *dv = values + (NC - t - 1);
+            double low = 0.0, hi = 0.0;
+            for (long long k = 0; k < nevals; k++) {
+                double a = sums[k] - (double)dv[k] * step;
+                low += a * a;
+            }
+            for (long long k = 0; k < nevals; k++) {
+                double b = sums[k] + (double)dv[k] * step;
+                hi += b * b;
+            }
+            if (low < fre || hi < fre) {
+                if (low < hi) {
+                    fre = low;
+                    coeffs[t] = (float)((double)coeffs[t] - step);
+                } else {
+                    fre = hi;
+                    coeffs[t] = (float)((double)coeffs[t] + step);
+                }
+                changes++;
+                improved = true;
+            }
+        }
+        if (!improved) {
+            loops++;                   // the exit test also counts a loop
+            if (step > 3.0 / 4194304.0)
+                step *= 0.5;
+            else
+                break;
+        }
+    }
+
+    if (changes) {                     // stability check via PARCOR clamp
+        double parcor[NC], temp[NC];
+        for (int i = 0; i < NC; i++) temp[i] = (double)coeffs[i];
+        for (int m = NC - 1; m >= 0; m--) {
+            parcor[m] = temp[m];
+            double denom = 1.0 - parcor[m] * parcor[m];
+            if (std::fabs(denom) < 1e-6) {
+                parcor[m] = parcor[m] < 0.0 ? -0.9999995 : 0.9999995;
+                denom = 1.0 - parcor[m] * parcor[m];
+            }
+            if (m > 0) {
+                double nxt[NC];
+                for (int i = 0; i < m; i++)
+                    nxt[i] = (temp[i] - parcor[m] * temp[m - 1 - i]) / denom;
+                for (int i = 0; i < m; i++) temp[i] = nxt[i];
+            }
+        }
+        bool outlier = false;
+        for (int i = 0; i < NC; i++)
+            if (std::fabs(parcor[i]) > 0.9999) outlier = true;
+        if (outlier) {
+            double lpc[NC];
+            for (int i = 0; i < NC; i++) {
+                if (parcor[i] > 0.9999) parcor[i] = 0.9999;
+                if (parcor[i] < -0.9999) parcor[i] = -0.9999;
+            }
+            for (int i = 0; i < NC; i++) {
+                lpc[i] = parcor[i];
+                for (int j = 0; j < i / 2; j++) {
+                    double tmp = lpc[j];
+                    lpc[j] += parcor[i] * lpc[i - 1 - j];
+                    lpc[i - 1 - j] += parcor[i] * tmp;
+                }
+                if (i & 1) lpc[i >> 1] += lpc[i >> 1] * parcor[i];
+            }
+            for (int i = 0; i < NC; i++) coeffs[i] = (float)lpc[i];
+        }
+    }
+
+    // re-evaluate; fall back to the delta predictor or the zero filter
+    fre = 0.0;
+    for (long long k = 0; k < nevals; k++) {
+        double s = 0.0;
+        for (int c = 0; c < NC; c++)
+            s += extrap_prod<S>(coeffs[NC - 1 - c], values[k + c]);
+        s += (double)values[k + NC];
+        fre += s * s;
+    }
+    if (deltas_rms < fre && deltas_rms < values_rms) {
+        coeffs[0] = -1.0f;
+        coeffs[1] = coeffs[2] = coeffs[3] = 0.0f;
+        fre = deltas_rms;
+    } else if (values_rms <= fre) {
+        for (int i = 0; i < NC; i++) coeffs[i] = 0.0f;
+        fre = values_rms;
+    }
+    if (fre != 0.0)
+        quality = (std::log(values_rms / fre) * 0.5) / std::log(2.0);
+    if (quality > 20.0) quality = 20.0;
+    return quality;                    // caller validates >= 0 / not NaN
+}
+
+template <typename S>
+static double extrap_fwd(const S *values, long long nvalues, long long nx,
+                         long long maxloops, S *out) {
+    const int NC = 4;
+    float coeffs[NC], rev[NC];
+    double q = extrap_calc_lpc<S>(values, nvalues, maxloops, coeffs);
+    for (int i = 0; i < NC; i++) rev[i] = coeffs[NC - 1 - i];
+    S src[NC];                         // newest-last window, zero left pad
+    for (int i = 0; i < NC; i++) {
+        long long idx = nvalues - NC + i;
+        src[i] = idx >= 0 ? values[idx] : (S)0;
+    }
+    for (long long i = 0; i < nx; i++) {
+        // seed from the first product, not +0.0: the numpy oracle's strict
+        // cumsum starts at element 0, and a window of all -0.0 products
+        // must sum to -0.0 (negating to +0.0) for bit-parity
+        double sum = extrap_prod<S>(rev[0], src[0]);
+        for (int j = 1; j < NC; j++)
+            sum += extrap_prod<S>(rev[j], src[j]);
+        S y = (S)(-sum);
+        out[i] = y;
+        src[0] = src[1]; src[1] = src[2]; src[2] = src[3]; src[3] = y;
+    }
+    return q;
+}
+
+extern "C" double art_extrapolate_f32(const float *values, long long n,
+                                      long long nx, long long maxloops,
+                                      float *out) {
+    return extrap_fwd<float>(values, n, nx, maxloops, out);
+}
+
+extern "C" double art_extrapolate_f64(const double *values, long long n,
+                                      long long nx, long long maxloops,
+                                      double *out) {
+    return extrap_fwd<double>(values, n, nx, maxloops, out);
+}
+
+extern "C" double art_extrap_fit_f32(const float *values, long long n,
+                                     long long maxloops, float *coeffs) {
+    return extrap_calc_lpc<float>(values, n, maxloops, coeffs);
+}
+
+extern "C" double art_extrap_fit_f64(const double *values, long long n,
+                                     long long maxloops, float *coeffs) {
+    return extrap_calc_lpc<double>(values, n, maxloops, coeffs);
+}

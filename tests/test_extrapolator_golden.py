@@ -47,3 +47,39 @@ def test_quality_bounds():
     x = _signal(128, "sine")
     _, q = ex.calc_lpc_coeffs(x)
     assert 0.0 <= q <= 20.0
+
+
+@pytest.mark.parametrize("dt", [np.float32, np.float64])
+def test_native_matches_host_bitexact(dt):
+    """The native-runtime descent (art_extrapolate_*) is bit-identical to
+    the numpy host path on every signal class, including the signed-zero
+    prediction tail on silence (the strict cumsum seeds from element 0)."""
+    from art_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(5)
+    sigs = [
+        rng.standard_normal(317),
+        np.cumsum(rng.standard_normal(190)) * 0.3,
+        np.sin(np.arange(600) * 0.002),          # near-unstable slow sine
+        np.zeros(97),
+        np.full(64, 0.7),
+        rng.standard_normal(3),                  # shorter than NCOEFFS
+    ]
+    for v in sigs:
+        v = v.astype(dt)
+        nx = 64
+        a = ex.extrapolate_forward_host(v, nx)
+        b = native.extrapolate(v, nx, ex.MAXLOOPS)
+        assert a.tobytes() == b.tobytes()
+
+
+def test_native_fit_matches_host():
+    from art_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    x = _signal(256, "sine")
+    c_host, q_host = ex.calc_lpc_coeffs(x)
+    c_nat, q_nat = native.extrap_fit(x, ex.MAXLOOPS)
+    np.testing.assert_array_equal(c_host, c_nat)
+    assert q_host == q_nat
