@@ -82,19 +82,6 @@ def _chunk_step(hist, x, P, start, K, acc, M: int, L: int, nb: int,
     return _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len)
 
 
-@functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len"))
-def _chunk_step2(hist, x1, x2, P1, P2, start1, start2, K1, K2, acc,
-                 M: int, L: int, nb: int, qn: int, hist_len: int):
-    """Two fused streaming steps in one dispatch (halves the per-dispatch
-    tunnel latency for throughput-bound streaming)."""
-    hist, out1, acc = _chunk_body(hist, x1, P1, start1, K1, acc, M, L, nb,
-                                  qn, hist_len)
-    hist, out2, acc = _chunk_body(hist, x2, P2, start2, K2, acc, M, L, nb,
-                                  qn, hist_len)
-    return hist, out1, out2, acc
-
-
 def _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
                        nb: int, qn: int, hist_len: int):
     """Interpolated fixed-rational chunk body: P2 stacks the two adjacent
@@ -567,25 +554,6 @@ class DeviceStreamResampler:
         if acc is None:
             return out, K
         return out, K, r2[2]
-
-    def process_pair(self, x1, x2, n_in: int, acc):
-        """Two chunks in one dispatch; both chunks must produce the same
-        output-block count (true in steady state).  Returns
-        (out1, out2, K1, K2, acc')."""
-        if self.interp:
-            raise NotImplementedError("paired dispatch is reduced-mode only")
-        K1, start1, j1, _ = self._plan(n_in)
-        P1 = self._matrix(j1)
-        K2, start2, j2, _ = self._plan(n_in)
-        P2 = self._matrix(j2)
-        nb1, nb2 = -(-K1 // self.L), -(-K2 // self.L)
-        nb = max(nb1, nb2, 1)
-        self.hist, out1, out2, acc = _chunk_step2(
-            self.hist, x1, x2, P1, P2, jnp.int32(start1), jnp.int32(start2),
-            jnp.int32(K1), jnp.int32(K2), acc, self.M, self.L, nb, self.qn,
-            self.num_samples)
-        return out1, out2, K1, K2, acc
-
 
 class HybridStreamResampler:
     """File-pipeline engine: device steady state, host edges.

@@ -55,26 +55,6 @@ def test_device_stream_downsample():
     assert md < 2e-6
 
 
-def test_device_stream_process_pair_matches_sequential():
-    lcg = NoiseLCG()
-    x1 = jnp.asarray(lcg.fill(40000).reshape(2, 20000))
-    x2 = jnp.asarray(lcg.fill(40000).reshape(2, 20000))
-    a = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IBL)
-    b = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IBL)
-    a.advance_position(190)
-    b.advance_position(190)
-    acc = jnp.zeros((), jnp.float32)
-    o1, K1, acc1 = a.process(x1, 20000, acc)
-    o2, K2, acc1 = a.process(x2, 20000, acc1)
-    p1, p2, Kp1, Kp2, acc2 = b.process_pair(x1, x2, 20000, acc)
-    assert (K1, K2) == (Kp1, Kp2)
-    np.testing.assert_array_equal(np.asarray(o1)[:, :K1],
-                                  np.asarray(p1)[:, :Kp1])
-    np.testing.assert_array_equal(np.asarray(o2)[:, :K2],
-                                  np.asarray(p2)[:, :Kp2])
-    assert abs(float(acc1) - float(acc2)) < 1e-2
-
-
 def test_device_stream_long_run_no_drift():
     """2000 odd-sized chunks (~660k samples): emission counts and the phase
     position stay exactly equal to the host engine — the device engine uses
