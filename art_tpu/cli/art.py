@@ -439,7 +439,7 @@ def process_file(opt: Options) -> int:
                 resample_rate, dec_flags, dtype=dt)
 
         # -p upsampling with --backend=device: the post filter runs as the
-        # masked associative-scan cascade between the device resample and
+        # masked block-IIR cascade between the device resample and
         # decimate stages, with exact filter-state handoff to the host
         # Biquads at chunk edges (reference chains these on host,
         # art.c:1052-1058; here the chain stays device-resident)

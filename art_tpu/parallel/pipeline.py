@@ -117,8 +117,8 @@ def pipeline_chunk(x, hist, P_local, start, K, gens, fb, xh, yh,
     -> dither -> shaped quantize -> pack.  Pure; state flows through.
     ``post_bq``: optional ((a1, b1), (a2, b2)) cascade coefficients (the
     CLI -p post filter, reference art.c:1052-1058) with ``bq_state`` =
-    (xh1, yh1, xh2, yh2) each [4, S]; filtered via the masked associative
-    scan (ops/biquad_kernel.assoc_core_masked), per-stream and therefore
+    (xh1, yh1, xh2, yh2) each [4, S]; filtered via the masked block-Toeplitz
+    IIR (ops/biquad_kernel.assoc_core_masked), per-stream and therefore
     shard-transparent over the streams axis.  Returns
     (packed u8 [nK, S*output_bytes], new_hist, new_gens, fb', xh', yh',
      clips i32, power[, bq_state'])."""
