@@ -16,10 +16,12 @@ single fused XLA computation:
   phase matrix — no gather; see pipeline.residue_window_dots) -> history
   extraction.
 
-This beats both lax.conv_general_dilated (poor lowering for 1-channel audio)
-and a lax.scan over chunks (the scan wrapper defeated XLA's layout
-assignment); per-chunk host dispatch pipelines fine as long as nothing
-synchronizes mid-stream.
+This beats lax.conv_general_dilated (poor lowering for 1-channel audio);
+per-chunk host dispatch pipelines fine as long as nothing synchronizes
+mid-stream, and ``process_scan`` batches G chunks into one dispatch for
+fetch-coupled serving loops (the round-1 scan wrapper defeated XLA's
+layout assignment, but the residue-split body's pure reshape views lower
+cleanly — see _chunk_scan_step).
 """
 
 from __future__ import annotations
@@ -72,6 +74,32 @@ def _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len):
         buf, (0, buf.shape[1] - hist_len), (ch, hist_len))
     return new_hist, out, acc
 
+
+
+@functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
+                                             "hist_len"))
+def _chunk_scan_step(hist, xs, P_all, meta, acc, M: int, L: int, nb: int,
+                     qn: int, hist_len: int):
+    """G fused steady-state chunk steps in ONE dispatch: lax.scan over
+    _chunk_body with the phase-anchor matrix dynamically indexed from the
+    stacked bank ``P_all`` [L, qn*M, L] per step.  Amortizes per-dispatch
+    host/tunnel overhead: 1.30-1.56x when a result fetch couples to each
+    group (serving loops), ~1.04x in a free-running loop where async
+    dispatch already pipelines (tools/exp_scan_chunks.py, bitwise-
+    identical outputs; the round-1 scan attempt lost to XLA layout
+    assignment, the residue-split body's pure reshape views lower
+    cleanly).  ``meta`` [3, G] int32 packs
+    (j0, start, K) rows so each call uploads ONE small array."""
+    def body(carry, per):
+        hist, acc = carry
+        x, j, start, K = per
+        P = jax.lax.dynamic_index_in_dim(P_all, j, axis=0, keepdims=False)
+        hist, out, acc = _chunk_body(hist, x, P, start, K, acc, M, L, nb,
+                                     qn, hist_len)
+        return (hist, acc), out
+    (hist, acc), outs = jax.lax.scan(
+        body, (hist, acc), (xs, meta[0], meta[1], meta[2]))
+    return hist, outs, acc
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
@@ -252,6 +280,7 @@ class DeviceStreamResampler:
         self.hist = jnp.zeros((self._rows, self.num_samples),
                               dtype=self.dtype)
         self._mats: dict[int, jax.Array] = {}
+        self._mats_stacked = None
         self._bank_dev = None
 
     # ----------------------------------------------------------------- api
@@ -298,6 +327,49 @@ class DeviceStreamResampler:
             m = jnp.asarray(P)
             self._mats[j0] = m
         return m
+
+    def _stacked_matrices(self):
+        """[L, qn*M, L] device stack of every phase-anchor matrix, built
+        once (backs the scan-batched steady state: the per-step anchor is
+        a dynamic HBM index instead of a per-call operand)."""
+        if self._mats_stacked is None:
+            est = self.L * self.qn * self.M * self.L * self.dtype.itemsize
+            if est > (1 << 29):
+                raise ValueError(
+                    f"stacked anchor bank would need {est/2**20:.0f} MB; "
+                    "use process() for this configuration")
+            self.prewarm()
+            self._mats_stacked = jnp.stack(
+                [self._mats[j] for j in range(self.L)])
+        return self._mats_stacked
+
+    def process_scan(self, xs, n_in: int, acc=None):
+        """Run G steady-state chunks in ONE dispatch (lax.scan over the
+        fused chunk body) — amortizes per-dispatch host/tunnel
+        overhead: 1.30-1.56x when each group's results are fetched
+        (serving loops), ~1.04x free-running (tools/exp_scan_chunks.py;
+        outputs bitwise-identical to sequential process()).
+        ``xs``: [G, ch, n_in] device array;
+        every chunk is consumed in full.  Reduced (non-interpolated)
+        fixed-ratio engines without a mesh only.  Returns
+        (outs [G, ch, nb*L] with entries beyond each chunk's K zeroed,
+        Ks int array [G][, acc'])."""
+        if self.interp or self.mesh is not None:
+            raise NotImplementedError(
+                "scan batching is reduced-mode, single-shard only")
+        G = xs.shape[0]
+        plans = [self._plan(n_in) for _ in range(G)]
+        Ks = [p[0] for p in plans]
+        nb = max(max(-(-k // self.L) for k in Ks), 1)
+        meta = jnp.asarray([[p[2] for p in plans],
+                            [p[1] for p in plans], Ks], jnp.int32)
+        acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
+        self.hist, outs, acc_out = _chunk_scan_step(
+            self.hist, xs, self._stacked_matrices(), meta, acc_in,
+            self.M, self.L, nb, self.qn, self.num_samples)
+        if acc is None:
+            return outs, np.asarray(Ks)
+        return outs, np.asarray(Ks), acc_out
 
     def _sharded_step(self, nb: int):
         """shard_map-wrapped chunk step over the engine's mesh (cached per

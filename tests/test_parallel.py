@@ -493,3 +493,45 @@ def test_sharded_hot_path_has_no_data_collectives():
                 # partitioner proved no cross-device movement at all)
                 assert re.search(r"f32\[\]", line) \
                     or "{{0},{1}" in line.replace(" ", ""), (meshspec, line)
+
+
+def test_device_stream_process_scan_matches_sequential():
+    """process_scan (G chunks per dispatch via lax.scan) produces the
+    sequential process() stream exactly: same counts, samples, history,
+    power, position."""
+    lcg = NoiseLCG()
+    G, n = 5, 2000
+    xs = jnp.asarray(lcg.fill(G * 2 * n).reshape(G, 2, n))
+    a = DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL)
+    b = DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL)
+    a.advance_position(32)
+    b.advance_position(32)
+    acc = jnp.zeros((), jnp.float32)
+    outs_seq, Ks_seq = [], []
+    for g in range(G):
+        o, K, acc = a.process(xs[g], n, acc)
+        outs_seq.append(np.asarray(o))
+        Ks_seq.append(K)
+    accb = jnp.zeros((), jnp.float32)
+    outs, Ks, accb = b.process_scan(xs, n, accb)
+    assert list(Ks) == Ks_seq
+    for g in range(G):
+        K = Ks_seq[g]
+        np.testing.assert_array_equal(np.asarray(outs[g])[:, :K],
+                                      outs_seq[g][:, :K])
+    np.testing.assert_array_equal(np.asarray(b.hist), np.asarray(a.hist))
+    assert np.isclose(float(accb), float(acc), rtol=1e-6)
+    assert a.get_position() == b.get_position()
+    # a second scan call continues the stream (jit cache reuse, state carry)
+    o2, K2, acc = a.process(xs[0], n, acc)
+    outs2, Ks2, accb = b.process_scan(xs[:1], n, accb)
+    assert Ks2[0] == K2
+    np.testing.assert_array_equal(np.asarray(outs2[0])[:, :K2],
+                                  np.asarray(o2)[:, :K2])
+
+
+def test_process_scan_rejects_unsupported_modes():
+    eng = DeviceStreamResampler(2, 64, 64, 44100, 48000, 0, IBL)
+    assert eng.interp                     # 160 > 64 filters: interpolated
+    with pytest.raises(NotImplementedError):
+        eng.process_scan(jnp.zeros((2, 2, 256), jnp.float32), 256)
