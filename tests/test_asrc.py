@@ -376,3 +376,43 @@ def test_batched_asrc_f64_ds_sharded_matches_single_device():
         np.testing.assert_allclose(np.asarray(oa), np.asarray(ob),
                                    atol=2e-6)
     assert len(a.hist.sharding.device_set) == 8
+
+
+def test_batched_asrc_f64_flush_matches_host_engines():
+    """Per-stream flush on the f64 engine (ds-kernel family): counts and
+    frozen positions exact vs host f64 engines; samples at the CPU test
+    bound (interpret-mode ds arithmetic is f32-class off-chip, PARITY.md)."""
+    S, taps, filters = 8, 48, 64
+    lcg = NoiseLCG()
+    rng = np.random.default_rng(11)
+    b = BatchedASRC(S, taps, filters, dtype=np.float64)
+    b.advance_position(24.0)
+    singles = []
+    for _ in range(S):
+        r = Resampler(1, taps, filters, 0.0,
+                      SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS,
+                      backend="numpy", dtype=np.float64)
+        r.advance_position(24.0)
+        singles.append(r)
+    for _ in range(3):
+        x = lcg.fill(S * 512).reshape(S, 512).astype(np.float64)
+        ratios = 1.0 + rng.uniform(-0.01, 0.01, S)
+        out, Ks = b.process(jnp.asarray(x), ratios)
+        for s in range(S):
+            ho, res = singles[s].process(x[s:s + 1], 512, 2000,
+                                         float(ratios[s]))
+            assert res.output_generated == Ks[s]
+    fr = 1.0 + rng.uniform(-0.01, 0.01, S)
+    fmask = np.zeros(S, bool)
+    fmask[[1, 4, 6]] = True
+    fout, fKs = b.flush(fr, fmask)
+    fout = np.asarray(fout)
+    pos = b.get_position()
+    for s in range(S):
+        if not fmask[s]:
+            assert fKs[s] == 0
+            continue
+        ho, res = singles[s].process(None, -1, 2000, float(fr[s]))
+        assert res.output_generated == fKs[s]
+        assert np.abs(ho[0] - fout[s, :fKs[s]]).max() < 1e-6
+        assert pos[s] == singles[s].get_position()
