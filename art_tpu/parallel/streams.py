@@ -146,6 +146,24 @@ def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
                               qn, hist_len)
 
 
+@functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
+                                             "hist_len"))
+def _chunk_scan_step_interp(hist, xs, P2s, frs, meta, acc, M: int, L: int,
+                            nb: int, qn: int, hist_len: int):
+    """G interpolated chunk steps in ONE dispatch (see _chunk_scan_step;
+    here the per-chunk banked matrix [qn*M, 2L] and lerp fractions ride
+    as scanned inputs instead of a stacked-bank index)."""
+    def body(carry, per):
+        hist, acc = carry
+        x, P2, fracv, start, K = per
+        hist, out, acc = _chunk_body_interp(hist, x, P2, fracv, start, K,
+                                            acc, M, L, nb, qn, hist_len)
+        return (hist, acc), out
+    (hist, acc), outs = jax.lax.scan(
+        body, (hist, acc), (xs, P2s, frs, meta[0], meta[1]))
+    return hist, outs, acc
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "L", "T"))
 def _build_interp_matrix(bank, d, fi, rows: int, L: int, T: int):
     """Construct the stacked interpolated matrices [rows, 2L] on device
@@ -350,14 +368,15 @@ class DeviceStreamResampler:
         (serving loops), ~1.04x free-running (tools/exp_scan_chunks.py;
         outputs bitwise-identical to sequential process()).
         ``xs``: [G, ch, n_in] device array;
-        every chunk is consumed in full.  Reduced (non-interpolated)
-        fixed-ratio engines without a mesh only.  Returns
+        every chunk is consumed in full.  Works in both the reduced and
+        the interpolated fixed-ratio device modes (no mesh).  Returns
         (outs [G, ch, nb*L] with entries beyond each chunk's K zeroed,
         Ks int array [G][, acc'])."""
-        if self.interp or self.mesh is not None:
-            raise NotImplementedError(
-                "scan batching is reduced-mode, single-shard only")
+        if self.mesh is not None:
+            raise NotImplementedError("scan batching is single-shard only")
         G = xs.shape[0]
+        if self.interp:
+            return self._process_scan_interp(xs, n_in, acc)
         plans = [self._plan(n_in) for _ in range(G)]
         Ks = [p[0] for p in plans]
         nb = max(max(-(-k // self.L) for k in Ks), 1)
@@ -366,6 +385,62 @@ class DeviceStreamResampler:
         acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
         self.hist, outs, acc_out = _chunk_scan_step(
             self.hist, xs, self._stacked_matrices(), meta, acc_in,
+            self.M, self.L, nb, self.qn, self.num_samples)
+        if acc is None:
+            return outs, np.asarray(Ks)
+        return outs, np.asarray(Ks), acc_out
+
+    def _process_scan_interp(self, xs, n_in: int, acc):
+        """Interpolated-mode scan batching: the per-chunk banked matrices
+        and lerp fractions are stacked ([G, qn*M, 2L] / [G, L] — cached
+        device arrays, so stacking is one device op) and scanned over.
+        Chunks whose tiled pattern fails the float64-tie oracle
+        (_pattern_safe, expected ~once per 1e10 outputs) drop the whole
+        group back to sequential process() calls with identical
+        output-shape semantics."""
+        G = xs.shape[0]
+        state0 = (self.output_offset, self.input_index)
+        metas = []
+        safe = True
+        for _ in range(G):
+            K, start, j0, pos0, plan = self._plan_compute(n_in)
+            nb_g = -(-K // self.L) if K else 1
+            P2, fracv, dpat, fipat, fracpat = self._interp_matrix(pos0)
+            if not self._pattern_safe(plan, n_in, K, nb_g,
+                                      math.floor(pos0), dpat, fipat,
+                                      fracpat):
+                safe = False
+                break
+            self.output_offset = plan.new_output_offset
+            self.input_index = plan.new_input_index
+            metas.append((K, start, P2, fracv))
+        if not safe:
+            # restore and take the slow exact path chunk by chunk
+            self.output_offset, self.input_index = state0
+            outs, Ks, accs = [], [], acc
+            for g in range(G):
+                r = self.process(xs[g], n_in, accs)
+                outs.append(r[0])
+                Ks.append(r[1])
+                if acc is not None:
+                    accs = r[2]
+            nbL = max(o.shape[1] for o in outs)
+            outs = jnp.stack([
+                jnp.concatenate(
+                    [o, jnp.zeros((o.shape[0], nbL - o.shape[1]),
+                                  o.dtype)], axis=1)
+                if o.shape[1] != nbL else o for o in outs])
+            if acc is None:
+                return outs, np.asarray(Ks)
+            return outs, np.asarray(Ks), accs
+        Ks = [m[0] for m in metas]
+        nb = max(max(-(-k // self.L) for k in Ks), 1)
+        meta = jnp.asarray([[m[1] for m in metas], Ks], jnp.int32)
+        P2s = jnp.stack([m[2] for m in metas])
+        frs = jnp.stack([m[3] for m in metas])
+        acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
+        self.hist, outs, acc_out = _chunk_scan_step_interp(
+            self.hist, xs, P2s, frs, meta, acc_in,
             self.M, self.L, nb, self.qn, self.num_samples)
         if acc is None:
             return outs, np.asarray(Ks)

@@ -530,8 +530,39 @@ def test_device_stream_process_scan_matches_sequential():
                                   np.asarray(o2)[:, :K2])
 
 
-def test_process_scan_rejects_unsupported_modes():
-    eng = DeviceStreamResampler(2, 64, 64, 44100, 48000, 0, IBL)
-    assert eng.interp                     # 160 > 64 filters: interpolated
+def test_process_scan_rejects_mesh_mode():
+    from art_tpu.parallel.sharding import make_mesh
+    eng = DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL,
+                                mesh=make_mesh(8, 1))
     with pytest.raises(NotImplementedError):
         eng.process_scan(jnp.zeros((2, 2, 256), jnp.float32), 256)
+
+
+def test_device_stream_process_scan_interp_matches_sequential():
+    """Interpolated-mode scan batching: the stacked per-chunk banked
+    matrices + lerp fractions produce the sequential stream exactly."""
+    lcg = NoiseLCG()
+    G, n = 4, 2000
+    xs = jnp.asarray(lcg.fill(G * 2 * n).reshape(G, 2, n))
+    ctor = (2, 64, 64, 44100, 48000, 0, IBL)   # 160 > 64: interpolated
+    a = DeviceStreamResampler(*ctor)
+    b = DeviceStreamResampler(*ctor)
+    assert a.interp
+    a.advance_position(32)
+    b.advance_position(32)
+    acc = jnp.zeros((), jnp.float32)
+    outs_seq, Ks_seq = [], []
+    for g in range(G):
+        o, K, acc = a.process(xs[g], n, acc)
+        outs_seq.append(np.asarray(o))
+        Ks_seq.append(K)
+    accb = jnp.zeros((), jnp.float32)
+    outs, Ks, accb = b.process_scan(xs, n, accb)
+    assert list(Ks) == Ks_seq
+    for g in range(G):
+        K = Ks_seq[g]
+        np.testing.assert_array_equal(np.asarray(outs[g])[:, :K],
+                                      outs_seq[g][:, :K])
+    np.testing.assert_array_equal(np.asarray(b.hist), np.asarray(a.hist))
+    assert np.isclose(float(accb), float(acc), rtol=1e-6)
+    assert a.get_position() == b.get_position()
