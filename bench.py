@@ -200,6 +200,7 @@ def main():
     seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 3600
     chunk = 1 << 22                       # ~95 s of 44.1k audio per call
     G = 8                                 # chunks per scan-batched dispatch
+    # (G=32 was tried: the remote compile of the wider scan stalled >50 min)
     total_in = seconds * 44100
     nchunks = max(1, round(total_in / chunk / G)) * G
 
