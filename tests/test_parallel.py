@@ -566,3 +566,52 @@ def test_device_stream_process_scan_interp_matches_sequential():
     np.testing.assert_array_equal(np.asarray(b.hist), np.asarray(a.hist))
     assert np.isclose(float(accb), float(acc), rtol=1e-6)
     assert a.get_position() == b.get_position()
+
+
+def test_process_scan_interp_pattern_fallback(monkeypatch):
+    """When any chunk's tiled pattern fails the float64-tie oracle, the
+    interp scan falls back to sequential process() for the whole group —
+    same outputs, counts, state."""
+    lcg = NoiseLCG()
+    G, n = 3, 1500
+    xs = jnp.asarray(lcg.fill(G * 2 * n).reshape(G, 2, n))
+    ctor = (2, 64, 64, 44100, 48000, 0, IBL)
+    a = DeviceStreamResampler(*ctor)
+    b = DeviceStreamResampler(*ctor)
+    a.advance_position(32)
+    b.advance_position(32)
+    # fail the oracle exactly once — on the scan's first planned chunk —
+    # so the sequential fallback path itself plans normally
+    orig = DeviceStreamResampler._pattern_safe
+    fired = []
+
+    def flaky(self, *args, **kw):
+        if self is b and not fired:
+            fired.append(True)
+            return False
+        return orig(self, *args, **kw)
+
+    monkeypatch.setattr(DeviceStreamResampler, "_pattern_safe", flaky)
+    outs_seq, Ks_seq = [], []
+    for g in range(G):
+        o, K = a.process(xs[g], n)
+        outs_seq.append(np.asarray(o))
+        Ks_seq.append(K)
+    outs, Ks = b.process_scan(xs, n)
+    assert list(Ks) == Ks_seq
+    for g in range(G):
+        K = Ks_seq[g]
+        np.testing.assert_array_equal(np.asarray(outs[g])[:, :K],
+                                      outs_seq[g][:, :K])
+    np.testing.assert_array_equal(np.asarray(b.hist), np.asarray(a.hist))
+    assert a.get_position() == b.get_position()
+
+
+def test_process_scan_rejects_oversized_anchor_bank():
+    """Configs whose stacked anchor bank would exceed the documented cap
+    raise instead of silently allocating gigabytes (L=1024 reduced bank:
+    ~8.6 GB)."""
+    eng = DeviceStreamResampler(1, 380, 1024, 51150, 51200, 0, IBL)
+    assert not eng.interp and eng.L == 1024
+    with pytest.raises(ValueError, match="stacked anchor bank"):
+        eng.process_scan(jnp.zeros((1, 1, 4096), jnp.float32), 4096)
