@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 def biquad_apply_buffer_assoc(biquad, buffer: np.ndarray) -> np.ndarray:
     """Filter [n] or [n, channels] through a Biquad state (engines.biquad)
-    using the device associative scan.  Mutates the biquad history like
+    using the device block-IIR kernel.  Mutates the biquad history like
     apply_buffer and returns the filtered buffer."""
     buf = np.asarray(buffer)
     squeeze = buf.ndim == 1
@@ -201,12 +201,12 @@ def _cascade2_step(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, K, t1, t2):
 
 class DeviceBiquadCascade:
     """Two cascaded biquad sections applied device-side via the masked
-    associative scan, with streaming filter state carried device-resident
+    block-Toeplitz IIR, with streaming filter state carried device-resident
     and exact state interchange with the host ``engines.biquad.Biquad``
     pair (the CLI's -p post filter between the device resample and
     decimate stages; reference art.c:1052-1058).
 
-    Parity class: the scan computes in float64 and rounds each output once
+    Parity class: the kernel computes in float64 and rounds each output once
     to the data dtype, while the host path rounds every intermediate at
     dtype — outputs agree at the dtype rounding floor (documented in
     PARITY.md), counts exactly."""
