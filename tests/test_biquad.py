@@ -81,3 +81,50 @@ def test_gain_folding():
     y2 = f2.apply_buffer(x.copy())
     # gain applies to the feed-forward side only: same shape, scaled drive
     assert np.abs(y1).max() > np.abs(y2).max()
+
+
+def test_masked_block_iir_ragged_K_and_tables():
+    """assoc_core_masked across block-boundary K values (the block-IIR
+    form computes in B=256 blocks): y below K matches a sequential host
+    filter fed exactly K samples, state advances by exactly K, and the
+    precomputed-tables path is bitwise equal to the in-graph build."""
+    import jax.numpy as jnp
+
+    from art_tpu.ops.biquad_kernel import assoc_core_masked, iir_tables
+
+    coeffs = biquad_lowpass(0.23)
+    n, S = 700, 3
+    x = NoiseLCG().fill(n * S).reshape(n, S)
+    tabs = iir_tables(np.asarray(Biquad.init(coeffs, 1.0, 1).b))
+    for K in (0, 1, 3, 255, 256, 257, 699, 700):
+        host = Biquad.init(coeffs, 1.0, S)
+        ref = host.apply_buffer(x[:K].copy(), use_native=False) \
+            if K else np.zeros((0, S), np.float32)
+        dev = Biquad.init(coeffs, 1.0, S)
+        a = jnp.asarray(np.asarray(dev.a, np.float64))
+        b = jnp.asarray(np.asarray(dev.b, np.float64))
+        xh = jnp.zeros((4, S), jnp.float64)
+        yh = jnp.zeros((4, S), jnp.float64)
+        y1, xh1, yh1 = assoc_core_masked(jnp.asarray(x), a, b, xh, yh,
+                                         jnp.int32(K))
+        y2, xh2, yh2 = assoc_core_masked(jnp.asarray(x), a, b, xh, yh,
+                                         jnp.int32(K), tabs)
+        # tables are host-numpy-built, the in-graph build uses XLA f64
+        # dots: 1-ulp table differences are expected, so equality holds
+        # at the f64 ulp class, not bitwise
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=1e-12, atol=1e-14)
+        assert np.asarray(xh1).tobytes() == np.asarray(xh2).tobytes()
+        np.testing.assert_allclose(np.asarray(yh1), np.asarray(yh2),
+                                   rtol=1e-12, atol=1e-14)
+        y1 = np.asarray(y1)
+        if K:
+            assert np.abs(y1[:K] - ref).max() < 3e-7
+        assert not np.any(y1[K:])
+        # state == the host filter's streaming state after K samples
+        np.testing.assert_allclose(np.asarray(xh1),
+                                   np.asarray(host.xh, np.float64),
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(yh1),
+                                   np.asarray(host.yh, np.float64),
+                                   atol=3e-7)
