@@ -94,7 +94,7 @@ def apply_numpy(L: np.ndarray, bank: np.ndarray, parts: dict,
         if parts["pass_mask"].any():
             passthrough = L[:, parts["pass_idx"]]
             out = np.where(parts["pass_mask"][None, :], passthrough, out)
-    return out.astype(dtype)
+    return out.astype(dtype, copy=False)
 
 
 @functools.lru_cache(maxsize=1)
@@ -171,7 +171,7 @@ def apply_jax(L: np.ndarray, bank_dev, parts: dict, interpolate: bool,
                        jnp.asarray(pass_idx[k0:k1]),
                        interpolate, use_pass, T)
         chunks.append(np.asarray(o))
-    return np.concatenate(chunks, axis=1)[:, :K].astype(dtype)
+    return np.concatenate(chunks, axis=1)[:, :K].astype(dtype, copy=False)
 
 
 def apply_numpy_periodic(L: np.ndarray, bank: np.ndarray, parts: dict,
@@ -255,4 +255,4 @@ def apply_numpy_periodic(L: np.ndarray, bank: np.ndarray, parts: dict,
     if rest.any():
         sub = {k: v[rest] for k, v in parts.items()}
         out[:, rest] = apply_numpy(L, bank, sub, interpolate, np.float64)
-    return out.astype(dtype)
+    return out.astype(dtype, copy=False)
