@@ -29,7 +29,7 @@ from ..core.flags import (BLACKMAN_HARRIS, DECIMATE_MULTITHREADED,
                           SHAPING_2ND_ORDER, SHAPING_3RD_ORDER,
                           SHAPING_ATH_CURVE, SHAPING_ENABLED,
                           STRETCH_DUAL_FLAG, SUBSAMPLE_INTERPOLATE)
-from ..engines.biquad import Biquad, biquad_lowpass
+from ..engines.biquad import Biquad, apply_cascade, biquad_lowpass
 from ..engines.decimator import Decimator
 from ..engines.resampler import Resampler
 from ..engines.stretch import Stretcher
@@ -556,8 +556,7 @@ def process_file(opt: Options) -> int:
                     # (art.c:1011-1017 vs resample_buffer at art.c:1023) — so
                     # with a stretcher, -p has no effect on output
                     if pre_filter and stretcher is None and frames.shape[0]:
-                        frames = lowpass2.apply_buffer(
-                            lowpass1.apply_buffer(frames))
+                        frames = apply_cascade([lowpass1, lowpass2], frames)
 
                     dev_out = None
                     if resampler is not None:
@@ -600,8 +599,8 @@ def process_file(opt: Options) -> int:
                             if dev_post_active:
                                 dev_post.pull_to(lowpass1, lowpass2)
                                 dev_post_active = False
-                            outbuf = lowpass2.apply_buffer(
-                                lowpass1.apply_buffer(outbuf[:generated]))
+                            outbuf = apply_cascade([lowpass1, lowpass2],
+                                                   outbuf[:generated])
 
                     if output_samples + generated > target_output:
                         generated = target_output - output_samples

@@ -154,3 +154,21 @@ class Biquad:
             out[n] = s
         self.xh, self.yh = xh, yh
         return out[:, 0] if squeeze else out
+
+
+def apply_cascade(biquads, buffer: np.ndarray, *,
+                  use_native: bool = True) -> np.ndarray:
+    """Apply a cascade of buffer-order biquads (the CLI's -p lowpass pair,
+    reference art.c:1011-1017) in one fused native pass when available;
+    bit-identical to chaining apply_buffer per stage (each stage of a sample
+    reads only the finalized previous-stage output, so fusing the buffer
+    passes reorders no arithmetic).  Mutates every biquad's state."""
+    if use_native and len(biquads) > 1:
+        from .. import native
+        if native.available():
+            return native.biquad_cascade(
+                biquads, np.asarray(buffer, dtype=biquads[0].a.dtype))
+    out = buffer
+    for bq in biquads:
+        out = bq.apply_buffer(out, use_native=use_native)
+    return out

@@ -101,6 +101,14 @@ def _bind(lib):
     lib.art_biquad_buffer_f64.restype = None
     lib.art_biquad_buffer_f64.argtypes = [f64p, ll, ctypes.c_int, f64p, f64p,
                                           f64p, f64p]
+    lib.art_biquad_cascade_f32.restype = None
+    lib.art_biquad_cascade_f32.argtypes = [f32p, ll, ctypes.c_int,
+                                           ctypes.c_int, f32p, f32p, f32p,
+                                           f32p]
+    lib.art_biquad_cascade_f64.restype = None
+    lib.art_biquad_cascade_f64.argtypes = [f64p, ll, ctypes.c_int,
+                                           ctypes.c_int, f64p, f64p, f64p,
+                                           f64p]
     lib.art_stretch_search_f32.restype = ctypes.c_int
     lib.art_stretch_search_f32.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
                                            f32p, f32p]
@@ -246,6 +254,36 @@ def biquad_buffer(biquad, buffer: np.ndarray) -> np.ndarray:
     fn(_ptr(buf, ct), n, ch, _ptr(a, ct), _ptr(b, ct), _ptr(xh, ct),
        _ptr(yh, ct))
     biquad.xh, biquad.yh = xh, yh
+    return buf[:, 0] if squeeze else buf
+
+
+def biquad_cascade(biquads, buffer: np.ndarray) -> np.ndarray:
+    """Fused native biquad cascade: one buffer pass for all stages.
+
+    Bit-identical to chaining ``biquad_buffer`` per stage (the reference
+    applies its -p lowpass pair as two whole-buffer passes, art.c:1011-1017;
+    stage s+1 of a sample only reads finalized stage-s output, so fusing the
+    passes reorders no arithmetic).  Mutates every biquad's state.
+    """
+    lib = _load()
+    buf = np.array(buffer, copy=True, order="C")  # non-mutating API
+    squeeze = buf.ndim == 1
+    if squeeze:
+        buf = buf[:, None]
+    n, ch = buf.shape
+    dt = buf.dtype
+    a = np.ascontiguousarray(np.stack([q.a for q in biquads]), dtype=dt)
+    b = np.ascontiguousarray(np.stack([q.b for q in biquads]), dtype=dt)
+    xh = np.ascontiguousarray(np.stack([q.xh for q in biquads]), dtype=dt)
+    yh = np.ascontiguousarray(np.stack([q.yh for q in biquads]), dtype=dt)
+    if dt == np.float32:
+        fn, ct = lib.art_biquad_cascade_f32, ctypes.c_float
+    else:
+        fn, ct = lib.art_biquad_cascade_f64, ctypes.c_double
+    fn(_ptr(buf, ct), n, ch, len(biquads), _ptr(a, ct), _ptr(b, ct),
+       _ptr(xh, ct), _ptr(yh, ct))
+    for s, q in enumerate(biquads):
+        q.xh, q.yh = xh[s].copy(), yh[s].copy()
     return buf[:, 0] if squeeze else buf
 
 

@@ -822,6 +822,60 @@ extern "C" void art_biquad_buffer_f64(double *buf, long long n, int ch, const do
     biquad_buffer_run<double>(buf, n, ch, a, b, xh, yh);
 }
 
+// Fused biquad cascade over an interleaved [n, ch] buffer, in place.
+// `nstages` buffer-order biquads applied in sequence per sample; stage s+1
+// consumes only the finalized stage-s output of the same sample, so the
+// values are bit-identical to nstages separate whole-buffer passes
+// (reference art.c:1011-1017 applies its two cascaded lowpass biquads as
+// back-to-back biquad_apply_buffer passes) while the buffer is read and
+// written once instead of nstages times.  a/b are [nstages, 5], xh/yh are
+// [nstages, 4, ch].
+template <typename S>
+static void biquad_cascade_run(S *buf, long long n, int ch, int nstages,
+                               const S *a, const S *b, S *xh, S *yh) {
+    for (long long i = 0; i < n; ++i) {
+        for (int c = 0; c < ch; ++c) {
+            S v = buf[i * ch + c];
+            for (int st = 0; st < nstages; ++st) {
+                const S *as = a + (long long)st * 5;
+                const S *bs = b + (long long)st * 5;
+                S *xs = xh + (long long)st * 4 * ch;
+                S *ys = yh + (long long)st * 4 * ch;
+                S x = v;
+                S s = (S)(x * as[0]);
+                s = (S)(s + (S)(xs[0 * ch + c] * as[1]));
+                s = (S)(s - (S)(bs[1] * ys[0 * ch + c]));
+                s = (S)(s + (S)(xs[1 * ch + c] * as[2]));
+                s = (S)(s - (S)(bs[2] * ys[1 * ch + c]));
+                s = (S)(s + (S)(xs[2 * ch + c] * as[3]));
+                s = (S)(s - (S)(bs[3] * ys[2 * ch + c]));
+                s = (S)(s + (S)(xs[3 * ch + c] * as[4]));
+                s = (S)(s - (S)(bs[4] * ys[3 * ch + c]));
+                for (int k = 3; k > 0; --k) {
+                    xs[k * ch + c] = xs[(k - 1) * ch + c];
+                    ys[k * ch + c] = ys[(k - 1) * ch + c];
+                }
+                xs[c] = x;
+                ys[c] = s;
+                v = s;
+            }
+            buf[i * ch + c] = v;
+        }
+    }
+}
+
+extern "C" void art_biquad_cascade_f32(float *buf, long long n, int ch,
+                                       int nstages, const float *a,
+                                       const float *b, float *xh, float *yh) {
+    biquad_cascade_run<float>(buf, n, ch, nstages, a, b, xh, yh);
+}
+
+extern "C" void art_biquad_cascade_f64(double *buf, long long n, int ch,
+                                       int nstages, const double *a,
+                                       const double *b, double *xh, double *yh) {
+    biquad_cascade_run<double>(buf, n, ch, nstages, a, b, xh, yh);
+}
+
 // ------------------------------------------------------------ byte pack
 
 // Quantized int32 values -> little-endian packed bytes with pre-zero pad.

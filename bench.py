@@ -83,8 +83,9 @@ def _bench_all():
     results.append(("preset-2 stereo 96k->44.1k device resample",
                     r / 1e6, "Mframes/s (output)", 9.6))
 
-    # 4. 5.1ch 48k->44.1k, -p cascaded biquad pre-filter, f64 path (host)
-    from art_tpu.engines.biquad import Biquad, biquad_lowpass
+    # 4. 5.1ch 48k->44.1k, -p cascaded biquad pre-filter, f64 path (host) —
+    # the CLI form: multichannel interleaved biquads, fused cascade pass
+    from art_tpu.engines.biquad import Biquad, apply_cascade, biquad_lowpass
     from art_tpu.engines.resampler import Resampler
     ch, n = 6, 1 << 18
     rng = np.random.default_rng(0)
@@ -93,14 +94,11 @@ def _bench_all():
                                 IB | F.INCLUDE_LOWPASS, dtype=np.float64)
     res.advance_position(190)
     coeffs = biquad_lowpass(0.45 * 44100 / 48000)
-    bqs = [[Biquad.init(coeffs, 1.0, channels=1, dtype=np.float64)
-            for _ in range(2)] for _ in range(ch)]
+    bqs = [Biquad.init(coeffs, 1.0, channels=ch, dtype=np.float64)
+           for _ in range(2)]
 
     def run4():
-        y = x.copy()
-        for c in range(ch):
-            for bq in bqs[c]:
-                y[:, c] = bq.apply_buffer(y[:, c])
+        y = apply_cascade(bqs, x)
         out, r_ = res.process_interleaved(y, n, n + 64, 0.0)
         return r_.output_generated
 
@@ -124,7 +122,8 @@ def _bench_all():
                IB | F.INCLUDE_LOWPASS, dtype=np.float64)
     eng4.advance_position(190)
     eng4.prewarm()
-    casc = DeviceBiquadCascade(bqs[0][0], bqs[0][1])
+    casc = DeviceBiquadCascade(Biquad.init(coeffs, 1.0, 1, np.float64),
+                               Biquad.init(coeffs, 1.0, 1, np.float64))
     casc.push_from(Biquad.init(coeffs, 1.0, 6, np.float64),
                    Biquad.init(coeffs, 1.0, 6, np.float64))
     x4 = jax.random.normal(jax.random.PRNGKey(4), (6, chunk4),

@@ -36,6 +36,31 @@ def test_apply_sample_matches_buffer_order_differs_only_in_association():
     assert np.abs(ys - yb).max() < 1e-5
 
 
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+@pytest.mark.parametrize("ch", [1, 6])
+def test_fused_cascade_bit_exact(dtype, ch):
+    """The fused native cascade (one buffer pass, both stages per sample)
+    is bit-identical to chaining apply_buffer per stage, including streaming
+    state across chunk boundaries and mixed designs/orders."""
+    from art_tpu.engines.biquad import apply_cascade
+    designs = [biquad_lowpass(0.41), biquad_highpass(0.07)]
+    fa = [Biquad.init(c, 1.0, channels=ch, dtype=dtype) for c in designs]
+    fb = [Biquad.init(c, 1.0, channels=ch, dtype=dtype) for c in designs]
+    x = NoiseLCG().fill(700 * ch).astype(dtype).reshape(-1, ch)
+    if ch == 1:
+        x = x[:, 0]
+    for lo, hi in [(0, 250), (250, 251), (251, 700)]:   # uneven chunks
+        chunk = x[lo:hi]
+        y_fused = apply_cascade(fa, chunk)
+        y_seq = chunk
+        for bq in fb:
+            y_seq = bq.apply_buffer(y_seq, use_native=False)
+        np.testing.assert_array_equal(y_fused, y_seq)
+    for qa, qb in zip(fa, fb):                          # state carried equal
+        np.testing.assert_array_equal(qa.xh, qb.xh)
+        np.testing.assert_array_equal(qa.yh, qb.yh)
+
+
 def test_multichannel_lanes_independent():
     coeffs = biquad_lowpass(0.25)
     f = Biquad.init(coeffs, 1.0, channels=3)
