@@ -76,10 +76,23 @@ def _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len):
 
 
 
+def _chunk_body_any(hist, x, P, start, K, acc, M, L, nb, qn, hist_len,
+                    pallas: bool):
+    """Dispatch between the XLA residue-split body and the single-pass
+    Pallas streaming kernel (ops/fixed_pallas: same contraction at the f32
+    floor, window buffer read once instead of qn operand passes)."""
+    if pallas:
+        from ..ops.fixed_pallas import fixed_step_pallas
+        return fixed_step_pallas(hist, x, P, start, K, acc, M=M, L=L,
+                                 nb=nb, qn=qn, hist_len=hist_len,
+                                 interpret=jax.default_backend() != "tpu")
+    return _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len)
+
+
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len"))
+                                             "hist_len", "pallas"))
 def _chunk_scan_step(hist, xs, P_all, meta, acc, M: int, L: int, nb: int,
-                     qn: int, hist_len: int):
+                     qn: int, hist_len: int, pallas: bool = False):
     """G fused steady-state chunk steps in ONE dispatch: lax.scan over
     _chunk_body with the phase-anchor matrix dynamically indexed from the
     stacked bank ``P_all`` [L, qn*M, L] per step.  Amortizes per-dispatch
@@ -94,8 +107,8 @@ def _chunk_scan_step(hist, xs, P_all, meta, acc, M: int, L: int, nb: int,
         hist, acc = carry
         x, j, start, K = per
         P = jax.lax.dynamic_index_in_dim(P_all, j, axis=0, keepdims=False)
-        hist, out, acc = _chunk_body(hist, x, P, start, K, acc, M, L, nb,
-                                     qn, hist_len)
+        hist, out, acc = _chunk_body_any(hist, x, P, start, K, acc, M, L,
+                                         nb, qn, hist_len, pallas)
         return (hist, acc), out
     (hist, acc), outs = jax.lax.scan(
         body, (hist, acc), (xs, meta[0], meta[1], meta[2]))
@@ -103,11 +116,12 @@ def _chunk_scan_step(hist, xs, P_all, meta, acc, M: int, L: int, nb: int,
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len"))
+                                             "hist_len", "pallas"))
 def _chunk_step(hist, x, P, start, K, acc, M: int, L: int, nb: int,
-                qn: int, hist_len: int):
+                qn: int, hist_len: int, pallas: bool = False):
     """One fused streaming step (see _chunk_body)."""
-    return _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len)
+    return _chunk_body_any(hist, x, P, start, K, acc, M, L, nb, qn,
+                           hist_len, pallas)
 
 
 def _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
@@ -137,27 +151,42 @@ def _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
     return new_hist, out, acc
 
 
-@functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len"))
-def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
-                       nb: int, qn: int, hist_len: int):
-    """One fused interpolated streaming step (see _chunk_body_interp)."""
+def _chunk_body_interp_any(hist, x, P2, fracv, start, K, acc, M, L, nb, qn,
+                           hist_len, pallas: bool):
+    if pallas:
+        from ..ops.fixed_pallas import fixed_step_pallas
+        return fixed_step_pallas(hist, x, P2, start, K, acc, M=M, L=L,
+                                 nb=nb, qn=qn, hist_len=hist_len,
+                                 fracv=fracv,
+                                 interpret=jax.default_backend() != "tpu")
     return _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M, L, nb,
                               qn, hist_len)
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len"))
+                                             "hist_len", "pallas"))
+def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
+                       nb: int, qn: int, hist_len: int,
+                       pallas: bool = False):
+    """One fused interpolated streaming step (see _chunk_body_interp)."""
+    return _chunk_body_interp_any(hist, x, P2, fracv, start, K, acc, M, L,
+                                  nb, qn, hist_len, pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
+                                             "hist_len", "pallas"))
 def _chunk_scan_step_interp(hist, xs, P2s, frs, meta, acc, M: int, L: int,
-                            nb: int, qn: int, hist_len: int):
+                            nb: int, qn: int, hist_len: int,
+                            pallas: bool = False):
     """G interpolated chunk steps in ONE dispatch (see _chunk_scan_step;
     here the per-chunk banked matrix [qn*M, 2L] and lerp fractions ride
     as scanned inputs instead of a stacked-bank index)."""
     def body(carry, per):
         hist, acc = carry
         x, P2, fracv, start, K = per
-        hist, out, acc = _chunk_body_interp(hist, x, P2, fracv, start, K,
-                                            acc, M, L, nb, qn, hist_len)
+        hist, out, acc = _chunk_body_interp_any(hist, x, P2, fracv, start,
+                                                K, acc, M, L, nb, qn,
+                                                hist_len, pallas)
         return (hist, acc), out
     (hist, acc), outs = jax.lax.scan(
         body, (hist, acc), (xs, P2s, frs, meta[0], meta[1]))
@@ -240,7 +269,8 @@ class DeviceStreamResampler:
 
     def __init__(self, num_channels: int, num_taps: int, max_filters: int,
                  source_rate: float, destin_rate: float, lowpass_freq: float,
-                 flags: int, *, dtype=np.float32, mesh=None):
+                 flags: int, *, dtype=np.float32, mesh=None,
+                 pallas_step: bool = False):
         plan = plan_fixed_ratio(num_taps, max_filters, source_rate,
                                 destin_rate, lowpass_freq, flags)
         self.interp = bool(plan.flags & SUBSAMPLE_INTERPOLATE)
@@ -281,6 +311,11 @@ class DeviceStreamResampler:
             self.L = self.num_filters
             self.M = int(round(self.L / self.fixed_ratio))
         self.qn = -(-(self.M + num_taps) // self.M)
+        # single-pass Pallas streaming body (ops/fixed_pallas): f32
+        # single-shard modes (reduced + interpolated); opt-in pending
+        # on-chip A/B
+        self._pallas = bool(pallas_step and self.dtype == np.float32
+                            and mesh is None)
         self._interp_cache: dict = {}
         self._pattern_safe_cache: dict = {}
 
@@ -385,7 +420,7 @@ class DeviceStreamResampler:
         acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
         self.hist, outs, acc_out = _chunk_scan_step(
             self.hist, xs, self._stacked_matrices(), meta, acc_in,
-            self.M, self.L, nb, self.qn, self.num_samples)
+            self.M, self.L, nb, self.qn, self.num_samples, self._pallas)
         if acc is None:
             return outs, np.asarray(Ks)
         return outs, np.asarray(Ks), acc_out
@@ -441,7 +476,7 @@ class DeviceStreamResampler:
         acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
         self.hist, outs, acc_out = _chunk_scan_step_interp(
             self.hist, xs, P2s, frs, meta, acc_in,
-            self.M, self.L, nb, self.qn, self.num_samples)
+            self.M, self.L, nb, self.qn, self.num_samples, self._pallas)
         if acc is None:
             return outs, np.asarray(Ks)
         return outs, np.asarray(Ks), acc_out
@@ -671,12 +706,13 @@ class DeviceStreamResampler:
         elif self.interp:
             new_hist, out, acc_out = _chunk_step_interp(
                 self.hist, x, P2, fracv, jnp.int32(start), jnp.int32(K),
-                acc_in, self.M, self.L, nb, self.qn, self.num_samples)
+                acc_in, self.M, self.L, nb, self.qn, self.num_samples,
+                self._pallas)
         else:
             new_hist, out, acc_out = _chunk_step(
                 self.hist, x, self._matrix(j0), jnp.int32(start),
                 jnp.int32(K), acc_in, self.M, self.L, nb, self.qn,
-                self.num_samples)
+                self.num_samples, self._pallas)
         self.hist = new_hist
         if acc is None:
             return out, K

@@ -267,3 +267,73 @@ def test_asrc_hankel_fuzz_configs(taps, filters):
             if Ks[s]:       # 1024-tap banks emit nothing on early chunks
                 md = max(md, float(np.abs(ho[0] - out[s, :Ks[s]]).max()))
     assert md < 2e-6, (taps, filters, md)
+
+
+@pytest.mark.parametrize("src,dst,taps,filters", [
+    (44100, 48000, 380, 380),      # headline: M=147, L=160, qn=4
+    (96000, 44100, 156, 320),      # config 3: M=320, L=147, qn=2
+    (44100, 96000, 380, 380),      # config 2: M=147, L=320
+    (44100, 48000, 48, 48),        # config 1: interpolated (48 filters
+                                   # cannot reduce), in-kernel phase lerp
+])
+def test_fixed_pallas_engine_matches_xla_step(src, dst, taps, filters):
+    """The single-pass Pallas fixed-ratio body (ops/fixed_pallas) streams
+    multiple uneven chunks with identical counts/state and samples at the
+    f32 dot-order floor vs the XLA residue-split step (interpret mode on
+    CPU; real-Mosaic lowering is covered by tools/tpu_smoke.py)."""
+    from art_tpu.core.flags import (BLACKMAN_HARRIS, INCLUDE_LOWPASS,
+                                    SUBSAMPLE_INTERPOLATE)
+    from art_tpu.parallel.streams import DeviceStreamResampler
+    from art_tpu.utils.testsig import NoiseLCG
+
+    IB = SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS | INCLUDE_LOWPASS
+    a = DeviceStreamResampler(2, taps, filters, src, dst, 0, IB)
+    b = DeviceStreamResampler(2, taps, filters, src, dst, 0, IB,
+                              pallas_step=True)
+    assert b._pallas
+    a.advance_position(taps // 2)
+    b.advance_position(taps // 2)
+    lcg = NoiseLCG()
+    ref_scale = None
+    for n in [1000, 4096, 37, 2049]:
+        x = jnp.asarray(lcg.fill(2 * n).reshape(2, n))
+        oa, Ka, aa = a.process(x, n, jnp.zeros((), jnp.float32))
+        ob, Kb, ab = b.process(x, n, jnp.zeros((), jnp.float32))
+        assert Ka == Kb
+        assert a.get_position() == b.get_position()
+        oa, ob = np.asarray(oa), np.asarray(ob)
+        if Ka:
+            scale = max(np.abs(oa).max(), 1e-9)
+            assert np.abs(oa[:, :Ka] - ob[:, :Kb]).max() / scale < 3e-6
+        # outputs beyond K are zeroed in both bodies
+        assert not ob[:, Kb:].any()
+    np.testing.assert_array_equal(np.asarray(a.hist), np.asarray(b.hist))
+
+
+def test_fixed_pallas_scan_matches_sequential():
+    """process_scan with the Pallas body == sequential process() with the
+    Pallas body, bitwise (same kernel, same per-chunk operands)."""
+    from art_tpu.core.flags import (BLACKMAN_HARRIS, INCLUDE_LOWPASS,
+                                    SUBSAMPLE_INTERPOLATE)
+    from art_tpu.parallel.streams import DeviceStreamResampler
+    from art_tpu.utils.testsig import NoiseLCG
+
+    IB = SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS | INCLUDE_LOWPASS
+    mk = lambda: DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB,
+                                       pallas_step=True)
+    a, b = mk(), mk()
+    a.advance_position(190)
+    b.advance_position(190)
+    lcg = NoiseLCG()
+    G, n = 3, 2048
+    xs = jnp.asarray(lcg.fill(G * 2 * n).reshape(G, 2, n))
+    outs, Ks, acc = b.process_scan(xs, n, jnp.zeros((), jnp.float32))
+    outs = np.asarray(outs)
+    acc_a = jnp.zeros((), jnp.float32)
+    for g in range(G):
+        oa, Ka, acc_a = a.process(xs[g], n, acc_a)
+        assert Ka == Ks[g]
+        np.testing.assert_array_equal(np.asarray(oa),
+                                      outs[g][:, :oa.shape[1]])
+        assert not outs[g][:, oa.shape[1]:].any()
+    assert float(acc_a) == pytest.approx(float(acc), rel=1e-6)

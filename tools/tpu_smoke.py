@@ -191,8 +191,55 @@ def smoke_hankel_ds():
     return {"maxdiff_rel": md / sc}
 
 
+def smoke_fixed_stream():
+    """Single-pass streaming fixed-ratio body vs the XLA residue-split
+    step at the headline geometry (preset-3 44.1k->48k stereo)."""
+    from art_tpu.ops.fixed_pallas import fixed_step_pallas
+    from art_tpu.parallel.streams import _chunk_step
+    rng = np.random.default_rng(5)
+    M, L, qn, taps = 147, 160, 4, 380
+    hist_len = 16 * taps
+    ch, nb = 2, 1200
+    n_in = nb * M
+    P = jnp.asarray(rng.standard_normal((qn * M, L)).astype(np.float32)
+                    * 0.05)
+    hist = jnp.asarray(rng.standard_normal((ch, hist_len)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((ch, n_in)).astype(np.float32))
+    start, K = jnp.int32(hist_len - taps + 3), jnp.int32(nb * L - 37)
+    acc = jnp.zeros((), jnp.float32)
+    h1, o1, a1 = _chunk_step(hist, x, P, start, K, acc, M, L, nb, qn,
+                             hist_len)
+    h2, o2, a2 = fixed_step_pallas(hist, x, P, start, K, acc, M=M, L=L,
+                                   nb=nb, qn=qn, hist_len=hist_len,
+                                   interpret=jax.default_backend() != "tpu")
+    o1, o2 = np.asarray(o1), np.asarray(o2)
+    sc = float(np.abs(o1).max())
+    md = float(np.abs(o1 - o2).max())
+    assert np.array_equal(np.asarray(h1), np.asarray(h2))
+    assert md < 3e-6 * sc, (md, sc)
+
+    # interpolated variant (config-1 class): stacked banks + in-kernel lerp
+    from art_tpu.parallel.streams import _chunk_step_interp
+    L2 = 2 * L
+    P2 = jnp.asarray(rng.standard_normal((qn * M, L2)).astype(np.float32)
+                     * 0.05)
+    fracv = jnp.asarray(rng.random(L).astype(np.float32))
+    h3, o3, a3 = _chunk_step_interp(hist, x, P2, fracv, start, K, acc,
+                                    M, L, nb, qn, hist_len)
+    h4, o4, a4 = fixed_step_pallas(hist, x, P2, start, K, acc, M=M, L=L,
+                                   nb=nb, qn=qn, hist_len=hist_len,
+                                   fracv=fracv,
+                                   interpret=jax.default_backend() != "tpu")
+    o3, o4 = np.asarray(o3), np.asarray(o4)
+    sci = float(np.abs(o3).max())
+    mdi = float(np.abs(o3 - o4).max())
+    assert mdi < 3e-6 * sci, (mdi, sci)
+    return {"maxdiff_rel": md / sc, "interp_maxdiff_rel": mdi / sci}
+
+
 from art_tpu.ops.pallas_kernels import split_f64_pairs  # noqa: E402
 
+record("fixed_stream_step", smoke_fixed_stream)
 record("asrc_step_hankel", smoke_hankel)
 record("asrc_step_hankel_ds_f64", smoke_hankel_ds)
 record("asrc_step_dense", smoke_dense)
