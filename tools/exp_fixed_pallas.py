@@ -10,7 +10,10 @@ Two output regimes, matching SOL.md's decomposition:
     +1 output-materialization HBM pass for the XLA body; the Pallas body
     writes its masked outputs exactly once either way).
 
-Usage: python tools/exp_fixed_pallas.py [reps] [jb ...]
+Usage: python tools/exp_fixed_pallas.py [reps] [jb ...] [--interp]
+  --interp uses the preset-1 interpolated config (mono 48x48, the
+  config-1 class: stacked banks + phase lerp) instead of the reduced
+  headline config.
 """
 import sys
 import time
@@ -18,27 +21,43 @@ import time
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+import os
+
 import jax
+
+if os.environ.get("ART_CPU"):  # axon ignores JAX_PLATFORMS; use the config
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from art_tpu.core import flags as F
 from art_tpu.ops.fixed_pallas import fixed_step_pallas
-from art_tpu.parallel.streams import DeviceStreamResampler, _chunk_body
+from art_tpu.parallel.streams import (DeviceStreamResampler, _chunk_body,
+                                      _chunk_body_interp)
 
 IB = F.SUBSAMPLE_INTERPOLATE | F.BLACKMAN_HARRIS | F.INCLUDE_LOWPASS
-reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-jbs = [int(a) for a in sys.argv[2:]] or [64]
-chunk = 1 << 22
-NS = 32
+args = [a for a in sys.argv[1:] if a != "--interp"]
+MODE_INTERP = "--interp" in sys.argv
+reps = int(args[0]) if args else 5
+jbs = [int(a) for a in args[1:]] or [64]
+chunk = int(os.environ.get("CHUNK", 1 << 22))
+NS = int(os.environ.get("NS", 32))
 INTERP = jax.default_backend() != "tpu"
 
-eng = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB)
-eng.advance_position(190)
+if MODE_INTERP:
+    eng = DeviceStreamResampler(1, 48, 48, 44100, 48000, 0,
+                                F.SUBSAMPLE_INTERPOLATE | F.BLACKMAN_HARRIS)
+else:
+    eng = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB)
+ch = eng.num_channels
+eng.advance_position(eng.num_taps // 2)
 K, start, j0, pos0, plan = eng._plan_compute(chunk)
 nb = -(-K // eng.L)
 M, L, qn, hist_len = eng.M, eng.L, eng.qn, eng.num_samples
-P = eng._matrix(j0)
-x = jax.random.normal(jax.random.PRNGKey(1), (2, chunk), jnp.float32) * 0.25
+if MODE_INTERP:
+    P, fracv = eng._interp_matrix(pos0)[:2]
+else:
+    P, fracv = eng._matrix(j0), None
+x = jax.random.normal(jax.random.PRNGKey(1), (ch, chunk), jnp.float32) * 0.25
 
 
 def scan_of(body, stack: bool):
@@ -55,6 +74,9 @@ def scan_of(body, stack: bool):
 
 
 def body_ship(hist, x, P, start, K, acc):
+    if MODE_INTERP:
+        return _chunk_body_interp(hist, x, P, fracv, start, K, acc, M, L,
+                                  nb, qn, hist_len)
     return _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len)
 
 
@@ -62,11 +84,11 @@ def body_pl(jb):
     def f(hist, x, P, start, K, acc):
         return fixed_step_pallas(hist, x, P, start, K, acc, M=M, L=L,
                                  nb=nb, qn=qn, hist_len=hist_len, jb=jb,
-                                 interpret=INTERP)
+                                 fracv=fracv, interpret=INTERP)
     return f
 
 
-h0 = jnp.zeros((2, hist_len), jnp.float32)
+h0 = jnp.zeros((ch, hist_len), jnp.float32)
 a0 = jnp.zeros((), jnp.float32)
 
 runs = {}
