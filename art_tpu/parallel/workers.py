@@ -27,6 +27,8 @@ like the reference's NULL-context convention (reference workers.c:256-259).
 
 from __future__ import annotations
 
+import os
+import sys
 import threading
 from collections import deque
 
@@ -170,8 +172,17 @@ class Workers:
             return len(self._queue), len(self._running)
 
     def deinit(self):
-        """Join all workers (reference workers.c:420-446)."""
+        """Join all workers (reference workers.c:420-446).  With
+        ART_WORKERS_DEBUG set, prints the reference DEBUG-build summary
+        line (reference workers.c:425-427) to stderr."""
         self.wait_all()
+        if os.environ.get("ART_WORKERS_DEBUG"):
+            s = self.stats
+            print("total jobs = %u, failures = %u, enqueues = %u, "
+                  "currents = %u, unordered = %u"
+                  % ((self._next_job - 1) & 0xFFFFFFFF, s["failures"],
+                     s["enqueues"], s["inline_runs"], s["out_of_order"]),
+                  file=sys.stderr)
         with self._cv:
             self._shutdown = True
             self._cv.notify_all()

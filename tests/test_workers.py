@@ -158,3 +158,17 @@ def test_debug_counters():
     assert s["inline_runs"] == 2
     assert s["out_of_order"] >= 0
     pool.deinit()
+
+
+def test_deinit_debug_summary(monkeypatch, capsys):
+    """ART_WORKERS_DEBUG prints the reference DEBUG-build deinit line
+    (reference workers.c:425-427 format)."""
+    monkeypatch.setenv("ART_WORKERS_DEBUG", "1")
+    pool = w.Workers(2)
+    for i in range(4):
+        pool.enqueue(lambda c, j: None, None, i)
+    pool.deinit()
+    err = capsys.readouterr().err
+    assert "total jobs = 4" in err
+    assert "failures = 0" in err and "enqueues = 4" in err
+    assert "currents =" in err and "unordered =" in err
