@@ -103,6 +103,9 @@ def fixed_step_pallas(hist, x, P, start, K, acc, *, M: int, L: int, nb: int,
     With ``fracv`` (per-phase lerp fractions, [L]) this is the interpolated
     body instead (_chunk_body_interp): P stacks the two adjacent phase
     banks [qn*M, 2L] and the lerp runs in-kernel after each residue dot."""
+    if jb % _HALO_T:
+        raise ValueError(f"jb must be a multiple of {_HALO_T} (the halo "
+                         f"BlockSpec indexes in {_HALO_T}-tile units)")
     ch = x.shape[0]
     KQ = qn * M
     nb_rs = -(-nb // qn) * qn
