@@ -17,6 +17,32 @@ import sys
 import time
 
 
+def _require_device(timeout_s: int | None = None):
+    """Fail fast (exit 3) when the TPU service is unreachable.
+
+    The axon backend hangs rather than failing when the service is down
+    (CLAUDE.md), so an unguarded bench run would stall the driver
+    indefinitely.  Probe device init in a bounded subprocess first."""
+    import os
+    import subprocess
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("ART_BENCH_PROBE_TIMEOUT", "600"))
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"# TPU service unreachable: device init exceeded "
+              f"{timeout_s}s (known outage mode: init hangs)",
+              file=sys.stderr)
+        sys.exit(3)
+    if r.returncode:
+        print("# TPU device init failed:\n" + r.stderr[-800:],
+              file=sys.stderr)
+        sys.exit(3)
+    print(f"# device platform: {r.stdout.strip()}", file=sys.stderr)
+
+
 def _median_rate(run, produced_per_run, reps=5):
     times = []
     for _ in range(reps):
@@ -258,6 +284,7 @@ def main():
 
 
 if __name__ == "__main__":
+    _require_device()
     if "--all" in sys.argv:
         _bench_all()
     else:
