@@ -625,6 +625,13 @@ def process_file(opt: Options) -> int:
                                         [src, _jnp().zeros(
                                             (dec_rows - src.shape[0],
                                              num_channels), dt)], axis=0)
+                                elif src.shape[0] > dec_rows:
+                                    # oversize engine capacity (nb*L >
+                                    # outcap bucket): generated <= outcap
+                                    # <= dec_rows, so the excess rows are
+                                    # invalid padding — slice them off to
+                                    # keep the one-compiled-shape invariant
+                                    src = src[:dec_rows]
                             else:
                                 src = np.zeros((dec_rows, num_channels), dt)
                                 src[:generated] = outbuf

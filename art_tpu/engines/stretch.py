@@ -286,8 +286,12 @@ class Stretcher:
                                       record=self.results)
         if best_period not in (shortest, longest):
             r = self.results
-            high_side = r[best_period] - r[best_period + 1]
-            low_side = r[best_period] - r[best_period - 1]
+            # side diffs round at data-path precision, but the M_E compare
+            # happens at double (reference stretch.c:537-543: artsample_t
+            # operands promote to double against M_E) — float() here keeps
+            # numpy's NEP-50 f32*scalar rule from demoting the compare
+            high_side = float(r[best_period] - r[best_period + 1])
+            low_side = float(r[best_period] - r[best_period - 1])
             if low_side > high_side * math.e:
                 best_period = best_period * 2 + 1
             elif high_side > low_side * math.e:

@@ -51,11 +51,16 @@ def _load():
     # stale and raise AttributeError on newly added symbols
     stamp = _HERE / ".libartnative.hash"
     try:
+        # the ISA flags are part of the digest: a .so built with -mavx2 on
+        # one host must not be loaded on a host without AVX2 (SIGILL is not
+        # catchable below), and vice versa a non-AVX2 build should upgrade
+        isa = _isa_flags()
         digest = hashlib.sha256(
-            _SRC.read_bytes() + " ".join(_CXXFLAGS).encode()).hexdigest()
+            _SRC.read_bytes()
+            + " ".join(_CXXFLAGS + isa).encode()).hexdigest()
         if (not _LIB.exists() or not stamp.exists()
                 or stamp.read_text().strip() != digest):
-            subprocess.run(["g++", *_CXXFLAGS, *_isa_flags(), str(_SRC),
+            subprocess.run(["g++", *_CXXFLAGS, *isa, str(_SRC),
                             "-o", str(_LIB)],
                            check=True, capture_output=True)
             stamp.write_text(digest)

@@ -129,7 +129,7 @@ def _iir_y(f, b, yh, tables=None):
 
         # G[t] = e0^T A^(t+1) (row recurrence r <- r@A); h[d] = (A^d)[0,0]
         def gstep(r, _):
-            return r @ A, r
+            return jnp.dot(r, A, precision=jax.lax.Precision.HIGHEST), r
         _, G = jax.lax.scan(gstep, A[0], None, length=B)      # [B, 4]
         h = jnp.concatenate([jnp.ones((1,), jnp.float64), G[:B - 1, 0]])
         ti = jnp.arange(B)
@@ -145,7 +145,7 @@ def _iir_y(f, b, yh, tables=None):
     v = jnp.einsum("ij,kjs->kis", Wv, fb, precision=hi)       # [nb, 4, Sp]
 
     def sstep(s, vk):
-        return AB @ s + vk, s
+        return jnp.dot(AB, s, precision=hi) + vk, s
     _, sks = jax.lax.scan(sstep, yh, v)                       # [nb, 4, Sp]
 
     y = (jnp.einsum("ij,kjs->kis", T, fb, precision=hi)

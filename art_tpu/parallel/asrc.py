@@ -177,15 +177,17 @@ class BatchedASRC:
                                               hankel_segl)
             if self.dtype == np.float64:
                 # f64 flagship path: double-single (paired-f32) Hankel
-                # kernel; tables split into hi/lo planes
-                self._bank_ds = tuple(
-                    jnp.asarray(t) for t in dense_bank_tables_ds(self.bank))
-                bt = np.asarray(self._bank_ds[0])
-                bt2 = bt
+                # kernel; tables split into hi/lo planes.  _bank_dense
+                # stays None (the f32 dense/hankel branch is never taken),
+                # and _tp reads the host table before upload — no
+                # device->host fetch through the slow tunnel at init
+                ds_host = dense_bank_tables_ds(self.bank)
+                self._bank_ds = tuple(jnp.asarray(t) for t in ds_host)
+                self._tp = ds_host[0].shape[0]
             else:
                 bt, bt2 = dense_bank_tables(self.bank)
-            self._bank_dense = (jnp.asarray(bt), jnp.asarray(bt2))
-            self._tp = bt.shape[0]
+                self._bank_dense = (jnp.asarray(bt), jnp.asarray(bt2))
+                self._tp = bt.shape[0]
             if dense_kb & (dense_kb - 1) or dense_kb < 128:
                 raise ValueError("dense_kb must be a power of two >= 128")
             self._kb = dense_kb
