@@ -52,11 +52,11 @@ _HALO_T = 8     # halo block tile count (sublane granularity of the 3D spec)
 
 
 def _fixed_kernel(K_ref, main_ref, halo_ref, P_ref, *rest, M: int,
-                  L: int, qn: int, jb: int, interp: bool):
+                  L: int, qn: int, jb: int, interp: bool, split: bool):
     if interp:
-        frac_ref, out_ref = rest
+        frac_ref, *out_refs = rest
     else:
-        (out_ref,) = rest
+        out_refs = rest
     g = pl.program_id(1)
     KQ = qn * M
     F0 = main_ref[0]                                    # [jb, KQ]
@@ -81,28 +81,48 @@ def _fixed_kernel(K_ref, main_ref, halo_ref, P_ref, *rest, M: int,
             f = frac_ref[0]                             # [L]
             d = (jax.lax.slice(d, (0, 0), (jb, L)) * (1.0 - f)
                  + jax.lax.slice(d, (0, L), (jb, 2 * L)) * f)
-        outs.append(d)
+        if split:
+            # plan-B layout: residue r goes to its own output ref; block
+            # j's global output block is (g*jb + j)*qn + r, interleaved
+            # back in XLA by the caller
+            jrows = jax.lax.broadcasted_iota(jnp.int32, (jb, L), 0)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (jb, L), 1)
+            blk = (g * jnp.int32(jb) + jrows) * jnp.int32(qn) + jnp.int32(r)
+            valid = blk * jnp.int32(L) + lanes < K_ref[0]
+            out_refs[r][0] = jnp.where(valid, d, jnp.float32(0.0))
+        else:
+            outs.append(d)
+    if split:
+        return
     # output block i = j*qn + r  (same interleave as residue_window_dots)
     o = jnp.stack(outs, axis=1).reshape(jb * qn, L)
     row0 = g * jnp.int32(jb * qn)
     rows = jax.lax.broadcasted_iota(jnp.int32, (jb * qn, L), 0) + row0
     lanes = jax.lax.broadcasted_iota(jnp.int32, (jb * qn, L), 1)
     valid = rows * jnp.int32(L) + lanes < K_ref[0]
-    out_ref[0] = jnp.where(valid, o, jnp.float32(0.0))
+    out_refs[0][0] = jnp.where(valid, o, jnp.float32(0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len", "jb", "interpret"))
+                                             "hist_len", "jb", "interpret",
+                                             "split_out"))
 def fixed_step_pallas(hist, x, P, start, K, acc, *, M: int, L: int, nb: int,
                       qn: int, hist_len: int, jb: int = 64,
-                      interpret: bool = False, fracv=None):
+                      interpret: bool = False, fracv=None,
+                      split_out: bool = False):
     """Drop-in replacement for parallel.streams._chunk_body (reduced f32
     mode): same signature semantics, same (new_hist, out [ch, nb*L], acc)
     results at the f32 matmul floor.
 
     With ``fracv`` (per-phase lerp fractions, [L]) this is the interpolated
     body instead (_chunk_body_interp): P stacks the two adjacent phase
-    banks [qn*M, 2L] and the lerp runs in-kernel after each residue dot."""
+    banks [qn*M, 2L] and the lerp runs in-kernel after each residue dot.
+
+    ``split_out``: Mosaic fallback layout — qn separate output refs (one
+    per residue, no in-kernel [jb,qn,L]->[jb*qn,L] stack-reshape), the
+    interleave restated as an XLA stack+reshape outside the kernel.
+    Identical values either way; keep for the case where the fused
+    output reshape fails to lower on the remote compiler."""
     if jb % _HALO_T:
         raise ValueError(f"jb must be a multiple of {_HALO_T} (the halo "
                          f"BlockSpec indexes in {_HALO_T}-tile units)")
@@ -136,22 +156,32 @@ def fixed_step_pallas(hist, x, P, start, K, acc, *, M: int, L: int, nb: int,
         in_specs.append(pl.BlockSpec((1, L), lambda c, g, s: (0, 0)))
         args.append(fracv.astype(jnp.float32).reshape(1, L))
 
+    if split_out:
+        out_specs = [pl.BlockSpec((1, jb, L), lambda c, g, s: (c, g, 0))
+                     for _ in range(qn)]
+        out_shape = [jax.ShapeDtypeStruct((ch, njq_pad, L), jnp.float32)
+                     for _ in range(qn)]
+    else:
+        out_specs = pl.BlockSpec((1, jb * qn, L), lambda c, g, s: (c, g, 0))
+        out_shape = jax.ShapeDtypeStruct((ch, njq_pad * qn, L), jnp.float32)
+
     with jax.enable_x64(False):                 # Mosaic cannot lower i64/f64
         out3 = pl.pallas_call(
             functools.partial(_fixed_kernel, M=M, L=L, qn=qn, jb=jb,
-                              interp=interp),
+                              interp=interp, split=split_out),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(ch, ngrid),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((1, jb * qn, L),
-                                       lambda c, g, s: (c, g, 0)),
+                out_specs=out_specs,
             ),
-            out_shape=jax.ShapeDtypeStruct((ch, njq_pad * qn, L),
-                                           jnp.float32),
+            out_shape=out_shape,
             interpret=interpret,
         )(*args)
 
+    if split_out:
+        # interleave residues back: output block j*qn + r
+        out3 = jnp.stack(out3, axis=2).reshape(ch, njq_pad * qn, L)
     out = jax.lax.slice(out3, (0, 0, 0), (ch, nb, L)).reshape(ch, nb * L)
     acc = acc + jnp.sum(out * out)
     new_hist = jax.lax.dynamic_slice(

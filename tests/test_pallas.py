@@ -337,3 +337,41 @@ def test_fixed_pallas_scan_matches_sequential():
                                       outs[g][:, :oa.shape[1]])
         assert not outs[g][:, oa.shape[1]:].any()
     assert float(acc_a) == pytest.approx(float(acc), rel=1e-6)
+
+
+@pytest.mark.parametrize("interp", [False, True])
+def test_fixed_pallas_split_out_bitwise(interp):
+    """split_out=True (qn separate output refs + XLA interleave — the
+    Mosaic fallback layout for the in-kernel stack-reshape) produces
+    bit-identical results to the fused-output layout: same dots in the
+    same order, only the output plumbing differs."""
+    from art_tpu.core.flags import (BLACKMAN_HARRIS, INCLUDE_LOWPASS,
+                                    SUBSAMPLE_INTERPOLATE)
+    from art_tpu.ops.fixed_pallas import fixed_step_pallas
+    from art_tpu.parallel.streams import DeviceStreamResampler
+    from art_tpu.utils.testsig import NoiseLCG
+
+    IB = SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS | INCLUDE_LOWPASS
+    taps, filters = (48, 48) if interp else (380, 380)
+    eng = DeviceStreamResampler(2, taps, filters, 44100, 48000, 0, IB)
+    eng.advance_position(taps // 2)
+    chunk = 4096
+    K, start, j0, pos0, plan = eng._plan_compute(chunk)
+    nb = -(-K // eng.L)
+    if interp:
+        P, fracv = eng._interp_matrix(pos0)[:2]
+    else:
+        P, fracv = eng._matrix(j0), None
+    lcg = NoiseLCG()
+    x = jnp.asarray(lcg.fill(2 * chunk).reshape(2, chunk))
+    hist = jnp.zeros((2, eng.num_samples), jnp.float32)
+    acc = jnp.zeros((), jnp.float32)
+    kw = dict(M=eng.M, L=eng.L, nb=nb, qn=eng.qn, hist_len=eng.num_samples,
+              jb=8, interpret=True, fracv=fracv)
+    ha, oa, aa = fixed_step_pallas(hist, x, P, jnp.int32(start),
+                                   jnp.int32(K), acc, **kw)
+    hb, ob, ab = fixed_step_pallas(hist, x, P, jnp.int32(start),
+                                   jnp.int32(K), acc, split_out=True, **kw)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+    np.testing.assert_array_equal(np.asarray(ha), np.asarray(hb))
+    assert float(aa) == float(ab)

@@ -80,11 +80,15 @@ def body_ship(hist, x, P, start, K, acc):
     return _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len)
 
 
+SPLIT = bool(int(os.environ.get("SPLIT_OUT", "0")))
+
+
 def body_pl(jb):
     def f(hist, x, P, start, K, acc):
         return fixed_step_pallas(hist, x, P, start, K, acc, M=M, L=L,
                                  nb=nb, qn=qn, hist_len=hist_len, jb=jb,
-                                 fracv=fracv, interpret=INTERP)
+                                 fracv=fracv, interpret=INTERP,
+                                 split_out=SPLIT)
     return f
 
 

@@ -234,6 +234,14 @@ def smoke_fixed_stream():
     sci = float(np.abs(o3).max())
     mdi = float(np.abs(o3 - o4).max())
     assert mdi < 3e-6 * sci, (mdi, sci)
+
+    # split-out fallback layout (qn output refs + XLA interleave) must
+    # lower too and match the fused layout bitwise
+    h5, o5, a5 = fixed_step_pallas(hist, x, P, start, K, acc, M=M, L=L,
+                                   nb=nb, qn=qn, hist_len=hist_len,
+                                   split_out=True,
+                                   interpret=jax.default_backend() != "tpu")
+    assert np.array_equal(o2, np.asarray(o5))
     return {"maxdiff_rel": md / sc, "interp_maxdiff_rel": mdi / sci}
 
 
