@@ -572,3 +572,57 @@ def test_cli_device_mesh_postfilter_iooverlap_compose(tmp_path):
     db = np.frombuffer(ad[-40000:], "<i2").astype(np.int32)
     diff = np.abs(da - db)
     assert diff.max() <= 12 and diff.mean() < 2.0
+
+
+def test_cli_device_oversize_engine_chunk_single_shape(tmp_path, monkeypatch):
+    """-t16 -f1024 makes the device engine's padded chunk (nb*L = 18432
+    rows) exceed the CLI's decimator row bucket (ceil(outcap/256)*256 =
+    18176): the oversize rows are invalid padding and must be sliced off
+    so the fused DeviceDecimator still compiles exactly ONE shape (on a
+    remote-compile deployment every extra shape is a multi-minute stall).
+    Output parity vs the numpy backend at the documented conv floor."""
+    import io as _io
+    from contextlib import redirect_stderr
+
+    import numpy as np
+
+    from art_tpu.cli import art
+    from art_tpu.engines.decimator import DeviceDecimator
+    from art_tpu.io import wavfile
+
+    rng = np.random.default_rng(11)
+    n = 44100
+    x = (rng.standard_normal((n, 2)) * 0.4).astype(np.float32)
+    src = tmp_path / "in.wav"
+    with open(src, "wb") as f:
+        wavfile.write_wav_header(f, bits=32, num_channels=2, num_frames=n,
+                                 sample_rate=44100, channel_mask=0x3)
+        f.write(x.astype("<f4").tobytes())
+
+    rows_seen = set()
+    orig = DeviceDecimator.process_chunk_async
+
+    def spy(self, srcarr, generated):
+        rows_seen.add(int(srcarr.shape[0]))
+        return orig(self, srcarr, generated)
+
+    monkeypatch.setattr(DeviceDecimator, "process_chunk_async", spy)
+
+    def convert(be, tag):
+        dst = tmp_path / f"out_{tag}.wav"
+        buf = _io.StringIO()
+        with redirect_stderr(buf):
+            rc = art.main(["-q", "-y", f"--backend={be}", "-t16", "-f1024",
+                           "-r48k", "-o16", "-n0", str(src), str(dst)])
+        assert not rc
+        return dst.read_bytes(), buf.getvalue()
+
+    ad, wd = convert("device", "device")
+    assert len(rows_seen) == 1          # one compiled decimator shape
+    an, wn = convert("numpy", "numpy")
+    assert len(an) == len(ad)
+    assert wn == wd
+    da = np.frombuffer(an[-80000:], "<i2").astype(np.int32)
+    db = np.frombuffer(ad[-80000:], "<i2").astype(np.int32)
+    diff = np.abs(da - db)
+    assert diff.max() <= 12 and diff.mean() < 2.0
