@@ -615,3 +615,35 @@ def test_process_scan_rejects_oversized_anchor_bank():
     assert not eng.interp and eng.L == 1024
     with pytest.raises(ValueError, match="stacked anchor bank"):
         eng.process_scan(jnp.zeros((1, 1, 4096), jnp.float32), 4096)
+
+
+def test_sharded_step_perdevice_flops_scale():
+    """The weak-scaling claim for the shipped engine, pinned on XLA's own
+    cost model: per-device FLOPs of the compiled streams-sharded step
+    halve with each doubling of the streams axis (8 channels over 1/2/4/8
+    devices), and taps sharding composes ((4,2) ~ (8,1)).  Complements the
+    no-data-collectives HLO test: together they prove the mesh path does
+    1/N of the work per device and moves no tensor data for it."""
+    from art_tpu.parallel.sharding import make_mesh
+
+    def per_device_flops(meshspec):
+        eng = DeviceStreamResampler(8, 380, 380, 44100, 48000, 0, IBL,
+                                    mesh=make_mesh(*meshspec))
+        nb = 29
+        step = eng._sharded_step(nb)
+        args = (eng.hist, jnp.zeros((eng._rows, 4096), jnp.float32),
+                eng._matrix(0), jnp.int32(0), jnp.int32(nb * eng.L),
+                jnp.zeros((), jnp.float32))
+        ca = step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):        # older jax returns [dict]
+            ca = ca[0]
+        return float(ca["flops"])
+
+    f = {ms: per_device_flops(ms) for ms in [(1, 1), (2, 1), (4, 1),
+                                             (8, 1), (4, 2)]}
+    for a, b in [((1, 1), (2, 1)), ((2, 1), (4, 1)), ((4, 1), (8, 1))]:
+        ratio = f[a] / f[b]
+        assert 1.85 < ratio < 2.15, (a, b, f)
+    # taps axis: splitting the contraction 2-way on top of 4-way streams
+    # lands within 10% of 8-way streams (psum epilogue adds a little)
+    assert abs(f[(4, 2)] / f[(8, 1)] - 1.0) < 0.10, f
