@@ -44,7 +44,6 @@ from .._jaxinit import ensure_jax
 
 jax = ensure_jax()
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

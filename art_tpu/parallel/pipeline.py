@@ -22,8 +22,6 @@ threaded == unthreaded guarantee).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from .._jaxinit import ensure_jax

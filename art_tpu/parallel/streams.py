@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from ..core import accounting
 from ..core.flags import (BLACKMAN_HARRIS, EXTRAPOLATE_ENDPOINTS,
                           EXTRAPOLATE_PREFILL, INCLUDE_LOWPASS,
-                          RESAMPLER_SNAP_OFFSET, SUBSAMPLE_INTERPOLATE)
+                          SUBSAMPLE_INTERPOLATE)
 from ..core.filters import make_filter_bank, plan_fixed_ratio
 from ..ops.polyphase import PolyphaseMatrix
 from .pipeline import residue_window_dots
