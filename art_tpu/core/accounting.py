@@ -69,21 +69,55 @@ def snap_offset(offset: float, num_filters: int) -> float:
     return fl + math.floor((offset - fl) * num_filters + 0.5) / num_filters
 
 
-def _count_emissions(o_lin: float, ratio: float, bound: float,
-                     n_out: int) -> int:
-    """Largest prefix m <= n_out with fl(o_lin + fl(k/ratio)) < bound for all
-    k < m, without materializing the position array.  A closed-form estimate
-    is corrected by evaluating the exact float condition near the boundary."""
+def _ring_floor(o0: float, q: float, i0: int, avail: int,
+                num_samples: int, num_taps: int) -> tuple[int, int]:
+    """Linear-coordinate floor of emission position o0 + q evaluated the
+    way the reference loop does: in RING coordinates current at the
+    emission's compare.  Mid-call ring slides subtract the exact integer
+    S = num_samples - num_taps from outputOffset (resampler.c:500-501),
+    so the compared float is fl((o0 - s*S) + q) — at a rounding tie this
+    keeps fraction bits the large-magnitude sum fl(o0 + q) loses, and the
+    emission/consume decision can differ by one.  The slide count s
+    depends on inputs consumed before the emission, which depends on the
+    floored position itself; the fixpoint converges immediately except at
+    sub-ulp integer crossings (same scheme as ring_positions, capped).
+    Returns (floor in linear coordinates, s)."""
+    half = num_taps // 2
+    S = num_samples - num_taps
+    s = 0
+    for _ in range(4):
+        x = (o0 - s * S) + q
+        ip = math.floor(x) + s * S
+        m = min(max(ip + half - i0 + 1, 0), avail)
+        s_new = max(0, -((num_samples - i0 - m) // S))
+        if s_new == s:
+            break
+        s = s_new
+    return math.floor((o0 - s * S) + q) + s * S, s
+
+
+def _count_emissions(o_lin: float, ratio: float, bound: float, n_out: int,
+                     *, input_index: int, avail: int, num_samples: int,
+                     num_taps: int) -> int:
+    """Largest prefix m <= n_out of emissions the reference loop performs:
+    emission k happens iff its ring-coordinate floored position is < bound
+    (enough input within the budget for its window), evaluated with the
+    reference's mid-call slide re-rounding (_ring_floor).  A closed-form
+    estimate is corrected by evaluating the exact float condition near the
+    boundary, without materializing the position array."""
     if n_out <= 0:
         return 0
-    if not (o_lin < bound):          # first emission already blocked
+
+    def ok(k: int) -> bool:
+        ip, _s = _ring_floor(o_lin, k / ratio, input_index, avail,
+                             num_samples, num_taps)
+        return ip < bound
+
+    if not ok(0):                    # first emission already blocked
         return 0
     est = min(int(math.floor((bound - o_lin) * ratio)), n_out)
     lo = max(0, est - 4)
     hi = min(n_out, est + 4)
-
-    def ok(k: int) -> bool:
-        return (o_lin + (k / ratio)) < bound
 
     # ensure the bracket actually brackets the boundary
     while lo > 0 and not ok(lo):
@@ -146,15 +180,21 @@ def plan_process(*, output_offset: float, input_index: int, flags: int,
     # where x_k = fl(o_lin + fl(k / ratio)); count emissions with the full
     # budget available, capped by output space.
     bound = i_lin0 + avail - half
-    output_generated = _count_emissions(o_lin, ratio, bound, n_out)
+    output_generated = _count_emissions(o_lin, ratio, bound, n_out,
+                                        input_index=i_lin0, avail=avail,
+                                        num_samples=num_samples,
+                                        num_taps=num_taps)
 
     if n_out == 0:
         input_used = 0
     elif output_generated < n_out:
         input_used = avail
     else:
-        x_last = o_lin + ((output_generated - 1) / ratio)
-        m_min = math.floor(x_last) + half - i_lin0 + 1
+        # ring-exact floor of the last emission's position (the same
+        # slide re-rounding as the count above)
+        ip_last, _ = _ring_floor(o_lin, (output_generated - 1) / ratio,
+                                 i_lin0, avail, num_samples, num_taps)
+        m_min = ip_last + half - i_lin0 + 1
         input_used = min(avail, max(0, m_min))
 
     # prefill bookkeeping: fires (and disarms) at the first emission

@@ -250,6 +250,35 @@ class BatchedASRC:
         live = self.offsets + (self.num_taps / 2.0) - self.input_index
         return np.where(self.flushed, self._flushed_pos, live)
 
+    def _ring_ok(self, ratios, k, n):
+        """Emission-k feasibility with the reference's ring-coordinate
+        slide re-rounding (resampler.c:500-501, 526): the loop compares
+        fl((offset - s*S) + fl(k/ratio)) < bound - s*S, where s is the
+        slide count at the emission's consume boundary — at a float64
+        rounding tie this differs from the entry-coordinate compare
+        fl(offset + k/ratio) < bound (the scalar form and full analysis:
+        core.accounting._ring_floor).  ``k``: int array broadcastable
+        against ratios; returns a bool array of the same shape."""
+        i0 = self.input_index
+        ns = self.num_samples
+        S = ns - self.num_taps
+        half = self.num_taps // 2
+        offs = self.offsets
+        q = np.asarray(k, np.int64) / ratios
+        if q.ndim == 2:
+            offs = offs[:, None]
+        s = np.zeros(q.shape, dtype=np.int64)
+        for _ in range(4):
+            x = (offs - s * S) + q
+            ip = np.floor(x).astype(np.int64) + s * S
+            m = np.clip(ip + half - i0 + 1, 0, n)
+            s_new = np.maximum(0, -((ns - i0 - m) // S))
+            if np.array_equal(s_new, s):
+                break
+            s = s_new
+        ip = np.floor((offs - s * S) + q).astype(np.int64) + s * S
+        return ip < (i0 + n - half)
+
     def process(self, x, ratios, k_max: int | None = None):
         """x: device [S, n]; ratios: [S] per-call drifting ratios.
 
@@ -273,22 +302,21 @@ class BatchedASRC:
         # per-stream emission counts: pos_k = offset + k/ratio is strictly
         # increasing, so a closed-form estimate bracket-corrected at the
         # boundary reproduces the exact per-k comparison (the same float
-        # ops per stream as core.accounting._count_emissions) in O(S)
-        # instead of materializing an [S, k_max] position grid
-        bound = float(self.input_index + n - half)
+        # ops per stream as core.accounting._count_emissions, including
+        # the ring-coordinate slide re-rounding at ties) in O(S) instead
+        # of materializing an [S, k_max] position grid
+        bound = self.input_index + n - half
         est = np.floor((bound - self.offsets) * ratios).astype(np.int64)
         est = np.clip(est, 0, k_max)
-        for _ in range(64):     # pos(est-1) < bound <= pos(est) exactly
-            over = (est > 0) & \
-                (self.offsets + (est - 1) / ratios >= bound)
-            under = (est < k_max) & (self.offsets + est / ratios < bound)
+        for _ in range(64):     # ok(est-1) and not ok(est) exactly
+            over = (est > 0) & ~self._ring_ok(ratios, est - 1, n)
+            under = (est < k_max) & self._ring_ok(ratios, est, n)
             if not (over.any() or under.any()):
                 break
             est = est - over + under
         else:   # estimate off by >64: fall back to the exact grid
-            ks = np.arange(k_max, dtype=np.float64)
-            est = ((self.offsets[:, None] + ks[None, :] / ratios[:, None])
-                   < bound).sum(axis=1)
+            ks = np.arange(k_max, dtype=np.int64)
+            est = self._ring_ok(ratios[:, None], ks[None, :], n).sum(axis=1)
         Ks = est.astype(np.int32)
         Ks[self.flushed] = 0            # latched streams ignore input
         if int(Ks.max(initial=0)) >= (req_k_max if req_k_max is not None
@@ -335,11 +363,18 @@ class BatchedASRC:
 
         # final emission counts: the zero postfill raises the input bound
         # by half and emission stops at idx_f - half = input_index
-        # (reference resampler.c:882-918 flush simulation)
-        bound = float(self.input_index)
+        # (reference resampler.c:882-918 flush simulation).  If the pad
+        # would not fit, postfill slides the ring FIRST (resampler.c:667-
+        # 672) and the emission compare then runs in slid coordinates —
+        # an integer shift of both sides that re-rounds the float compare
+        # at ties (same class as _ring_ok; no further slides occur during
+        # flush, so one static shift suffices)
+        shift = (self.num_samples - self.num_taps
+                 if self.num_samples - self.input_index < half else 0)
+        bound = self.input_index - shift
         ks = np.arange(k_max, dtype=np.float64)
-        Ks = ((self.offsets[:, None] + ks[None, :] / ratios[:, None])
-              < bound).sum(axis=1).astype(np.int32)
+        Ks = (((self.offsets - shift)[:, None] + ks[None, :]
+               / ratios[:, None]) < bound).sum(axis=1).astype(np.int32)
         Ks[~mask] = 0
         if int(Ks.max(initial=0)) >= (req_k_max if req_k_max is not None
                                       else k_max):
@@ -348,10 +383,13 @@ class BatchedASRC:
         x = jnp.zeros((self.S, half), dtype=self.dtype)
         _discard_hist, out = self._run_step(x, ratios, Ks, k_max, req_k_max)
 
-        final_off = self.offsets + Ks / ratios
+        # the reference accumulates outputOffset in the slid coordinates
+        # (oo_ring + offset2 rounds there); position = oo_f + half - idx_f
+        final_ring = (self.offsets - shift) + Ks / ratios
         self._flushed_pos = np.where(
-            mask, final_off - self.input_index, self._flushed_pos)
-        self.offsets = np.where(mask, final_off, self.offsets)
+            mask, final_ring - (self.input_index - shift),
+            self._flushed_pos)
+        self.offsets = np.where(mask, final_ring + shift, self.offsets)
         self.flushed = self.flushed | mask
         return out, Ks
 

@@ -416,3 +416,35 @@ def test_batched_asrc_f64_flush_matches_host_engines():
         assert res.output_generated == fKs[s]
         assert np.abs(ho[0] - fout[s, :fKs[s]]).max() < 1e-6
         assert pos[s] == singles[s].get_position()
+
+
+def test_asrc_slide_tie_boundary_counts():
+    """Fuzz seed 5113's float64 rounding tie, ASRC form: on the second
+    call the emission boundary compare differs between entry and slid
+    ring coordinates (the reference re-rounds fl(outputOffset + offset2)
+    after each mid-call ring slide, resampler.c:500-501).  The batched
+    engine's O(S) count bracket must evaluate the ring-exact compare
+    (BatchedASRC._ring_ok) — the entry-coordinate form emitted 1394
+    instead of 1395 here.  Counts and positions vs the host engine
+    (itself golden-tested on this config) must match exactly."""
+    from art_tpu.utils.testsig import NoiseLCG
+
+    taps, filters = 88, 67
+    ratio = 48000 / 44100
+    b = BatchedASRC(8, taps, filters)
+    b.advance_position(taps // 2 + 26.25)
+    r = Resampler(1, taps, filters, 0.0,
+                  SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS, backend="numpy")
+    r.advance_position(taps // 2 + 26.25)
+    lcg = NoiseLCG()
+    seenK = []
+    for t in range(3):
+        x = lcg.fill(1281).reshape(1, 1281)
+        xs = np.ascontiguousarray(np.broadcast_to(x, (8, 1281)))
+        out, Ks = b.process(jnp.asarray(xs), np.full(8, ratio))
+        ho, res = r.process(x, 1281, 4000, ratio)
+        assert int(Ks[0]) == res.output_generated, (t, Ks[0])
+        assert (Ks == Ks[0]).all()
+        assert (b.get_position() == r.get_position()).all()
+        seenK.append(res.output_generated)
+    assert seenK[1] == 1395      # the tie call (1394 = regression)

@@ -32,6 +32,13 @@ CASES = [
     ("many_channels", 6, 48, 48, I | B | L, 1, 48000, 44100, 0, 44100 / 48000, 512, 3, 24.0),
     ("phase_shift", 1, 48, 48, I | B | NO_FILTER_REDUCTION, 1, 44100, 48000, 0, 48000 / 44100, 512, 3, 24.25),
     ("long_stream_slides", 1, 48, 48, I | B | L, 1, 44100, 48000, 0, 48000 / 44100, 4096, 6, 24.0),
+    # fuzz seed 5113: the emission boundary lands on a float64 rounding TIE
+    # whose decision differs between entry and slid ring coordinates — the
+    # reference re-rounds fl(outputOffset + offset2) after each mid-call
+    # slide (resampler.c:500-501, 526), so the count must be evaluated in
+    # ring coordinates (accounting._ring_floor); with an entry-coordinate
+    # compare this config generated 1394 (not 1395) on block 1
+    ("slide_tie_boundary", 2, 88, 67, I | B | L | NO_FILTER_REDUCTION, 1, 44100, 48000, 0, 48000 / 44100, 1281, 3, 26.25),
 ]
 
 
