@@ -273,6 +273,10 @@ def parse_args(argv, opt: Options):
     if opt.duration is not None and opt.tempo_ratio != 1.0:
         raise SystemExit("error: can't specify BOTH a tempo change and a "
                          "target duration!")
+    if opt.mesh is not None and opt.backend != "device":
+        # without this the run would complete single-device and the user
+        # would believe it was sharded
+        raise SystemExit("error: --mesh requires --backend=device!")
     return opt
 
 

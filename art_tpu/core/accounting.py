@@ -69,8 +69,8 @@ def snap_offset(offset: float, num_filters: int) -> float:
     return fl + math.floor((offset - fl) * num_filters + 0.5) / num_filters
 
 
-def _ring_floor(o0: float, q: float, i0: int, avail: int,
-                num_samples: int, num_taps: int) -> tuple[int, int]:
+def ring_floor(o0, q, i0: int, avail: int, num_samples: int,
+               num_taps: int):
     """Linear-coordinate floor of emission position o0 + q evaluated the
     way the reference loop does: in RING coordinates current at the
     emission's compare.  Mid-call ring slides subtract the exact integer
@@ -81,19 +81,32 @@ def _ring_floor(o0: float, q: float, i0: int, avail: int,
     depends on inputs consumed before the emission, which depends on the
     floored position itself; the fixpoint converges immediately except at
     sub-ulp integer crossings (same scheme as ring_positions, capped).
-    Returns (floor in linear coordinates, s)."""
+
+    Vectorized: ``o0`` and ``q`` broadcast (python floats or numpy
+    arrays); every count path — scalar process planning and the batched
+    ASRC bracket — shares THIS implementation so the parity-critical tie
+    logic cannot silently diverge.  Returns the floor(s) in linear
+    coordinates as int64."""
     half = num_taps // 2
     S = num_samples - num_taps
-    s = 0
+    o0 = np.asarray(o0, np.float64)
+    q = np.asarray(q, np.float64)
+    s = np.zeros(np.broadcast(o0, q).shape, dtype=np.int64)
     for _ in range(4):
         x = (o0 - s * S) + q
-        ip = math.floor(x) + s * S
-        m = min(max(ip + half - i0 + 1, 0), avail)
-        s_new = max(0, -((num_samples - i0 - m) // S))
-        if s_new == s:
+        ip = np.floor(x).astype(np.int64) + s * S
+        m = np.clip(ip + half - i0 + 1, 0, avail)
+        s_new = np.maximum(0, -((num_samples - i0 - m) // S))
+        if np.array_equal(s_new, s):
             break
         s = s_new
-    return math.floor((o0 - s * S) + q) + s * S, s
+    return np.floor((o0 - s * S) + q).astype(np.int64) + s * S
+
+
+def _ring_floor(o0: float, q: float, i0: int, avail: int,
+                num_samples: int, num_taps: int) -> int:
+    """Scalar form of ring_floor (see there)."""
+    return int(ring_floor(o0, q, i0, avail, num_samples, num_taps))
 
 
 def _count_emissions(o_lin: float, ratio: float, bound: float, n_out: int,
@@ -109,9 +122,8 @@ def _count_emissions(o_lin: float, ratio: float, bound: float, n_out: int,
         return 0
 
     def ok(k: int) -> bool:
-        ip, _s = _ring_floor(o_lin, k / ratio, input_index, avail,
-                             num_samples, num_taps)
-        return ip < bound
+        return _ring_floor(o_lin, k / ratio, input_index, avail,
+                           num_samples, num_taps) < bound
 
     if not ok(0):                    # first emission already blocked
         return 0
@@ -192,8 +204,8 @@ def plan_process(*, output_offset: float, input_index: int, flags: int,
     else:
         # ring-exact floor of the last emission's position (the same
         # slide re-rounding as the count above)
-        ip_last, _ = _ring_floor(o_lin, (output_generated - 1) / ratio,
-                                 i_lin0, avail, num_samples, num_taps)
+        ip_last = _ring_floor(o_lin, (output_generated - 1) / ratio,
+                              i_lin0, avail, num_samples, num_taps)
         m_min = ip_last + half - i_lin0 + 1
         input_used = min(avail, max(0, m_min))
 

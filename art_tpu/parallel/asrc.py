@@ -259,25 +259,14 @@ class BatchedASRC:
         fl(offset + k/ratio) < bound (the scalar form and full analysis:
         core.accounting._ring_floor).  ``k``: int array broadcastable
         against ratios; returns a bool array of the same shape."""
-        i0 = self.input_index
-        ns = self.num_samples
-        S = ns - self.num_taps
-        half = self.num_taps // 2
+        from ..core.accounting import ring_floor
         offs = self.offsets
         q = np.asarray(k, np.int64) / ratios
         if q.ndim == 2:
             offs = offs[:, None]
-        s = np.zeros(q.shape, dtype=np.int64)
-        for _ in range(4):
-            x = (offs - s * S) + q
-            ip = np.floor(x).astype(np.int64) + s * S
-            m = np.clip(ip + half - i0 + 1, 0, n)
-            s_new = np.maximum(0, -((ns - i0 - m) // S))
-            if np.array_equal(s_new, s):
-                break
-            s = s_new
-        ip = np.floor((offs - s * S) + q).astype(np.int64) + s * S
-        return ip < (i0 + n - half)
+        ip = ring_floor(offs, q, self.input_index, n, self.num_samples,
+                        self.num_taps)
+        return ip < (self.input_index + n - self.num_taps // 2)
 
     def process(self, x, ratios, k_max: int | None = None):
         """x: device [S, n]; ratios: [S] per-call drifting ratios.
@@ -319,8 +308,11 @@ class BatchedASRC:
             est = self._ring_ok(ratios[:, None], ks[None, :], n).sum(axis=1)
         Ks = est.astype(np.int32)
         Ks[self.flushed] = 0            # latched streams ignore input
-        if int(Ks.max(initial=0)) >= (req_k_max if req_k_max is not None
-                                      else k_max):
+        # counts saturating the padded capacity are ambiguous (est was
+        # clipped there); an EXACTLY-full requested capacity is not — the
+        # host count is exact, so Ks.max() == req_k_max < k_max is legal
+        kmx = int(Ks.max(initial=0))
+        if kmx >= k_max or (req_k_max is not None and kmx > req_k_max):
             raise ValueError("k_max too small for requested chunk")
 
         new_hist, out = self._run_step(x, ratios, Ks, k_max, req_k_max)
@@ -376,8 +368,10 @@ class BatchedASRC:
         Ks = (((self.offsets - shift)[:, None] + ks[None, :]
                / ratios[:, None]) < bound).sum(axis=1).astype(np.int32)
         Ks[~mask] = 0
-        if int(Ks.max(initial=0)) >= (req_k_max if req_k_max is not None
-                                      else k_max):
+        # same rule as process(): only padded-capacity saturation is
+        # ambiguous; an exactly-full requested capacity is a valid flush
+        kmx = int(Ks.max(initial=0))
+        if kmx >= k_max or (req_k_max is not None and kmx > req_k_max):
             raise ValueError("k_max too small for flush")
 
         x = jnp.zeros((self.S, half), dtype=self.dtype)

@@ -412,6 +412,10 @@ class DeviceStreamResampler:
         G = xs.shape[0]
         if self.interp:
             return self._process_scan_interp(xs, n_in, acc)
+        # build/validate the stacked bank BEFORE the planning loop: _plan
+        # mutates consume/emit state per chunk, so a size rejection after
+        # it would leave the engine silently desynced from the audio
+        self._stacked_matrices()
         plans = [self._plan(n_in) for _ in range(G)]
         Ks = [p[0] for p in plans]
         nb = max(max(-(-k // self.L) for k in Ks), 1)

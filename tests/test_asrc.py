@@ -448,3 +448,34 @@ def test_asrc_slide_tie_boundary_counts():
         assert (b.get_position() == r.get_position()).all()
         seenK.append(res.output_generated)
     assert seenK[1] == 1395      # the tie call (1394 = regression)
+
+
+def test_asrc_exactly_full_requested_capacity_ok():
+    """Ks.max() == req_k_max exactly fills the requested capacity — the
+    host count is exact (only padded-capacity saturation is ambiguous),
+    so this must succeed, and one more output must raise."""
+    b = BatchedASRC(4, 48, 48)
+    b.advance_position(24)
+    x = jnp.asarray(np.zeros((4, 500), np.float32))
+    r = np.full(4, 1.0)
+    out, Ks = b.process(x, r, k_max=1000)      # prime past startup latency
+    out, Ks = b.process(x, r, k_max=1000)
+    steady = int(Ks.max())
+    assert steady > 0
+    out, Ks = b.process(x, r, k_max=steady)    # exactly full: legal
+    assert int(Ks.max()) == steady and out.shape[1] == steady
+    with pytest.raises(ValueError):
+        b.process(x, r, k_max=steady - 1)
+
+    # flush: same rule
+    b2 = BatchedASRC(4, 48, 48)
+    b2.advance_position(24)
+    b2.process(x, r)
+    _o, fK = BatchedASRC(4, 48, 48), None
+    probe = BatchedASRC(4, 48, 48)
+    probe.advance_position(24)
+    probe.process(x, r)
+    _, fKs = probe.flush(r)
+    need = int(fKs.max())
+    out, Ks = b2.flush(r, k_max=need)          # exactly full: legal
+    assert int(Ks.max()) == need

@@ -626,3 +626,15 @@ def test_cli_device_oversize_engine_chunk_single_shape(tmp_path, monkeypatch):
     db = np.frombuffer(ad[-80000:], "<i2").astype(np.int32)
     diff = np.abs(da - db)
     assert diff.max() <= 12 and diff.mean() < 2.0
+
+
+def test_cli_mesh_requires_device_backend(tmp_path):
+    """--mesh with a non-device backend must error, not silently run
+    single-device."""
+    import pytest
+
+    from art_tpu.cli import art
+
+    with pytest.raises(SystemExit, match="--mesh requires"):
+        art.parse_args(["--mesh=8", "-r48k", "in.wav", "out.wav"],
+                       art.Options())

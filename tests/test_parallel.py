@@ -647,3 +647,21 @@ def test_sharded_step_perdevice_flops_scale():
     # taps axis: splitting the contraction 2-way on top of 4-way streams
     # lands within 10% of 8-way streams (psum epilogue adds a little)
     assert abs(f[(4, 2)] / f[(8, 1)] - 1.0) < 0.10, f
+
+
+def test_process_scan_size_rejection_preserves_state(monkeypatch):
+    """A stacked-bank size rejection must fire BEFORE the per-chunk
+    planning loop: _plan mutates consume/emit state, so raising after it
+    would silently desync the engine from the audio."""
+    eng = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IBL)
+    eng.advance_position(190)
+    state = (eng.output_offset, eng.input_index)
+
+    def boom(self):
+        raise ValueError("stacked anchor bank would need too much")
+
+    monkeypatch.setattr(DeviceStreamResampler, "_stacked_matrices", boom)
+    xs = jnp.zeros((3, 2, 1024), jnp.float32)
+    with pytest.raises(ValueError):
+        eng.process_scan(xs, 1024)
+    assert (eng.output_offset, eng.input_index) == state
