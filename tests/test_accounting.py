@@ -72,3 +72,59 @@ def test_dry_run_queries_scale_to_millions():
     assert abs(used - 10_000_000 * 44100 / 48000) < 10
     assert abs(exp - 10_000_000 * 48000 / 44100) < 10
     assert dt < 5.0
+
+
+@pytest.mark.parametrize("cfg", [
+    # chans, taps, filters, flags(hex), mode, src, dst, lowpass, ratio, block, advance
+    (2, 380, 380, 0x7, 1, 44100, 48000, 0, 48000 / 44100, 1000, 190.0),
+    (1, 48, 48, 0x3, 0, 1, 1, 0.0, 1.003, 777, 24.0),
+    (2, 88, 67, 0x17, 1, 44100, 48000, 0, 48000 / 44100, 1281, 26.25),
+    (2, 156, 320, 0x7, 1, 96000, 44100, 0, 44100 / 96000, 2048, 78.0),
+    (1, 64, 16, 0x3, 0, 1, 1, 0.5, 0.6, 511, 0.0),
+])
+def test_dryrun_queries_vs_reference_binary(golden_bin, cfg):
+    """GetRequiredSamples / GetExpectedOutput (incl. the flush simulation)
+    directly against the LIVE C functions across streamed states — the
+    queries accumulate offset += 1/ratio (a different float64 sequence
+    from the process loop, reference resampler.c:853-918), so they need
+    their own golden rather than the loop-oracle mirrors alone."""
+    import subprocess
+
+    from art_tpu.engines.resampler import Resampler
+    from art_tpu.utils.testsig import NoiseLCG
+
+    (chans, taps, filters, flags, mode, src, dst, lowpass, ratio, block,
+     advance) = cfg
+    nblocks, nq = 3, 8
+    args = [str(golden_bin), "query", str(chans), str(taps), str(filters),
+            format(flags, "x"), str(mode), str(src), str(dst), str(lowpass),
+            repr(ratio), str(block), str(nblocks), repr(advance), str(nq)]
+    raw = subprocess.run(args, capture_output=True, check=True).stdout
+    vals = np.frombuffer(raw, dtype=np.uint32)
+    assert len(vals) == nblocks * (2 + 2 * nq + 1)
+
+    if mode:
+        r = Resampler.fixed_ratio(chans, taps, filters, src, dst,
+                                  int(lowpass), flags)
+    else:
+        r = Resampler(chans, taps, filters, lowpass, flags)
+    if advance:
+        r.advance_position(advance)
+    lcg = NoiseLCG()
+    outcap = int((block + taps) * max(ratio, 1.0)
+                 * max(dst / src if src else 1.0, 1.0)) + taps + 64
+    off = 0
+    for b in range(nblocks):
+        inp = lcg.fill(block * chans).reshape(block, chans)
+        out, res = r.process_interleaved(inp, block, outcap, ratio)
+        assert (res.input_used, res.output_generated) == \
+            (int(vals[off]), int(vals[off + 1])), b
+        off += 2
+        for i in range(nq):
+            assert r.get_required_samples(1 + i * 7, ratio) == \
+                int(vals[off]), (b, i)
+            assert r.get_expected_output(1 + i * 11, ratio) == \
+                int(vals[off + 1]), (b, i)
+            off += 2
+        assert r.get_expected_output(-1, ratio) == int(vals[off]), b
+        off += 1

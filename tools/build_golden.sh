@@ -11,6 +11,9 @@ mkdir -p "$OUT"
 # not its fast-math build artifacts
 FLAGS="-O2 -ffp-contract=off -DENABLE_THREADS -DENABLE_EXTRAPOLATION -I$REF"
 SRCS="$HERE/golden_dump.c $REF/resampler.c $REF/extrapolator.c $REF/decimator.c $REF/workers.c $REF/biquad.c"
-[ -x "$OUT/golden_dump" ] || gcc $FLAGS $SRCS -lm -pthread -o "$OUT/golden_dump"
-[ -x "$OUT/golden_dump64" ] || gcc -DPATH_WIDTH=64 $FLAGS $SRCS -lm -pthread -o "$OUT/golden_dump64"
+# rebuild when the harness source is newer than the cached binary
+{ [ -x "$OUT/golden_dump" ] && [ "$OUT/golden_dump" -nt "$HERE/golden_dump.c" ]; } \
+    || gcc $FLAGS $SRCS -lm -pthread -o "$OUT/golden_dump"
+{ [ -x "$OUT/golden_dump64" ] && [ "$OUT/golden_dump64" -nt "$HERE/golden_dump.c" ]; } \
+    || gcc -DPATH_WIDTH=64 $FLAGS $SRCS -lm -pthread -o "$OUT/golden_dump64"
 echo "$OUT"

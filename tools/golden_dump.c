@@ -110,6 +110,52 @@ int main (int argc, char **argv)
         return 0;
     }
 
+    if (!strcmp (argv[1], "query")) {
+        /* like "resample" but after each processed block dumps a sweep of
+         * the DRY-RUN queries against the live context state:
+         *   for i in 0..nq-1:  uint32 resampleGetRequiredSamples(1 + i*7)
+         *                      uint32 resampleGetExpectedOutput(1 + i*11)
+         *   then               uint32 resampleGetExpectedOutput(-1)  (flush)
+         * (the queries accumulate offset += 1/ratio — a different float
+         * sequence than the process loop — so they need their own golden) */
+        int chans = atoi (argv[2]), taps = atoi (argv[3]), filters = atoi (argv[4]);
+        int flags = (int) strtol (argv[5], NULL, 16);
+        int mode = atoi (argv[6]);
+        double src = atof (argv[7]), dst = atof (argv[8]);
+        double lowpass = atof (argv[9]), ratio = atof (argv[10]);
+        int block = atoi (argv[11]), nblocks = atoi (argv[12]);
+        double advance = atof (argv[13]);
+        int nq = argc > 14 ? atoi (argv[14]) : 8;
+
+        Resample *cxt = mode ?
+            resampleFixedRatioInit (chans, taps, filters, src, dst, (int) lowpass, flags) :
+            resampleInit (chans, taps, filters, lowpass, flags);
+        if (!cxt) return 1;
+        if (advance != 0.0)
+            resampleAdvancePosition (cxt, advance);
+
+        int outcap = (int) ((block + taps) * (ratio > 1 ? ratio : 1.0) *
+                            (dst > src ? dst / src : 1.0)) + taps + 64;
+        artsample_t *in = malloc (block * chans * sizeof (artsample_t));
+        artsample_t *out = malloc (outcap * chans * sizeof (artsample_t));
+
+        for (int b = 0; b < nblocks; ++b) {
+            noise_fill (in, block * chans);
+            ResampleResult res = resampleProcessInterleaved (cxt, in, block, out, outcap, ratio);
+            dump_u32 (res.input_used);
+            dump_u32 (res.output_generated);
+            for (int i = 0; i < nq; ++i) {
+                dump_u32 (resampleGetRequiredSamples (cxt, 1 + i * 7, ratio));
+                dump_u32 (resampleGetExpectedOutput (cxt, 1 + i * 11, ratio));
+            }
+            dump_u32 (resampleGetExpectedOutput (cxt, -1, ratio));
+        }
+        resampleFree (cxt);
+        free (in);
+        free (out);
+        return 0;
+    }
+
     if (!strcmp (argv[1], "resample_small")) {
         /* like "resample" but with a caller-chosen (small) output capacity:
          * unconsumed input is re-offered, exercising the output-limited
