@@ -7,12 +7,16 @@ This is the idle-time bug hunter that found the slide-tie count bug
 fixed seed set for CI determinism; this tool explores beyond it.  Run it
 whenever waiting on the TPU service.
 
-Usage: fuzz_stream_golden.py LO HI [--f64]
+Usage: fuzz_stream_golden.py LO HI [--f64] [--query]
   seeds [LO, HI) are offset by +1000 like the suite (suite covers
   0..31 + a few hand-picked finds; start at ~5000 for fresh ground).
+  --query fuzzes the DRY-RUN queries (GetRequiredSamples /
+  GetExpectedOutput incl. flush simulation) against the live C functions
+  at streamed states instead of the process stream itself.
 Requires the golden harness (tools/build_golden.sh -> /tmp/art_golden).
 """
 import pathlib
+import subprocess
 import sys
 import traceback
 
@@ -31,8 +35,52 @@ from helpers import compare_stream
 from test_fuzz_golden import RATE_PAIRS
 
 F64 = "--f64" in sys.argv
+QUERY = "--query" in sys.argv
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 lo, hi = int(args[0]), int(args[1])
+
+
+def compare_queries(golden, *, chans, taps, filters, flags, mode, src, dst,
+                    lowpass, ratio, block, nblocks, advance, dtype, nq=8):
+    """Drive the golden `query` subcommand and mirror it with the engine's
+    simulate_* dry-run queries at every streamed state (exact parity)."""
+    from art_tpu.engines.resampler import Resampler
+    from art_tpu.utils.testsig import NoiseLCG
+
+    raw = subprocess.run(
+        [str(golden), "query", str(chans), str(taps), str(filters),
+         format(flags, "x"), str(mode), str(src), str(dst), str(lowpass),
+         repr(ratio), str(block), str(nblocks), repr(advance), str(nq)],
+        capture_output=True, check=True).stdout
+    vals = np.frombuffer(raw, dtype=np.uint32)
+    assert len(vals) == nblocks * (2 + 2 * nq + 1)
+
+    if mode:
+        r = Resampler.fixed_ratio(chans, taps, filters, src, dst,
+                                  int(lowpass), flags, dtype=dtype)
+    else:
+        r = Resampler(chans, taps, filters, lowpass, flags, dtype=dtype)
+    if advance:
+        r.advance_position(advance)
+    lcg = NoiseLCG()
+    outcap = int((block + taps) * max(ratio, 1.0)
+                 * max(dst / src if src else 1.0, 1.0)) + taps + 64
+    off = 0
+    for b in range(nblocks):
+        inp = lcg.fill(block * chans, dtype).reshape(block, chans)
+        out, res = r.process_interleaved(inp, block, outcap, ratio)
+        assert (res.input_used, res.output_generated) == \
+            (int(vals[off]), int(vals[off + 1])), f"block {b} counts"
+        off += 2
+        for i in range(nq):
+            assert r.get_required_samples(1 + i * 7, ratio) == \
+                int(vals[off]), f"block {b} req[{i}]"
+            assert r.get_expected_output(1 + i * 11, ratio) == \
+                int(vals[off + 1]), f"block {b} exp[{i}]"
+            off += 2
+        assert r.get_expected_output(-1, ratio) == int(vals[off]), \
+            f"block {b} flush-exp"
+        off += 1
 golden = pathlib.Path("/tmp/art_golden/golden_dump" + ("64" if F64 else ""))
 if not golden.exists():
     sys.exit("build the golden harness first: sh tools/build_golden.sh")
@@ -75,11 +123,18 @@ for seed in range(lo, hi):
     else:
         atol = 8e-7 if flags & EXTRAPOLATE_ENDPOINTS else 2e-7
     try:
-        compare_stream(golden, chans=chans, taps=taps, filters=filters,
-                       flags=flags, mode=mode, src=src, dst=dst,
-                       lowpass=lowpass, ratio=ratio, block=block,
-                       nblocks=nblocks, advance=advance, atol=atol,
-                       dtype=np.float64 if F64 else np.float32)
+        if QUERY:
+            compare_queries(golden, chans=chans, taps=taps, filters=filters,
+                            flags=flags, mode=mode, src=src, dst=dst,
+                            lowpass=lowpass, ratio=ratio, block=block,
+                            nblocks=nblocks, advance=advance,
+                            dtype=np.float64 if F64 else np.float32)
+        else:
+            compare_stream(golden, chans=chans, taps=taps, filters=filters,
+                           flags=flags, mode=mode, src=src, dst=dst,
+                           lowpass=lowpass, ratio=ratio, block=block,
+                           nblocks=nblocks, advance=advance, atol=atol,
+                           dtype=np.float64 if F64 else np.float32)
     except Exception:
         fails += 1
         print(f"FAIL seed={seed}")
