@@ -19,6 +19,11 @@ rng = np.random.default_rng(int(sys.argv[1]) if len(sys.argv) > 1 else 1)
 rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 25
 
 for it in range(rounds):
+    if it and it % 10 == 0:
+        # every round jits fresh geometries; past ~35 rounds the
+        # accumulated XLA:CPU executables crash LLVM's JIT allocator
+        # ("Cannot allocate memory") — drop the caches periodically
+        jax.clear_caches()
     S = 8
     taps = int(rng.choice([16, 48, 104, 380]))
     filters = int(rng.choice([32, 64, 380, 129]))
