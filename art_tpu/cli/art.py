@@ -34,7 +34,7 @@ from ..engines.decimator import Decimator
 from ..engines.resampler import Resampler
 from ..engines.stretch import Stretcher
 from ..io import wavfile
-from ._common import num_suffix
+from ._common import num_suffix, strtod, strtol
 
 
 def _jnp():
@@ -143,13 +143,13 @@ def parse_args(argv, opt: Options):
         if arg.startswith("--"):
             name, _, val = arg[2:].partition("=")
             if name == "pitch":
-                cents = float(val)
+                cents = strtod(val)
                 if not -2400 <= cents <= 2400:
                     raise SystemExit("invalid pitch shift, must be +/- 2400 "
                                      "cents (2 octaves)!")
                 opt.pitch_ratio = 2.0 ** (cents / 1200.0)
             elif name == "tempo":
-                opt.tempo_ratio = float(val)
+                opt.tempo_ratio = strtod(val)
                 if not 0.25 <= opt.tempo_ratio <= 4.0:
                     raise SystemExit("invalid tempo, must be 0.25 to 4.0!")
             elif name == "duration":
@@ -159,9 +159,9 @@ def parse_args(argv, opt: Options):
             elif name == "f64":
                 opt.dtype = np.float64
             elif name == "backend":
-                if not val:
-                    raise SystemExit("--backend needs a value, e.g. "
-                                     "--backend=jax")
+                if val not in ("numpy", "jax", "device"):
+                    raise SystemExit("--backend must be numpy, jax, or "
+                                     "device!")
                 opt.backend = val
             elif name == "mesh":
                 try:
@@ -211,14 +211,14 @@ def parse_args(argv, opt: Options):
                 elif cl == "r":
                     opt.resample_rate = int(num_suffix(take_num()))
                 elif cl == "d":
-                    sel = int(take_num())
+                    sel = strtol(take_num())
                     opt.dither = {0: 0, 1: DITHER_FLAT,
                                   2: DITHER_LOWPASS}.get(sel)
                     if opt.dither is None:
                         raise SystemExit("dither override must be 0, 1, "
                                          "or 2!")
                 elif cl == "n":
-                    sel = int(take_num())
+                    sel = strtol(take_num())
                     opt.noise_shaping = {
                         0: 0, 1: SHAPING_1ST_ORDER, 2: SHAPING_2ND_ORDER,
                         3: SHAPING_3RD_ORDER}.get(sel)
@@ -226,30 +226,27 @@ def parse_args(argv, opt: Options):
                         raise SystemExit("noise-shaping override must be "
                                          "0, 1, 2, or 3!")
                 elif cl == "s":
-                    opt.phase_shift = float(take_num()) / 360.0
+                    opt.phase_shift = strtod(take_num()) / 360.0
                     if not -1.0 < opt.phase_shift < 1.0:
                         raise SystemExit("phase shift must be less than "
                                          "+/- 1 sample!")
                 elif cl == "g":
-                    opt.gain = 10.0 ** (float(take_num()) / 20.0)
+                    opt.gain = 10.0 ** (strtod(take_num()) / 20.0)
                 elif cl == "l":
                     opt.lowpass_freq = int(num_suffix(take_num()))
                 elif cl == "f":
-                    opt.num_filters = int(take_num())
+                    opt.num_filters = strtol(take_num())
                     if not 1 <= opt.num_filters <= 1024:
                         raise SystemExit("num of filters must be 1 - 1024!")
                 elif cl == "o":
-                    opt.outbits = int(take_num())
-                    valid = opt.outbits == 32 or 4 <= opt.outbits <= 24 or \
-                        (opt.outbits == 64 and opt.dtype == np.float64)
-                    if not valid and opt.outbits == 64:
+                    opt.outbits = strtol(take_num())
+                    if opt.outbits == 64:
                         opt.dtype = np.float64  # -o64 implies the f64 path
-                        valid = True
-                    if not valid:
+                    elif opt.outbits != 32 and not 4 <= opt.outbits <= 24:
                         raise SystemExit("outbits must be 4 - 24 (integer) "
                                          "or 32/64 (float)!")
                 elif cl == "t":
-                    opt.num_taps = int(take_num())
+                    opt.num_taps = strtol(take_num())
                     if (opt.num_taps & 3) or not 4 <= opt.num_taps <= 1024:
                         raise SystemExit("num of taps must be 4 - 1024 and "
                                          "a multiple of 4!")
@@ -289,6 +286,13 @@ def process_file(opt: Options) -> int:
         num_channels = info.num_channels
         num_samples = info.num_frames
         inbits = info.bits_per_sample
+        if inbits == 64 and dt != np.float64:
+            # a 64-bit float input implies the f64 data path (same rule as
+            # -o64): the reference's 32-bit build rejects these files as
+            # unsupported (art.c:552-574), and silently downcasting f64
+            # audio through the f32 pipeline would be worse than either
+            dt = np.dtype(np.float64)
+            opt.dtype = np.float64
 
         resample_rate = opt.resample_rate or sample_rate
         outbits = opt.outbits or inbits
@@ -330,6 +334,9 @@ def process_file(opt: Options) -> int:
                          else 0)
                 stretcher = Stretcher(sample_rate // 350, sample_rate // 50,
                                       num_channels, flags, dtype=dt)
+                if opt.verbosity > 0:
+                    print(f"audio stretch initialized with ratio "
+                          f"{stretch_ratio:g}", file=sys.stderr)
 
         target_output = int(math.floor(
             num_samples * stretch_ratio * sample_ratio + 0.5))
@@ -370,12 +377,21 @@ def process_file(opt: Options) -> int:
                 except ValueError:
                     resampler = None
             if resampler is None:
-                resampler = Resampler.fixed_ratio(
-                    num_channels, opt.num_taps, opt.num_filters,
-                    sample_rate * opt.pitch_ratio, resample_rate,
-                    opt.lowpass_freq, flags, dtype=dt,
-                    backend=opt.backend if opt.backend != "device"
-                    else "numpy")
+                try:
+                    resampler = Resampler.fixed_ratio(
+                        num_channels, opt.num_taps, opt.num_filters,
+                        sample_rate * opt.pitch_ratio, resample_rate,
+                        opt.lowpass_freq, flags, dtype=dt,
+                        backend=opt.backend if opt.backend != "device"
+                        else "numpy")
+                except ValueError as e:
+                    # the reference lib prints its reason to stderr and
+                    # returns NULL; art adds its own line and exits
+                    # (reference resampler.c:317-318, art.c:829-831)
+                    print(e, file=sys.stderr)
+                    print("error: resampler initialization failed!",
+                          file=sys.stderr)
+                    return -1
             if opt.verbosity > 0:
                 lr = resampler.get_lowpass_ratio()
                 nf = resampler.get_num_filters()
@@ -406,9 +422,16 @@ def process_file(opt: Options) -> int:
             if resample_rate <= sample_rate:
                 cutoff = resample_rate * 0.45 / sample_rate
                 pre_filter = True
+                if opt.verbosity > 0:
+                    print(f"cutoff = {cutoff:g}, cascaded biquad "
+                          f"pre-filter at {sample_rate * cutoff:g} Hz",
+                          file=sys.stderr)
             else:
                 cutoff = sample_rate * 0.45 / resample_rate
                 post_filter = True
+                if opt.verbosity > 0:
+                    print(f"cascaded biquad post-filter at "
+                          f"{resample_rate * cutoff:g} Hz", file=sys.stderr)
             coeffs = biquad_lowpass(cutoff)
             lowpass1 = Biquad.init(coeffs, 1.0, num_channels, dt)
             lowpass2 = Biquad.init(coeffs, 1.0, num_channels, dt)
@@ -450,7 +473,11 @@ def process_file(opt: Options) -> int:
         dev_post = None
         dev_post_active = False
         if (post_filter and opt.backend == "device"
+                and dev_decimator is not None
                 and hasattr(resampler, "process_interleaved_device")):
+            # gate mirrors the device-output consumer: without a device
+            # decimator no chunk ever takes the device output path, so a
+            # cascade built here could never run
             from ..ops.biquad_kernel import DeviceBiquadCascade
             dev_post = DeviceBiquadCascade(lowpass1, lowpass2)
 
@@ -479,6 +506,12 @@ def process_file(opt: Options) -> int:
                                 if opt.verbosity >= 0 and num_samples > 1000
                                 else 0)
             percent = -1
+            if progress_divider:
+                # the reference ticker starts at 0% before the loop
+                # (art.c:926-929)
+                percent = 0
+                print("\rprogress: 0% ", end="", file=sys.stderr,
+                      flush=True)
 
             # -m: worker pools overlap host IO with engine compute (the
             # reference's pool parallelizes within a chunk across channels,
@@ -492,7 +525,11 @@ def process_file(opt: Options) -> int:
             if opt.multithreaded:
                 from ..parallel import workers as _w
                 pool = _w.workers_init(1)
-                wpool = _w.workers_init(1)
+                if dev_decimator is not None:
+                    # the write pool only ever receives jobs from the
+                    # device-decimator fetch path; host-path writes stay
+                    # on the main thread
+                    wpool = _w.workers_init(1)
 
             clip_cell = [0]
             io_error = []
@@ -725,10 +762,17 @@ def main(argv=None) -> int:
         print(f"\"{opt.infile}\" is {e}!", file=sys.stderr)
         return -1
     except OSError as e:
-        # report the path that actually failed (input open vs output
-        # open/write can both raise here)
-        path = e.filename if getattr(e, "filename", None) else opt.infile
-        print(f"can't open file \"{path}\"!", file=sys.stderr)
+        # distinguish the reference's three cases (art.c:487, 492, 684):
+        # open-for-reading and open-for-writing failures carry the path;
+        # a mid-run write failure (disk full) carries none
+        fn = getattr(e, "filename", None)
+        if fn == opt.outfile:
+            print(f"can't open file \"{opt.outfile}\" for writing!",
+                  file=sys.stderr)
+        elif fn is not None:
+            print(f"can't open file \"{fn}\" for reading!", file=sys.stderr)
+        else:
+            print(f"can't write to file \"{opt.outfile}\"!", file=sys.stderr)
         return -1
 
 

@@ -118,7 +118,8 @@ def plan_fixed_ratio(num_taps: int, max_filters: int, source_rate: float,
     downsampling, and the lowpass_ratio * resample_ratio folding.
     """
     if lowpass_freq > destin_rate / 2.0:
-        raise ValueError("lowpass frequency must be below destination Nyquist")
+        raise ValueError(
+            "lowpass frequency must be lower than destination Nyquist!")
 
     lowpass_ratio = lowpass_freq / (destin_rate / 2.0)
     resample_ratio = destin_rate / source_rate

@@ -37,9 +37,15 @@ def run_golden_resample(golden_bin, *, chans, taps, filters, flags, mode,
 
 def compare_stream(golden_bin, *, chans, taps, filters, flags, mode, src, dst,
                    lowpass, ratio, block, nblocks, advance, atol,
-                   dtype=np.float32, backend="numpy"):
+                   atol_first=None, dtype=np.float32, backend="numpy"):
     """Run the same chunked stream through C and art_tpu; assert count and
-    position parity exactly, sample parity within atol.  Returns maxdiff."""
+    position parity exactly, sample parity within atol.  Returns maxdiff.
+
+    ``atol_first``: optional looser bound for block 0 only — the
+    prefill-extrapolation window can contain input samples far larger
+    than any dumped OUTPUT (seed 7183: ~13 f32 ulps at the first
+    emission from a window the dump cannot expose), so extrapolating
+    configs need headroom there that the steady state must not get."""
     ref_blocks, ref_pos = run_golden_resample(
         golden_bin, chans=chans, taps=taps, filters=filters, flags=flags,
         mode=mode, src=src, dst=dst, lowpass=lowpass, ratio=ratio,
@@ -88,9 +94,19 @@ def compare_stream(golden_bin, *, chans, taps, filters, flags, mode, src, dst,
             f"block {b}: counts {(res.input_used, res.output_generated)} " \
             f"!= ref {(riu, rog)}"
         if rog > k_skip:
-            maxdiff = max(maxdiff, float(np.abs(
-                out.astype(np.float64)[k_skip:]
-                - rdata.astype(np.float64)[k_skip:]).max()))
+            d = float(np.abs(out.astype(np.float64)[k_skip:]
+                             - rdata.astype(np.float64)[k_skip:]).max())
+            # float32 convolution noise is RELATIVE to the data magnitude:
+            # extrapolated prefill can overshoot the +-1 noise range by
+            # 30-370x (fuzz seeds 7004/7042/7183/7493), scaling the
+            # absolute error floor with it.  Normalize per block by the
+            # reference's own peak so atol keeps its ~ulps-at-|x|~1
+            # meaning everywhere.
+            scale = max(1.0, float(np.abs(rdata).max()))
+            if b == 0 and atol_first is not None:
+                maxdiff = max(maxdiff, d / scale * (atol / atol_first))
+            else:
+                maxdiff = max(maxdiff, d / scale)
     assert abs(r.get_position() - ref_pos) == 0.0, \
         f"position {r.get_position()} != ref {ref_pos}"
     assert maxdiff <= atol, f"maxdiff {maxdiff} > atol {atol}"
