@@ -20,7 +20,7 @@ from ..core.flags import (BLACKMAN_HARRIS, DITHER_HIGHPASS,
                           SHAPING_ATH_CURVE, SUBSAMPLE_INTERPOLATE)
 from ..engines.decimator import Decimator
 from ..engines.resampler import Resampler
-from ._common import num_suffix
+from ._common import num_suffix, strtol
 from ..utils.testsig import (NoiseLCG, Stats, ToneGenerator, checksum_bytes,
                              fade_in, fade_out)
 
@@ -84,10 +84,14 @@ def main(argv=None) -> int:
             if name == "f64":
                 dtype = np.float64
             elif name == "backend":
+                if val not in ("numpy", "jax"):
+                    raise SystemExit("--backend must be numpy or jax!")
                 backend = val
             elif name == "timing":
                 timing = True
             elif name == "profile":
+                if not val:
+                    raise SystemExit("--profile needs a directory, e.g. --profile=/tmp/trace")
                 profile_dir = val
             else:
                 raise SystemExit(f"unknown option: {name}")
@@ -117,7 +121,7 @@ def main(argv=None) -> int:
             elif c == "r":
                 read_stdin = True
             elif c == "w":
-                write_stdout = int(take_num())
+                write_stdout = strtol(take_num())
                 if not 0 <= write_stdout <= 5:
                     raise SystemExit("written stream must be 0 - 5!")
             elif c == "z":
@@ -149,29 +153,29 @@ def main(argv=None) -> int:
                 lowpass_freq = int(num_suffix(take_num()))
                 flags |= INCLUDE_LOWPASS
             elif c in "Bb":
-                inbuffer_samples = int(take_num())
+                inbuffer_samples = strtol(take_num())
                 if not 256 <= inbuffer_samples <= 65536:
                     raise SystemExit("inbuffer samples must be 256 - 65536!")
             elif c in "Cc":
-                chans = int(take_num())
+                chans = strtol(take_num())
                 if not 1 <= chans <= 256:
                     raise SystemExit("num of chans must be 1 - 256!")
             elif c in "Ff":
-                filters = int(take_num())
+                filters = strtol(take_num())
                 if not 1 <= filters <= 1024:
                     raise SystemExit("num of filters must be 1 - 1024!")
             elif c in "Nn":
-                seconds = int(take_num())
+                seconds = strtol(take_num())
                 if not 1 <= seconds <= 36000:
                     raise SystemExit("number of seconds must be 1 - 36000!")
             elif c in "Oo":
-                outbits = int(take_num())
+                outbits = strtol(take_num())
                 if outbits != 32 and not 4 <= outbits <= 24:
                     raise SystemExit("outbits must be 4 - 24 (for integer) "
                                      "or 32 (for float)!")
                 outbytes = (outbits + 7) // 8
             elif c in "Tt":
-                taps = int(take_num())
+                taps = strtol(take_num())
                 if (taps & 3) or not 4 <= taps <= 1024:
                     raise SystemExit("num of taps must be 4 - 1024 and a "
                                      "multiple of 4!")
@@ -241,8 +245,8 @@ def main(argv=None) -> int:
                               dither | noise_shaping, dtype=dtype,
                               backend="native")
 
-    in_stats, out_stats = Stats(chans), Stats(chans)
-    inv_stats, diff_stats = Stats(chans), Stats(chans)
+    in_stats, out_stats = Stats(chans, dtype), Stats(chans, dtype)
+    inv_stats, diff_stats = Stats(chans, dtype), Stats(chans, dtype)
     dec_checksum = 0
     out_bytes = 0
     clipped = 0
@@ -287,114 +291,132 @@ def main(argv=None) -> int:
         profiler_cm = jax.profiler.trace(profile_dir)
         profiler_cm.__enter__()
 
-    bi = 0
-    n = inbuffer_samples
-    while (bi < buffers or read_stdin) and n:
-        if read_stdin:
-            raw = sys.stdin.buffer.read(
-                inbuffer_samples * chans * np.dtype(dtype).itemsize)
-            n = len(raw) // (chans * np.dtype(dtype).itemsize)
-            inbuf = np.frombuffer(raw[:n * chans * np.dtype(dtype).itemsize],
-                                  dtype=dtype).reshape(n, chans).copy()
-        else:
-            n = inbuffer_samples
-            with _Stage("generate"):
-                if tone_freq:
-                    inbuf = tone.fill(n, chans, tone_freq / source_rate,
-                                      dtype)
-                else:
-                    inbuf = noise.fill(n * chans, dtype).reshape(n, chans)
-                if fades:
-                    if bi == 0:
-                        fade_in(inbuf)
-                    elif bi == buffers - 1:
-                        fade_out(inbuf)
-        if not n:
-            break
-
-        in_stats.update(inbuf)
-        if write_stdout == 1:
-            stdout.write(inbuf.tobytes())
-
-        # the reference flushes once bi reaches the final buffer even when
-        # reading stdin (reference artest.c:477-484)
-        last = bi >= buffers - 1
-        if resampler is None:
-            outbuf = inbuf
-            used, generated = n, n
-        else:
-            with _Stage("resample"):
-                outbuf, res = run_resampler(resampler, inbuf, n,
-                                            outbuffer_samples, ratio, last)
-            used, generated = res.input_used, res.output_generated
-            if used != n or generated == outbuffer_samples:
-                raise SystemExit("fatal error in resample results!")
-            outbuf = outbuf[:generated]
-
-        out_stats.update(outbuf)
-        if write_stdout == 2:
-            stdout.write(outbuf.tobytes())
-
-        if inv_resample:
-            # worst-case inverse output sizing (reference artest.c:375)
-            invcap = int((outbuffer_samples + taps // 2)
-                         * (source_rate / destin_rate) + 10)
-            if inv_resampler is None:
-                invbuf = outbuf
-                inv_used = inv_gen = generated
+    try:
+        bi = 0
+        n = inbuffer_samples
+        while (bi < buffers or read_stdin) and n:
+            if read_stdin:
+                raw = sys.stdin.buffer.read(
+                    inbuffer_samples * chans * np.dtype(dtype).itemsize)
+                n = len(raw) // (chans * np.dtype(dtype).itemsize)
+                inbuf = np.frombuffer(raw[:n * chans * np.dtype(dtype).itemsize],
+                                      dtype=dtype).reshape(n, chans).copy()
             else:
-                with _Stage("inverse"):
-                    invbuf, ires = run_resampler(inv_resampler, outbuf,
-                                                 generated, invcap,
-                                                 inv_ratio, last)
-                inv_used, inv_gen = ires.input_used, ires.output_generated
-                if inv_used != generated or inv_gen == invcap:
-                    raise SystemExit("fatal error in inverse resample "
-                                     "results!")
-                invbuf = invbuf[:inv_gen]
+                n = inbuffer_samples
+                with _Stage("generate"):
+                    if tone_freq:
+                        inbuf = tone.fill(n, chans, tone_freq / source_rate,
+                                          dtype)
+                    else:
+                        inbuf = noise.fill(n * chans, dtype).reshape(n, chans)
+                    if fades:
+                        if bi == 0:
+                            fade_in(inbuf)
+                        elif bi == buffers - 1:
+                            fade_out(inbuf)
+            if not n:
+                break
 
-            pending = rembuffer.shape[0] + n
-            if inv_gen > pending:
-                print(f"info: we generated {inv_gen - pending} extra "
-                      "sample(s) on round-trip resample", file=sys.stderr)
-                inv_gen = pending
-                invbuf = invbuf[:inv_gen]
-            elif last and inv_gen < pending:
-                print(f"info: we generated {pending - inv_gen} fewer "
-                      "sample(s) on round-trip resample", file=sys.stderr)
+            in_stats.update(inbuf)
+            if write_stdout == 1:
+                stdout.write(inbuf.tobytes())
 
-            inv_stats.update(invbuf)
-            if write_stdout == 4:
-                stdout.write(invbuf.tobytes())
+            # the reference flushes once bi reaches the final buffer even when
+            # reading stdin (reference artest.c:477-484)
+            last = bi >= buffers - 1
+            if resampler is None:
+                outbuf = inbuf
+                used, generated = n, n
+            else:
+                with _Stage("resample"):
+                    outbuf, res = run_resampler(resampler, inbuf, n,
+                                                outbuffer_samples, ratio, last)
+                used, generated = res.input_used, res.output_generated
+                if used != n or generated == outbuffer_samples:
+                    raise SystemExit("fatal error in resample results!")
+                outbuf = outbuf[:generated]
 
-            # subtract the time-aligned source (rembuffer bookkeeping,
-            # reference artest.c:529-565)
-            avail = np.concatenate([rembuffer, inbuf], axis=0)
-            diff = invbuf - avail[:inv_gen]
-            rembuffer = avail[inv_gen:]
-            diff_stats.update(diff)
-            if write_stdout == 5:
-                stdout.write(diff.tobytes())
+            out_stats.update(outbuf)
+            if write_stdout == 2:
+                stdout.write(outbuf.tobytes())
 
-        if decimator is not None:
-            with _Stage("decimate"):
-                if non_interleaved:
-                    # A/B the planar decimator API (reference artest.c:620-653)
-                    packed, c = decimator.process(
-                        np.ascontiguousarray(outbuf.T))
+            if inv_resample:
+                # worst-case inverse output sizing (reference artest.c:375)
+                invcap = int((outbuffer_samples + taps // 2)
+                             * (source_rate / destin_rate) + 10)
+                if inv_resampler is None:
+                    invbuf = outbuf
+                    inv_used = inv_gen = generated
                 else:
-                    packed, c = decimator.process_interleaved(outbuf)
-            clipped += c
-            out_bytes += packed.size
-            if write_stdout == 3:
-                stdout.write(packed.tobytes())
-            dec_checksum = checksum_bytes(packed.reshape(-1), dec_checksum)
+                    with _Stage("inverse"):
+                        invbuf, ires = run_resampler(inv_resampler, outbuf,
+                                                     generated, invcap,
+                                                     inv_ratio, last)
+                    inv_used, inv_gen = ires.input_used, ires.output_generated
+                    invbuf = invbuf[:inv_gen]
 
-        bi += 1
+                # reference order (artest.c:511-523): clamp the rounding
+                # overshoot FIRST (any buffer), print "fewer" only at exactly
+                # the nominal final buffer, THEN run the fatal check against
+                # the clamped count
+                pending = rembuffer.shape[0] + n
+                if inv_gen > pending:
+                    print(f"info: we generated {inv_gen - pending} extra "
+                          "sample(s) on round-trip resample", file=sys.stderr)
+                    inv_gen = pending
+                    invbuf = invbuf[:inv_gen]
+                elif bi == buffers - 1 and inv_gen < pending:
+                    print(f"info: we generated {pending - inv_gen} fewer "
+                          "sample(s) on round-trip resample", file=sys.stderr)
+                if inv_resampler is not None and (
+                        inv_used != generated or inv_gen == invcap):
+                    raise SystemExit("fatal error in inverse resample results!")
 
-    if profiler_cm is not None:
-        profiler_cm.__exit__(None, None, None)
-        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
+                inv_stats.update(invbuf)
+                if write_stdout == 4:
+                    stdout.write(invbuf.tobytes())
+
+                # subtract the time-aligned source (rembuffer bookkeeping,
+                # reference artest.c:529-565)
+                avail = np.concatenate([rembuffer, inbuf], axis=0)
+                diff = invbuf - avail[:inv_gen]
+                rembuffer = avail[inv_gen:]
+                diff_stats.update(diff)
+                if write_stdout == 5:
+                    stdout.write(diff.tobytes())
+
+            if decimator is not None:
+                with _Stage("decimate"):
+                    if non_interleaved:
+                        # A/B the planar decimator API (reference artest.c:620-653)
+                        packed, c = decimator.process(
+                            np.ascontiguousarray(outbuf.T))
+                    else:
+                        packed, c = decimator.process_interleaved(outbuf)
+                clipped += c
+                out_bytes += packed.size
+                if write_stdout == 3:
+                    stdout.write(packed.tobytes())
+                dec_checksum = checksum_bytes(packed.reshape(-1), dec_checksum)
+
+            bi += 1
+
+    except BrokenPipeError:
+        # a -w tap piped into a consumer that exited (head, ffmpeg):
+        # the reference dies silently on SIGPIPE; finish quietly without
+        # stats, pointing stdout at devnull so interpreter shutdown does
+        # not print a spurious second BrokenPipeError
+        import os as _os
+        _os.dup2(_os.open(_os.devnull, _os.O_WRONLY), sys.stdout.fileno())
+        return 0
+    finally:
+        # SystemExit from a fatal-results check must still terminate the
+        # profiler trace — an unterminated trace directory is unusable
+        # for exactly the runs one wants to inspect
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
+            print(f"profiler trace written to {profile_dir}",
+                  file=sys.stderr)
     if timing:
         total = sum(stage_t.values())
         parts = ", ".join(f"{k} {v:.3f}s" for k, v in stage_t.items())

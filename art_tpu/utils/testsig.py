@@ -134,11 +134,14 @@ def fade_out(data: np.ndarray) -> None:
 class Stats:
     """Running stream statistics (reference artest.c:83-114)."""
 
-    def __init__(self, chans: int):
+    def __init__(self, chans: int, dtype=np.float32):
         self.count = 0
         self.checksum = 0
-        self.min = 1e20
-        self.max = -1e20
+        # the reference stores min/max in artsample_t, so the 1e20
+        # sentinel rounds to float32 (1.00000002e20) on the f32 build —
+        # visible verbatim in the stats line of an empty stream
+        self.min = float(np.dtype(dtype).type(1e20))
+        self.max = -self.min
         self.rms = 0.0
         self.chans = chans
 
@@ -153,13 +156,22 @@ class Stats:
         self.rms += float((flat.astype(np.float64) ** 2).sum())
 
     def rms_db(self) -> float:
-        return float(np.log10(self.rms / self.count * 2.0) * 10.0)
+        # mirror the C expression log10(rms/count*2)*10 exactly, including
+        # its edge values: count==0 gives nan (0/0), an all-zero stream
+        # gives -inf — printed, never raised/warned (reference artest.c:111)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.divide(self.rms, float(self.count))
+            return float(np.log10(q * 2.0) * 10.0)
 
     def display(self) -> str:
+        rms = self.rms_db()
+        # glibc printf renders the 0/0 quiet NaN as "-nan" (sign bit set);
+        # match the reference binary's degenerate empty-stream line
+        rms_s = "-nan" if np.isnan(rms) else f"{rms:.2f}"
         return (f"count = {self.count // self.chans:9d}, "
                 f"checksum = {self.checksum:016x}, "
                 f"range = {self.min:.7f} to {self.max:.7f}, "
-                f"RMS = {self.rms_db():.2f} dB")
+                f"RMS = {rms_s} dB")
 
 
 def checksum_bits(data: np.ndarray, initial: int = 0) -> int:

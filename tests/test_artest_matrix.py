@@ -76,3 +76,47 @@ def test_artest_matrix(args):
             assert mine[key]["rms"] - ref[key]["rms"] < 0.5, key
         if "clipped" in ref[key]:
             assert ref[key]["clipped"] == mine[key]["clipped"]
+
+
+def test_artest_strtol_args_and_degenerate_streams():
+    """artest parity edges: -b4k parses as 4 via strtol prefix semantics
+    (clean bounds error, not a traceback); an empty stdin stream prints
+    the reference's exact degenerate stats line (f32-rounded 1e20 range
+    sentinel, glibc's '-nan' RMS); unknown --backend errors."""
+    import io as _io
+    import subprocess
+    from contextlib import redirect_stderr
+    from pathlib import Path
+
+    import pytest
+
+    from art_tpu.cli import artest as at
+
+    with pytest.raises(SystemExit, match="inbuffer samples must be"):
+        at.main(["-s44100", "-d48000", "-b4k"])
+    with pytest.raises(SystemExit, match="--backend must be"):
+        at.main(["-s44100", "-d48000", "--backend=jaxx"])
+    with pytest.raises(SystemExit, match="--profile needs"):
+        at.main(["-s44100", "-d48000", "--profile"])
+
+    # empty stdin: stats block, no traceback, exact reference line
+    import sys as _sys
+    buf = _io.StringIO()
+    old_stdin = _sys.stdin
+    try:
+        import os as _os
+        _sys.stdin = open(_os.devnull, "rb")
+        _sys.stdin = type("S", (), {"buffer": _sys.stdin})()
+        with redirect_stderr(buf):
+            rc = at.main(["-s44100", "-d48000", "-n1", "-e", "-r"])
+    finally:
+        _sys.stdin = old_stdin
+    assert rc == 0
+    mine = next(l for l in buf.getvalue().splitlines() if "input (-w1)" in l)
+    artest_bin = Path("/tmp/refbuild/artest")
+    if artest_bin.exists():
+        ref = subprocess.run([str(artest_bin), "-s44100", "-d48000", "-n1",
+                              "-e", "-r"], capture_output=True, text=True,
+                             stdin=subprocess.DEVNULL).stderr
+        ref_line = next(l for l in ref.splitlines() if "input (-w1)" in l)
+        assert mine.strip() == ref_line.strip()
