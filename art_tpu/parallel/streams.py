@@ -39,7 +39,8 @@ from ..core import accounting
 from ..core.flags import (BLACKMAN_HARRIS, EXTRAPOLATE_ENDPOINTS,
                           EXTRAPOLATE_PREFILL, INCLUDE_LOWPASS,
                           SUBSAMPLE_INTERPOLATE)
-from ..core.filters import make_filter_bank, plan_fixed_ratio
+from ..core.filters import (make_filter_bank, plan_fixed_ratio,
+                            resolve_lowpass)
 from ..ops.polyphase import PolyphaseMatrix
 from .pipeline import residue_window_dots
 
@@ -271,6 +272,15 @@ class DeviceStreamResampler:
                  source_rate: float, destin_rate: float, lowpass_freq: float,
                  flags: int, *, dtype=np.float32, mesh=None,
                  pallas_step: bool = False):
+        if flags & EXTRAPOLATE_ENDPOINTS:
+            # fail fast: the device engine does not model endpoint
+            # extrapolation (prefill/postfill) — silently emitting
+            # non-extrapolated edges would diverge from the reference.
+            # HybridStreamResampler strips this flag for its device part
+            # and runs the edges on the host engine.
+            raise ValueError("EXTRAPOLATE_ENDPOINTS is not modeled by the "
+                             "device engine; use HybridStreamResampler or "
+                             "the host Resampler")
         plan = plan_fixed_ratio(num_taps, max_filters, source_rate,
                                 destin_rate, lowpass_freq, flags)
         self.interp = bool(plan.flags & SUBSAMPLE_INTERPOLATE)
@@ -296,10 +306,12 @@ class DeviceStreamResampler:
         self.num_samples = num_taps * 16
         self.flags = plan.flags
         self.fixed_ratio = plan.fixed_ratio
-        lowpass_ratio = plan.lowpass_ratio
-        if not (0.0 < lowpass_ratio < 1.0):
-            lowpass_ratio = 1.0
-            self.flags &= ~INCLUDE_LOWPASS
+        # mirror the host engine's resolve_lowpass BOTH ways (reference
+        # resampler.c:120-125): a ratio in (0,1) must SET INCLUDE_LOWPASS
+        # (else the phase-0 passthrough shortcut would bypass the filter),
+        # an out-of-range ratio clears it
+        lowpass_ratio, self.flags = resolve_lowpass(plan.lowpass_ratio,
+                                                    self.flags)
         self.lowpass_ratio = lowpass_ratio
         self.bank = make_filter_bank(num_taps, self.num_filters,
                                      lowpass_ratio,
@@ -318,6 +330,7 @@ class DeviceStreamResampler:
                             and mesh is None)
         self._interp_cache: dict = {}
         self._pattern_safe_cache: dict = {}
+        self._flushed = False
 
         self.mesh = mesh
         self._rows = num_channels
@@ -349,10 +362,14 @@ class DeviceStreamResampler:
     def flush(self):
         """Emit the final half-filter of output by feeding zero padding
         (equivalent to the reference's postfill for the no-extrapolation
-        case, reference resampler.c:663-685)."""
+        case, reference resampler.c:663-685).  Latches FLUSHED: a second
+        flush() or any later process() emits nothing and ignores input
+        (reference resampler.c:438-439)."""
         half = self.num_taps // 2
         zeros = jnp.zeros((self.num_channels, half), dtype=self.dtype)
-        return self.process(zeros, half)
+        result = self.process(zeros, half)
+        self._flushed = True
+        return result
 
     def prewarm(self) -> None:
         """Build and upload all L phase-anchor matrices (~hundreds of KB
@@ -416,15 +433,24 @@ class DeviceStreamResampler:
         # mutates consume/emit state per chunk, so a size rejection after
         # it would leave the engine silently desynced from the audio
         self._stacked_matrices()
-        plans = [self._plan(n_in) for _ in range(G)]
-        Ks = [p[0] for p in plans]
-        nb = max(max(-(-k // self.L) for k in Ks), 1)
-        meta = jnp.asarray([[p[2] for p in plans],
-                            [p[1] for p in plans], Ks], jnp.int32)
-        acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
-        self.hist, outs, acc_out = _chunk_scan_step(
-            self.hist, xs, self._stacked_matrices(), meta, acc_in,
-            self.M, self.L, nb, self.qn, self.num_samples, self._pallas)
+        state0 = (self.output_offset, self.input_index)
+        try:
+            plans = [self._plan(n_in) for _ in range(G)]
+            Ks = [p[0] for p in plans]
+            nb = max(max(-(-k // self.L) for k in Ks), 1)
+            meta = jnp.asarray([[p[2] for p in plans],
+                                [p[1] for p in plans], Ks], jnp.int32)
+            acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
+            self.hist, outs, acc_out = _chunk_scan_step(
+                self.hist, xs, self._stacked_matrices(), meta, acc_in,
+                self.M, self.L, nb, self.qn, self.num_samples, self._pallas)
+        except BaseException:
+            # a failed dispatch (trace error, remote-compile outage) must
+            # not leave the consume/emit state G chunks ahead of the
+            # audio; hist was not yet reassigned, so restoring the two
+            # scalars makes the call a clean no-op
+            self.output_offset, self.input_index = state0
+            raise
         if acc is None:
             return outs, np.asarray(Ks)
         return outs, np.asarray(Ks), acc_out
@@ -474,13 +500,19 @@ class DeviceStreamResampler:
             return outs, np.asarray(Ks), accs
         Ks = [m[0] for m in metas]
         nb = max(max(-(-k // self.L) for k in Ks), 1)
-        meta = jnp.asarray([[m[1] for m in metas], Ks], jnp.int32)
-        P2s = jnp.stack([m[2] for m in metas])
-        frs = jnp.stack([m[3] for m in metas])
-        acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
-        self.hist, outs, acc_out = _chunk_scan_step_interp(
-            self.hist, xs, P2s, frs, meta, acc_in,
-            self.M, self.L, nb, self.qn, self.num_samples, self._pallas)
+        try:
+            meta = jnp.asarray([[m[1] for m in metas], Ks], jnp.int32)
+            P2s = jnp.stack([m[2] for m in metas])
+            frs = jnp.stack([m[3] for m in metas])
+            acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
+            self.hist, outs, acc_out = _chunk_scan_step_interp(
+                self.hist, xs, P2s, frs, meta, acc_in,
+                self.M, self.L, nb, self.qn, self.num_samples, self._pallas)
+        except BaseException:
+            # failed dispatch: roll the scalar state back (hist untouched)
+            # so the engine is not G chunks ahead of the processed audio
+            self.output_offset, self.input_index = state0
+            raise
         if acc is None:
             return outs, np.asarray(Ks)
         return outs, np.asarray(Ks), acc_out
@@ -606,7 +638,10 @@ class DeviceStreamResampler:
                 qn_rows * self.M, self.L, self.num_taps)
             m = (P2, jnp.asarray(frac.astype(self.dtype)), d, fi, frac)
             if len(self._interp_cache) > 64:
-                self._interp_cache.clear()
+                # evict ONE oldest entry (dict preserves insertion order):
+                # clearing everything made a 65-pattern working set rebuild
+                # every matrix nearly every chunk
+                self._interp_cache.pop(next(iter(self._interp_cache)))
             self._interp_cache[key] = m
         return m
 
@@ -666,7 +701,8 @@ class DeviceStreamResampler:
             safe = bool(np.abs(pos_oracle - pos_pat).max()
                         <= self.PATTERN_TOL)
             if len(self._pattern_safe_cache) > 256:
-                self._pattern_safe_cache.clear()
+                self._pattern_safe_cache.pop(
+                    next(iter(self._pattern_safe_cache)))
             self._pattern_safe_cache[key] = safe
         return safe
 
@@ -675,6 +711,19 @@ class DeviceStreamResampler:
         entries beyond K zeroed, K) — or (out, K, acc') when a running
         output-power accumulator is passed (computed in the same dispatch).
         All n_in inputs are consumed."""
+        if self._flushed:
+            # FLUSHED latch (reference resampler.c:438-439): input after
+            # flush is ignored until reset; state does not advance
+            out = jnp.zeros((self.num_channels, self.L), dtype=self.dtype)
+            return (out, 0) if acc is None else (out, 0, acc)
+        if x.shape[1] != n_in:
+            if x.shape[1] < n_in:
+                raise ValueError(f"x has {x.shape[1]} columns < n_in "
+                                 f"{n_in}")
+            # capacity buffer wider than the valid frames: the extra
+            # columns must not enter the history (the contraction window
+            # and new_hist both read past n_in otherwise)
+            x = x[:, :n_in]
         K, start, j0, pos0, plan = self._plan_compute(n_in)
         nb = -(-K // self.L) if K else 1
         if self.interp:
@@ -799,6 +848,12 @@ class HybridStreamResampler:
 
     # ----------------------------------------------------------------- api
     def advance_position(self, delta: float) -> None:
+        # a mid-stream advance (legal in the reference, resampler.c:927-935,
+        # e.g. via capi.resampleAdvancePosition) must reach the LIVE state:
+        # while steady-state blocks run on device, the host copy is stale
+        # and the next _pull() would overwrite an advance applied there
+        if self._on_device:
+            self._pull()
         self.host.advance_position(delta)
 
     def get_position(self) -> float:
@@ -817,7 +872,16 @@ class HybridStreamResampler:
 
     def get_expected_output(self, n_in: int, ratio: float = 0.0) -> int:
         if self._on_device:
-            self._pull()
+            # the dry-run needs only the two scalar state fields, which
+            # are host-resident mirrors — a full _pull() would fetch the
+            # entire device history through the ~5 MB/s tunnel per query
+            from ..core import accounting
+            return accounting.simulate_expected_output(
+                output_offset=self.dev.output_offset,
+                input_index=int(self.dev.input_index),
+                flags=self.host.flags, num_samples=self.dev.num_samples,
+                num_taps=self.dev.num_taps, n_in=n_in, ratio=ratio,
+                fixed_ratio=self.host.fixed_ratio)
         return self.host.get_expected_output(n_in, ratio)
 
     def process_interleaved(self, data, n_in: int, n_out: int,

@@ -665,3 +665,81 @@ def test_process_scan_size_rejection_preserves_state(monkeypatch):
     with pytest.raises(ValueError):
         eng.process_scan(xs, 1024)
     assert (eng.output_offset, eng.input_index) == state
+
+
+def test_device_engine_guards_and_flush_latch():
+    """Round-3 review fixes: the device engine rejects
+    EXTRAPOLATE_ENDPOINTS at init (it does not model endpoint
+    extrapolation), slices capacity buffers wider than n_in (the invalid
+    tail must not enter the history), and latches FLUSHED like the
+    reference (input after flush ignored, second flush emits nothing)."""
+    from art_tpu.core.flags import EXTRAPOLATE_ENDPOINTS
+
+    with pytest.raises(ValueError, match="EXTRAPOLATE_ENDPOINTS"):
+        DeviceStreamResampler(2, 380, 380, 44100, 48000, 0,
+                              IBL | EXTRAPOLATE_ENDPOINTS)
+
+    a = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IBL)
+    b = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IBL)
+    a.advance_position(190)
+    b.advance_position(190)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 1000)).astype(np.float32)
+    # b gets a capacity buffer with garbage past n_in: results must equal
+    # a's exact-width call
+    xb = np.concatenate([x, np.full((2, 64), 1e9, np.float32)], axis=1)
+    oa, Ka = a.process(jnp.asarray(x), 1000)
+    ob, Kb = b.process(jnp.asarray(xb), 1000)
+    assert Ka == Kb
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+    np.testing.assert_array_equal(np.asarray(a.hist), np.asarray(b.hist))
+
+    # flush latch: second flush and post-flush process emit nothing and
+    # do not advance state
+    of1, Kf1 = a.flush()
+    pos = a.get_position()
+    of2, Kf2 = a.flush()
+    assert Kf1 > 0 and Kf2 == 0
+    op, Kp = a.process(jnp.asarray(x), 1000)
+    assert Kp == 0 and not np.asarray(op).any()
+    assert a.get_position() == pos
+
+
+def test_hybrid_advance_midstream_and_scalar_query(tmp_path):
+    """A mid-stream advance_position reaches the live device state (the
+    host copy is stale while steady blocks run on device), and
+    get_expected_output answers from the scalar mirrors without pulling
+    the device history."""
+    from art_tpu.parallel.streams import HybridStreamResampler
+
+    flags = IBL
+    hyb = HybridStreamResampler(2, 48, 48, 44100, 48000, 0, flags)
+    ref = HybridStreamResampler(2, 48, 48, 44100, 48000, 0, flags)
+    hyb.advance_position(24)
+    ref.advance_position(24)
+    rng = np.random.default_rng(1)
+    blocks = [rng.standard_normal((1000, 2)).astype(np.float32)
+              for _ in range(4)]
+    for blk in blocks[:2]:           # reach device steady state
+        hyb.process_interleaved(blk, 1000, 4000)
+        ref.process_interleaved(blk, 1000, 4000)
+    assert hyb._on_device and ref._on_device
+
+    # scalar dry-run query must not leave device residency
+    exp = hyb.get_expected_output(1000)
+    assert hyb._on_device
+    # and must agree with the host-side answer after an explicit pull
+    ref._pull()
+    assert exp == ref.host.get_expected_output(1000, 0.0)
+    ref._push()
+
+    # mid-stream advance: both engines advance; outputs equal thereafter
+    hyb.advance_position(3)
+    ref._pull()
+    ref.host.advance_position(3)
+    for blk in blocks[2:]:
+        oh, rh = hyb.process_interleaved(blk, 1000, 4000)
+        orf, rr = ref.process_interleaved(blk, 1000, 4000)
+        assert rh.output_generated == rr.output_generated
+        np.testing.assert_allclose(oh, orf, atol=2e-7)
+    assert hyb.get_position() == ref.get_position()
