@@ -38,6 +38,7 @@ from .._jaxinit import ensure_jax
 jax = ensure_jax()
 import jax.numpy as jnp
 
+from ..core.accounting import ring_floor
 from ..core.filters import make_filter_bank
 from ..core.flags import HISTORY_MULTIPLE, validate_taps_filters
 
@@ -55,10 +56,13 @@ def _asrc_step(hist, x, bank, offsets, ratios, Ks, shift, num_taps: int,
     buf = jnp.concatenate([hist, x], axis=1)
 
     k = jnp.arange(k_max, dtype=jnp.float64)
-    # positions use the same fl(offset + k/ratio) float sequence as the host
-    # emission accounting (division, not a reciprocal product): a last-ulp
-    # disagreement at a floor() boundary could otherwise pick a window one
-    # step off for a call's final emission
+    # positions use the fl(offset + k/ratio) sequence in CALL-ENTRY
+    # coordinates (division, not a reciprocal product).  The host COUNTS
+    # re-round in slid ring coordinates at float64 ties (_ring_ok) — at
+    # such a tie the final emission's window base here can land one step
+    # off the reference's; the position is value-continuous across that
+    # flip (frac 0.9999.. <-> base+1, frac 0), so the sample stays at the
+    # interpolation floor while the count remains exact
     pos = offsets[:, None] + k[None, :] / ratios[:, None]       # [S, K] f64
     ipos = jnp.floor(pos)
     ff = (pos - ipos) * num_filters
@@ -109,9 +113,11 @@ def _pallas_prologue(hist, x, offsets, ratios, shift, num_taps: int,
     """Device-side position decomposition for the pallas ASRC kernel.
 
     Generates [S, kp] window bases, phase indices, and lerp fractions from
-    the per-stream (offset, ratio) scalars — the same fl(offset + k/ratio)
-    float64 sequence as the host emission accounting — and pads the stream
-    buffer so every superspan load stays in bounds."""
+    the per-stream (offset, ratio) scalars — the fl(offset + k/ratio)
+    sequence in call-entry coordinates (see the tie-class note in
+    _asrc_step: counts are ring-exact on host, positions value-continuous
+    at the flip) — and pads the stream buffer so every superspan load
+    stays in bounds."""
     S = x.shape[0]
     half = num_taps // 2
     buf = jnp.concatenate([hist, x], axis=1)
@@ -259,7 +265,6 @@ class BatchedASRC:
         fl(offset + k/ratio) < bound (the scalar form and full analysis:
         core.accounting._ring_floor).  ``k``: int array broadcastable
         against ratios; returns a bool array of the same shape."""
-        from ..core.accounting import ring_floor
         offs = self.offsets
         q = np.asarray(k, np.int64) / ratios
         if q.ndim == 2:
@@ -267,6 +272,29 @@ class BatchedASRC:
         ip = ring_floor(offs, q, self.input_index, n, self.num_samples,
                         self.num_taps)
         return ip < (self.input_index + n - self.num_taps // 2)
+
+    def _bucketed_k_max(self, req_k_max, estimate: int) -> int:
+        """Static kernel capacity: bucket so per-call ratio drift cannot
+        force a recompile of the jitted step (each distinct k_max is a
+        distinct compilation; through a remote-compile deployment a
+        drifting-max workload measured 0.9 M out/s from compile churn
+        before this).  An explicitly requested capacity buckets STRICTLY
+        above itself so the host count at req_k_max is never clipped —
+        otherwise a req that is a bucket multiple could not be told apart
+        from saturation (an exactly-full request must be legal)."""
+        pallas_family = self.kernel in ("auto", "dense", "hankel")
+        bucket = max(self._kb, self._hkb) if pallas_family else 128
+        want = estimate if req_k_max is None else req_k_max + 1
+        return -(-want // bucket) * bucket
+
+    @staticmethod
+    def _check_capacity(kmx: int, k_max: int, req_k_max, what: str) -> None:
+        """Counts saturating the padded capacity are ambiguous (the
+        estimate was clipped there); an EXACTLY-full requested capacity is
+        not — the host count is exact and k_max > req_k_max by
+        construction, so kmx == req_k_max is legal."""
+        if kmx >= k_max or (req_k_max is not None and kmx > req_k_max):
+            raise ValueError(f"k_max too small for {what}")
 
     def process(self, x, ratios, k_max: int | None = None):
         """x: device [S, n]; ratios: [S] per-call drifting ratios.
@@ -277,16 +305,15 @@ class BatchedASRC:
         n = x.shape[1]
         half = self.num_taps // 2
         ratios = np.asarray(ratios, dtype=np.float64)
+        # a latched stream's caller-supplied ratio is dead weight: it must
+        # not steer kernel selection (a stale ratio outside the Hankel/
+        # dense bounds would drop the whole live batch to the XLA path)
+        # nor inflate the auto capacity estimate; its Ks is zeroed below
+        # and its offsets stay frozen via get_position, so 1.0 is inert
+        ratios = np.where(self.flushed, 1.0, ratios)
         req_k_max = k_max
-        if k_max is None:
-            k_max = int(np.ceil((n + 2) * ratios.max())) + 2
-        # bucket the static capacity so per-call ratio drift cannot force a
-        # recompile of the jitted step (each distinct k_max is a distinct
-        # compilation; through a remote-compile deployment a drifting-max
-        # workload measured 0.9 M out/s from compile churn before this)
-        pallas_family = self.kernel in ("auto", "dense", "hankel")
-        bucket = max(self._kb, self._hkb) if pallas_family else 128
-        k_max = -(-k_max // bucket) * bucket
+        k_max = self._bucketed_k_max(
+            req_k_max, int(np.ceil((n + 2) * ratios.max())) + 2)
 
         # per-stream emission counts: pos_k = offset + k/ratio is strictly
         # increasing, so a closed-form estimate bracket-corrected at the
@@ -303,17 +330,18 @@ class BatchedASRC:
             if not (over.any() or under.any()):
                 break
             est = est - over + under
-        else:   # estimate off by >64: fall back to the exact grid
+        else:   # estimate off by >64: fall back to the exact grid —
+            # counted as the reference's PREFIX (the loop ends at the
+            # first blocked emission), not the total of feasible ks, in
+            # case a slide-tie re-rounding ever makes ok(k) non-monotone
             ks = np.arange(k_max, dtype=np.int64)
-            est = self._ring_ok(ratios[:, None], ks[None, :], n).sum(axis=1)
+            okg = self._ring_ok(ratios[:, None], ks[None, :], n)
+            est = np.where(okg.all(axis=1), k_max,
+                           np.argmin(okg, axis=1))
         Ks = est.astype(np.int32)
         Ks[self.flushed] = 0            # latched streams ignore input
-        # counts saturating the padded capacity are ambiguous (est was
-        # clipped there); an EXACTLY-full requested capacity is not — the
-        # host count is exact, so Ks.max() == req_k_max < k_max is legal
         kmx = int(Ks.max(initial=0))
-        if kmx >= k_max or (req_k_max is not None and kmx > req_k_max):
-            raise ValueError("k_max too small for requested chunk")
+        self._check_capacity(kmx, k_max, req_k_max, "requested chunk")
 
         new_hist, out = self._run_step(x, ratios, Ks, k_max, req_k_max)
         self.hist = new_hist
@@ -346,12 +374,12 @@ class BatchedASRC:
             mask = np.ones(self.S, dtype=bool)
         mask = np.asarray(mask, bool) & ~self.flushed
 
+        # only masked streams emit; other streams' ratios must not steer
+        # kernel selection or capacity (see process())
+        ratios = np.where(mask, ratios, 1.0)
         req_k_max = k_max
-        if k_max is None:
-            k_max = int(np.ceil((half + 2) * ratios.max())) + 2
-        pallas_family = self.kernel in ("auto", "dense", "hankel")
-        bucket = max(self._kb, self._hkb) if pallas_family else 128
-        k_max = -(-k_max // bucket) * bucket
+        k_max = self._bucketed_k_max(
+            req_k_max, int(np.ceil((half + 2) * ratios.max())) + 2)
 
         # final emission counts: the zero postfill raises the input bound
         # by half and emission stops at idx_f - half = input_index
@@ -368,14 +396,19 @@ class BatchedASRC:
         Ks = (((self.offsets - shift)[:, None] + ks[None, :]
                / ratios[:, None]) < bound).sum(axis=1).astype(np.int32)
         Ks[~mask] = 0
-        # same rule as process(): only padded-capacity saturation is
-        # ambiguous; an exactly-full requested capacity is a valid flush
         kmx = int(Ks.max(initial=0))
-        if kmx >= k_max or (req_k_max is not None and kmx > req_k_max):
-            raise ValueError("k_max too small for flush")
+        self._check_capacity(kmx, k_max, req_k_max, "flush")
 
-        x = jnp.zeros((self.S, half), dtype=self.dtype)
-        _discard_hist, out = self._run_step(x, ratios, Ks, k_max, req_k_max)
+        if kmx == 0:
+            # nothing to emit (empty/already-flushed mask): skip the
+            # device dispatch entirely — an unseen k_max bucket would
+            # otherwise pay a multi-minute remote compile for zeros
+            out_cols = req_k_max if req_k_max is not None else k_max
+            out = jnp.zeros((self.S, out_cols), dtype=self.dtype)
+        else:
+            x = jnp.zeros((self.S, half), dtype=self.dtype)
+            _discard_hist, out = self._run_step(x, ratios, Ks, k_max,
+                                                req_k_max)
 
         # the reference accumulates outputOffset in the slid coordinates
         # (oo_ring + offset2 rounds there); position = oo_f + half - idx_f

@@ -471,7 +471,6 @@ def test_asrc_exactly_full_requested_capacity_ok():
     b2 = BatchedASRC(4, 48, 48)
     b2.advance_position(24)
     b2.process(x, r)
-    _o, fK = BatchedASRC(4, 48, 48), None
     probe = BatchedASRC(4, 48, 48)
     probe.advance_position(24)
     probe.process(x, r)
