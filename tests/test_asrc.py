@@ -478,3 +478,84 @@ def test_asrc_exactly_full_requested_capacity_ok():
     need = int(fKs.max())
     out, Ks = b2.flush(r, k_max=need)          # exactly full: legal
     assert int(Ks.max()) == need
+
+
+def test_asrc_latched_stream_ratio_is_inert():
+    """A flushed (latched) stream's caller-supplied ratio must not steer
+    kernel selection or inflate the auto capacity estimate: the stale
+    value is dead weight (its Ks is forced to 0 and its position frozen).
+    Before the fix, ratios[flushed]=50 ballooned k_max ~50x (every call a
+    fresh compile bucket) and a stale out-of-Hankel-bounds ratio dropped
+    the whole live batch to the XLA fallback path."""
+    S, taps, filters = 4, 48, 48
+    lcg = NoiseLCG()
+    b = BatchedASRC(S, taps, filters)
+    b.advance_position(24.0)
+    x = lcg.fill(S * 512).reshape(S, 512)
+    out0, _ = b.process(jnp.asarray(x), np.full(S, 1.001))
+    width0 = out0.shape[1]
+
+    mask = np.zeros(S, bool)
+    mask[0] = True
+    b.flush(np.ones(S), mask=mask)
+
+    ref = BatchedASRC(S, taps, filters)
+    ref.advance_position(24.0)
+    ref.process(jnp.asarray(x), np.full(S, 1.001))
+    rmask = np.zeros(S, bool)
+    rmask[0] = True
+    ref.flush(np.ones(S), mask=rmask)
+
+    ratios = np.full(S, 1.001)
+    bad = ratios.copy()
+    bad[0] = 50.0                      # stale garbage for the dead stream
+    x2 = lcg.fill(S * 512).reshape(S, 512)
+    out_bad, Ks_bad = b.process(jnp.asarray(x2), bad)
+    out_ref, Ks_ref = ref.process(jnp.asarray(x2), ratios)
+    assert out_bad.shape[1] == out_ref.shape[1] == width0
+    assert int(Ks_bad[0]) == 0
+    np.testing.assert_array_equal(np.asarray(Ks_bad), np.asarray(Ks_ref))
+    np.testing.assert_array_equal(np.asarray(out_bad), np.asarray(out_ref))
+    np.testing.assert_array_equal(b.get_position(), ref.get_position())
+
+    # flush: a masked-out stream's garbage ratio is equally inert
+    fbad = np.full(S, 50.0)
+    fmask = np.zeros(S, bool)
+    fmask[1] = True
+    fbad[1] = 1.001
+    fout, fKs = b.flush(fbad, mask=fmask)
+    rout, rKs = ref.flush(np.where(fmask, 1.001, 1.0), mask=fmask)
+    assert fout.shape[1] == rout.shape[1]
+    np.testing.assert_array_equal(np.asarray(fKs), np.asarray(rKs))
+    np.testing.assert_array_equal(np.asarray(fout), np.asarray(rout))
+
+
+def test_asrc_flush_nothing_to_emit_skips_dispatch():
+    """flush() with an all-masked-out (or all-latched) batch must not
+    dispatch a device step: an unseen k_max bucket would pay a remote
+    compile for zeros.  The output is all-zero with Ks == 0, shaped to
+    req_k_max when one is given."""
+    S = 4
+    b = BatchedASRC(S, 48, 48)
+    b.advance_position(24.0)
+    x = jnp.asarray(np.zeros((S, 256), np.float32))
+    b.process(x, np.ones(S))
+
+    calls = []
+    orig = b._run_step
+    b._run_step = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+
+    fout, fKs = b.flush(np.ones(S), mask=np.zeros(S, bool))
+    assert not calls                       # no device dispatch
+    assert int(np.asarray(fKs).max()) == 0
+    assert not np.asarray(fout).any()
+
+    fout, fKs = b.flush(np.ones(S), mask=np.zeros(S, bool), k_max=37)
+    assert not calls
+    assert fout.shape == (S, 37)
+
+    # all streams already latched: same fast path
+    b.flush(np.ones(S))                    # real flush (dispatches)
+    assert len(calls) == 1
+    fout, fKs = b.flush(np.ones(S))
+    assert len(calls) == 1 and int(np.asarray(fKs).max()) == 0
