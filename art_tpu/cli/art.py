@@ -325,7 +325,8 @@ def process_file(opt: Options) -> int:
             if stretch_ratio != 1.0:
                 if num_channels > 2:
                     raise SystemExit("error: audio stretch only works with "
-                                     "mono or stereo")
+                                     "mono or stereo, "
+                                     f"not {num_channels}-channel")
                 if not 0.25 <= stretch_ratio <= 4.0:
                     raise SystemExit("error: audio stretch requires "
                                      f"excessive ratio {stretch_ratio:g}")
@@ -758,8 +759,12 @@ def main(argv=None) -> int:
     try:
         return process_file(opt)
     except wavfile.WavFormatError as e:
-        # reference-style one-liner instead of a traceback (art.c:521-571)
-        print(f"\"{opt.infile}\" is {e}!", file=sys.stderr)
+        # reference-style one-liner instead of a traceback (art.c:521-571);
+        # verbatim messages are complete reference lines (art.c:608)
+        if getattr(e, "verbatim", False):
+            print(e, file=sys.stderr)
+        else:
+            print(f"\"{opt.infile}\" is {e}!", file=sys.stderr)
         return -1
     except OSError as e:
         # distinguish the reference's three cases (art.c:487, 492, 684):

@@ -31,7 +31,12 @@ _EXT_GUID_TAIL = bytes([0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
 
 
 class WavFormatError(ValueError):
-    pass
+    """verbatim=True messages are complete reference one-liners (printed
+    as-is); others are fragments the CLI wraps as '"<path>" is <msg>!'."""
+
+    def __init__(self, msg: str, verbatim: bool = False):
+        super().__init__(msg)
+        self.verbatim = verbatim
 
 
 @dataclass
@@ -106,8 +111,14 @@ def read_wav_header(f) -> WavInfo:
         elif ck_id == b"data":
             if not fmt_seen:
                 raise WavFormatError("not a valid .WAV file")
-            if not ck_size or ck_size % block_align:
-                raise WavFormatError("no audio samples or corrupt file")
+            # reference order (art.c:607-627): zero-size data chunk is
+            # "no audio samples" (a verbatim line without the filename);
+            # a misaligned size is "not a valid .WAV file"
+            if not ck_size:
+                raise WavFormatError("this .WAV file has no audio samples, "
+                                     "probably is corrupt!", verbatim=True)
+            if ck_size % block_align:
+                raise WavFormatError("not a valid .WAV file")
             num_frames = ck_size // block_align
             return WavInfo(
                 num_channels=num_channels, sample_rate=sample_rate,

@@ -324,6 +324,19 @@ def test_art_cli_error_paths_match_reference(art_ref, tmp_path):
                   + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
                   + b"data" + struct.pack("<I", len(data)) + data)
     cases[p] = "is an unsupported .WAV format!"
+    p = tmp_path / "nosamples.wav"
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    p.write_bytes(b"RIFF" + struct.pack("<I", 20 + len(fmt))
+                  + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", 0))
+    # a verbatim reference line WITHOUT the filename (art.c:608)
+    cases[p] = "this .WAV file has no audio samples, probably is corrupt!"
+    p = tmp_path / "misaligned.wav"
+    data = b"\x00" * 401                 # not a multiple of block_align 4
+    p.write_bytes(b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data))
+                  + b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+    cases[p] = "is not a valid .WAV file!"
 
     for path, expect in cases.items():
         ref = subprocess.run([str(art_ref), "-r48000", "-y", "-q", str(path),
@@ -347,6 +360,26 @@ def test_art_cli_error_paths_match_reference(art_ref, tmp_path):
         rc = art_cli.main(["-y", "-q", str(tmp_path / "nope.wav"),
                            str(tmp_path / "o3.wav")])
     assert rc != 0 and "can't open file" in buf.getvalue()
+
+    # stretch on >2 channels: message includes the channel count
+    # (art.c:778)
+    p = tmp_path / "three.wav"
+    with open(p, "wb") as f:
+        wavfile.write_wav_header(f, bits=16, num_channels=3, num_frames=64,
+                                 sample_rate=44100, channel_mask=0x7)
+        f.write(b"\x00" * (64 * 3 * 2))
+    ref = subprocess.run([str(art_ref), "--tempo=2", "-y", "-q", str(p),
+                          str(tmp_path / "o4.wav")], capture_output=True,
+                         text=True)
+    # in-process, sys.exit("msg") surfaces as SystemExit(str) — the
+    # real CLI prints the string to stderr and exits 1
+    with pytest.raises(SystemExit) as exc:
+        art_cli.main(["--tempo=2", "-y", "-q", str(p),
+                      str(tmp_path / "o5.wav")])
+    expect = "error: audio stretch only works with mono or stereo, " \
+             "not 3-channel"
+    assert ref.returncode != 0 and expect in ref.stderr
+    assert expect in str(exc.value)
 
 
 def test_cli_device_pipeline_resample_decimate(tmp_path):
