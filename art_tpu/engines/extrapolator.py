@@ -90,10 +90,15 @@ def calc_lpc_coeffs(values: np.ndarray, maxloops: int = MAXLOOPS
     step = 3.0 / (1 << 4)
     quality = 20.0
 
-    tail = values[NCOEFFS:NCOEFFS + nevals].astype(np.float64)
-    prev = values[NCOEFFS - 1:NCOEFFS - 1 + nevals].astype(np.float64)
-    deltas_rms = _seq_sum((tail - prev) ** 2)
-    values_rms = _seq_sum(tail * tail)
+    # the reference squares in the DATA type before the double
+    # accumulation (float*float stays float in C): on the f32 path an
+    # fl32-rounded values_rms can exceed the descent's double-exact trial
+    # error, which is what lets the first trial "improve" on spike
+    # windows (reference extrapolator.c:95-107 vs 128-147)
+    tail = values[NCOEFFS:NCOEFFS + nevals]
+    prev = values[NCOEFFS - 1:NCOEFFS - 1 + nevals]
+    deltas_rms = _seq_sum(((tail - prev) * (tail - prev)).astype(np.float64))
+    values_rms = _seq_sum((tail * tail).astype(np.float64))
     if values_rms == 0.0:
         return coeffs, quality
 

@@ -173,7 +173,11 @@ def decode_frames(raw: bytes, info: WavInfo, gain: float,
             raw, dtype="<f4" if info.bits_per_sample == 32 else "<f8")
         out = src.astype(dt)
         if gain != 1.0:
-            out = (out * dt.type(gain)).astype(dt)
+            # the reference computes fl32((double)sample * gain) — one
+            # rounding with the gain at full double precision
+            # (art.c:989-993, `inbuffer[i] *= gain` with double gain);
+            # an f32-rounded gain operand is 1 ulp off on ~6% of samples
+            out = (out.astype(np.float64) * gain).astype(dt)
     else:
         out = unpack_bytes(np.frombuffer(raw, dtype=np.uint8), gain,
                            info.bits_per_sample, info.bytes_per_sample, dt)

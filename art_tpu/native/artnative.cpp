@@ -969,13 +969,19 @@ static double extrap_calc_lpc(const S *values, long long nvalues,
     double quality = 20.0;
     if (nevals <= 0) return quality;
 
+    // the reference squares in the DATA type before the double
+    // accumulation (float*float stays float in C): on the f32 path an
+    // fl32-rounded values_rms can exceed the descent's double-exact trial
+    // error, which is exactly what lets the first trial "improve" on
+    // spike windows (reference extrapolator.c:95-107 vs 128-147) — a
+    // full-double rms here picked the zero filter where the reference
+    // keeps a +3/16 coefficient
     double deltas_rms = 0.0, values_rms = 0.0;
     for (long long k = 0; k < nevals; k++) {
-        double t = (double)values[NC + k];
-        double p = (double)values[NC - 1 + k];
-        double d = t - p;
-        deltas_rms += d * d;
-        values_rms += t * t;
+        S t = values[NC + k];
+        S d = (S)(values[NC + k] - values[NC - 1 + k]);
+        deltas_rms += (double)(S)(d * d);
+        values_rms += (double)(S)(t * t);
     }
     if (values_rms == 0.0) return quality;
 

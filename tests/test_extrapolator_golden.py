@@ -14,6 +14,14 @@ CASES = [
     ("fwd", 190, 190, "noise"), ("rev", 190, 190, "sine"),
     ("rev", 100, 64, "noise"), ("rev", 64, 32, "noise"),
     ("fwd", 16, 16, "sine"), ("fwd", 512, 64, "sine"),
+    # spike windows (CLI fuzz seed 168): [0]*189+[v] — whether the fit
+    # keeps a bare +/-3/16 coefficient or degenerates to the zero filter
+    # depends on the f32 rounding DIRECTION of v*v in values_rms, so the
+    # rms products must round through the data type exactly like the C
+    ("fwd", 190, 190, "spike:0.98969173"),
+    ("fwd", 190, 190, "spike:-0.04588555"),
+    ("fwd", 190, 190, "spike:0.7071067"),
+    ("rev", 190, 64, "spike:0.98969173"),
 ]
 
 
@@ -22,14 +30,19 @@ def _signal(nvalues, sig, freq=0.05):
         i = np.arange(nvalues)
         return (0.4 * np.sin(i * freq)
                 + 0.1 * np.sin(i * freq * 3.1)).astype(np.float32)
+    if sig.startswith("spike"):
+        x = np.zeros(nvalues, np.float32)
+        x[-1] = np.float32(float(sig.split(":")[1]))
+        return x
     return NoiseLCG().fill(nvalues)
 
 
 @pytest.mark.parametrize("mode,nvalues,nx,sig", CASES)
 def test_extrapolation_bit_exact(golden_bin, mode, nvalues, nx, sig):
+    kind, _, param = sig.partition(":")
     raw = subprocess.run(
-        [str(golden_bin), "extrap", mode, str(nvalues), str(nx), sig,
-         "0.05"], capture_output=True, check=True).stdout
+        [str(golden_bin), "extrap", mode, str(nvalues), str(nx), kind,
+         param or "0.05"], capture_output=True, check=True).stdout
     ref = np.frombuffer(raw, dtype=np.float32)
     x = _signal(nvalues, sig)
     mine = (ex.extrapolate_forward(x, nx) if mode == "fwd"

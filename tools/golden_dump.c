@@ -211,6 +211,12 @@ int main (int argc, char **argv)
         if (!strcmp (argv[5], "sine"))
             for (int i = 0; i < nvalues; ++i)
                 buf [i] = 0.4 * sin (i * freq) + 0.1 * sin (i * freq * 3.1);
+        else if (!strcmp (argv[5], "spike"))
+            /* zeros + one trailing sample of amplitude <freq>: the class
+               where the fl32-rounded values_rms exceeds the descent's
+               double-exact trial error (extrapolator.c:95-107 vs 128-147)
+               and the fit keeps a bare +/-step coefficient */
+            buf [nvalues - 1] = freq;
         else
             noise_fill (buf, nvalues);
 
