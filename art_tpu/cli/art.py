@@ -333,8 +333,19 @@ def process_file(opt: Options) -> int:
                 flags = (STRETCH_DUAL_FLAG
                          if stretch_ratio < 0.5 or stretch_ratio > 2.0
                          else 0)
-                stretcher = Stretcher(sample_rate // 350, sample_rate // 50,
-                                      num_channels, flags, dtype=dt)
+                try:
+                    stretcher = Stretcher(sample_rate // 350,
+                                          sample_rate // 50,
+                                          num_channels, flags, dtype=dt)
+                except ValueError:
+                    # out-of-range periods (rate < ~8400 undershoots
+                    # MIN_PERIOD): the reference prints this line from
+                    # stretchInit (stretch.c:52-56) and then crashes on
+                    # the NULL context (art.c:786) — we print the same
+                    # line and exit cleanly
+                    print("stretchInit(): invalid periods!",
+                          file=sys.stderr)
+                    return -1
                 if opt.verbosity > 0:
                     print(f"audio stretch initialized with ratio "
                           f"{stretch_ratio:g}", file=sys.stderr)

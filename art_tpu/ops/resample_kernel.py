@@ -211,7 +211,10 @@ def apply_numpy_periodic(L: np.ndarray, bank: np.ndarray, parts: dict,
     if interpolate is False and parts["pass_mask"].any():
         ok &= ~parts["pass_mask"][:Kfast].reshape(G, Lp).any(axis=0)
     n_ok = int(ok.sum())
-    if n_ok < Lp // 2:
+    if n_ok == 0 or n_ok < Lp // 2:
+        # n_ok == 0 matters at Lp == 1 (e.g. integer-factor allpass
+        # downsample: the single slot is the passthrough shortcut), where
+        # the Lp//2 bound is vacuous and dj would be an empty reduction
         return None
     dj = d[0, ok].astype(np.int64)
     span = int(dj.max()) + T

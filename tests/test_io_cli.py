@@ -782,3 +782,48 @@ def test_cli_f64_input_implies_f64_path(tmp_path):
     vals = np.frombuffer(auto[-n // 2 * 8:], "<f8")
     assert np.abs(vals).max() > 0
     assert (vals != vals.astype(np.float32).astype(np.float64)).any()
+
+
+def test_art_cli_low_rate_stretch_clean_error(tmp_path):
+    """rate//350 < MIN_PERIOD (rates under ~8.4k): the reference prints
+    'stretchInit(): invalid periods!' and then SEGFAULTS on the NULL
+    context (stretch.c:62, art.c:786) — we print the same line and exit
+    cleanly (CLI fuzz seed 149)."""
+    import io as _io
+    from contextlib import redirect_stderr
+
+    from art_tpu.cli import art as art_cli
+
+    p = tmp_path / "low.wav"
+    with open(p, "wb") as f:
+        wavfile.write_wav_header(f, bits=16, num_channels=1, num_frames=64,
+                                 sample_rate=8000, channel_mask=0x4)
+        f.write(b"\x00" * 128)
+    buf = _io.StringIO()
+    with redirect_stderr(buf):
+        rc = art_cli.main(["--tempo=1.5", "-y", "-q", str(p),
+                           str(tmp_path / "o.wav")])
+    assert rc != 0
+    assert "stretchInit(): invalid periods!" in buf.getvalue()
+    assert "Traceback" not in buf.getvalue()
+
+
+def test_art_cli_allpass_integer_downsample_bit_exact(art_ref, tmp_path):
+    """Integer-factor allpass downsample (48k->8k -a): every output is the
+    passthrough shortcut (resampler.c:1141-1142), Lp == 1 in the periodic
+    fast path — previously an empty reduction crash (CLI fuzz seed 141);
+    must be byte-identical to the reference."""
+    lcg = NoiseLCG()
+    n = 20000
+    frames = lcg.fill(n * 2).reshape(n, 2) * 0.4
+    p = tmp_path / "in.wav"
+    with open(p, "wb") as f:
+        wavfile.write_wav_header(f, bits=32, num_channels=2, num_frames=n,
+                                 sample_rate=48000, channel_mask=0x3)
+        f.write(frames.astype("<f4").tobytes())
+    ref_out, my_out = tmp_path / "r.wav", tmp_path / "m.wav"
+    subprocess.run([str(art_ref), "-3", "-r8000", "-a", "-o32", "-y", "-q",
+                    str(p), str(ref_out)], check=True, capture_output=True)
+    assert _run_art_cli(["-3", "-r8000", "-a", "-o32", "-y", "-q", str(p),
+                         str(my_out)]) == 0
+    assert ref_out.read_bytes() == my_out.read_bytes()

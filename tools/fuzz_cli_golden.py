@@ -198,6 +198,15 @@ def run_trial(seed, ref_bin, f64, tdir):
     mrc, mstderr = run_mine([*t["opts"], "-y", "-q", str(wav_in),
                              str(my_out)])
     fails = []
+    if rp.returncode < 0 and "invalid periods" in (rp.stderr or ""):
+        # KNOWN REFERENCE DEFECT: stretchInit rejects rate//350 <
+        # MIN_PERIOD (rates under ~8.4k), prints 'invalid periods!' and
+        # returns NULL; art.c:786 then dereferences it.  Ours must print
+        # the same line and exit cleanly.
+        if mrc == 0 or "stretchInit(): invalid periods!" not in mstderr:
+            fails.append(f"ref invalid-periods crash; mine rc={mrc} "
+                         f"stderr={mstderr.strip()[:80]!r}")
+        return t, fails
     if rp.returncode < 0 and "-m" in t["opts"]:
         # KNOWN REFERENCE DEFECT: the threaded decimator dereferences
         # tpdf_generators[ch] / noise_shapers[ch] unconditionally
