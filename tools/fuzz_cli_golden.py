@@ -207,6 +207,19 @@ def run_trial(seed, ref_bin, f64, tdir):
             fails.append(f"ref invalid-periods crash; mine rc={mrc} "
                          f"stderr={mstderr.strip()[:80]!r}")
         return t, fails
+    if rp.returncode < 0 and "-p" in t["opts"] and \
+            any(o.startswith("--pitch") or o.startswith("--tempo")
+                for o in t["opts"]):
+        # KNOWN REFERENCE DEFECT: with a stretcher + pre-filter, the
+        # biquad walks the RAW read buffer with the STRETCHED count
+        # (art.c:1011-1017) — a heap overflow that segfaults when the
+        # stretched count runs far past BUFFER_SAMPLES (silent corruption
+        # otherwise), and the filtered data is discarded anyway.  Ours
+        # makes -p a documented no-op under stretch and must succeed.
+        if mrc != 0:
+            fails.append(f"ref crashed (known -p+stretch bug) but mine "
+                         f"rc={mrc}")
+        return t, fails
     if rp.returncode < 0 and "-m" in t["opts"]:
         # KNOWN REFERENCE DEFECT: the threaded decimator dereferences
         # tpdf_generators[ch] / noise_shapers[ch] unconditionally
