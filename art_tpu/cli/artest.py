@@ -210,34 +210,42 @@ def main(argv=None) -> int:
                   file=sys.stderr)
 
     resampler = inv_resampler = None
-    if ratio != 1.0 or lowpass_freq:
-        if exact:
-            resampler = Resampler.fixed_ratio(
-                chans, taps, filters, source_rate, destin_rate, lowpass_freq,
-                flags, dtype=dtype, backend=backend)
-            describe(resampler, source_rate, destin_rate, "w1 --> w2")
-            if inv_resample:
-                inv_resampler = Resampler.fixed_ratio(
-                    chans, taps, filters, destin_rate, source_rate,
+    try:
+        if ratio != 1.0 or lowpass_freq:
+            if exact:
+                resampler = Resampler.fixed_ratio(
+                    chans, taps, filters, source_rate, destin_rate,
                     lowpass_freq, flags, dtype=dtype, backend=backend)
-                describe(inv_resampler, destin_rate, source_rate,
-                         "w2 --> w4")
-            inv_ratio = ratio = 0.0
-        else:
-            resampler = Resampler(chans, taps, filters,
-                                  lowpass_freq * 2.0 / source_rate, flags,
-                                  dtype=dtype, backend=backend)
-            describe(resampler, source_rate, destin_rate, "w1 --> w2")
-            if inv_resample:
-                inv_resampler = Resampler(chans, taps, filters,
-                                          lowpass_freq * 2.0 / destin_rate,
-                                          flags, dtype=dtype,
-                                          backend=backend)
-                describe(inv_resampler, destin_rate, source_rate,
-                         "w2 --> w4")
-        resampler.advance_position(taps / 2.0)
-        if inv_resampler is not None:
-            inv_resampler.advance_position(taps / 2.0)
+                describe(resampler, source_rate, destin_rate, "w1 --> w2")
+                if inv_resample:
+                    inv_resampler = Resampler.fixed_ratio(
+                        chans, taps, filters, destin_rate, source_rate,
+                        lowpass_freq, flags, dtype=dtype, backend=backend)
+                    describe(inv_resampler, destin_rate, source_rate,
+                             "w2 --> w4")
+                inv_ratio = ratio = 0.0
+            else:
+                resampler = Resampler(chans, taps, filters,
+                                      lowpass_freq * 2.0 / source_rate,
+                                      flags, dtype=dtype, backend=backend)
+                describe(resampler, source_rate, destin_rate, "w1 --> w2")
+                if inv_resample:
+                    inv_resampler = Resampler(
+                        chans, taps, filters,
+                        lowpass_freq * 2.0 / destin_rate,
+                        flags, dtype=dtype, backend=backend)
+                    describe(inv_resampler, destin_rate, source_rate,
+                             "w2 --> w4")
+            resampler.advance_position(taps / 2.0)
+            if inv_resampler is not None:
+                inv_resampler.advance_position(taps / 2.0)
+    except ValueError as e:
+        # the reference prints the engine's validation line (e.g.
+        # 'lowpass frequency must be lower than destination Nyquist!',
+        # resampler.c:317) and then SEGFAULTS on the NULL context
+        # (artest.c:380-437 uses the return unchecked) — we exit cleanly
+        print(e, file=sys.stderr)
+        return -1
 
     decimator = None
     if outbits != 32:

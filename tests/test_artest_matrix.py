@@ -120,3 +120,22 @@ def test_artest_strtol_args_and_degenerate_streams():
                              stdin=subprocess.DEVNULL).stderr
         ref_line = next(l for l in ref.splitlines() if "input (-w1)" in l)
         assert mine.strip() == ref_line.strip()
+
+
+def test_artest_lowpass_over_nyquist_clean_error():
+    """lowpass >= destination Nyquist: the reference prints the
+    validation line (resampler.c:317) then SEGFAULTS on the NULL context
+    (artest.c uses the init return unchecked) — ours prints the same
+    line and exits cleanly (artest fuzz seed 2)."""
+    import io as _io
+    from contextlib import redirect_stderr
+
+    from art_tpu.cli import artest as at
+
+    buf = _io.StringIO()
+    with redirect_stderr(buf):
+        rc = at.main(["-1", "-s16k", "-d22.05k", "-n1", "-l16k", "-e"])
+    assert rc != 0
+    assert ("lowpass frequency must be lower than destination Nyquist!"
+            in buf.getvalue())
+    assert "Traceback" not in buf.getvalue()
