@@ -5,7 +5,7 @@ sides, every count exact, the input line bit-identical, clipped counts
 exact, per-stream RMS one-sided within 0.5 dB (ours may be better via
 float64 convolution accumulation, never materially worse).
 
-Usage: fuzz_artest_golden.py LO HI
+Usage: fuzz_artest_golden.py LO HI [--f64]
 Idle-time companion to fuzz_cli_golden.py (the ART file-conversion
 fuzzer); run while the TPU service is out.
 """
@@ -29,17 +29,23 @@ _LINE = re.compile(r"(\w+) \(-w(\d)\): count =\s*(\d+), checksum = (\w+), "
                    r"([-\d.a-z]+) dB")
 
 
+F64 = "--f64" in sys.argv
+
+
 def build_ref() -> pathlib.Path:
-    out = OUT / "artest_ref"
+    out = OUT / ("artest_ref64" if F64 else "artest_ref")
     if not out.exists():
         srcs = [REF / s for s in ["artest.c", "resampler.c",
                                   "extrapolator.c", "decimator.c",
                                   "workers.c", "biquad.c"]]
         OUT.mkdir(exist_ok=True)
-        subprocess.run(["gcc", "-O2", "-ffp-contract=off",
-                        "-DENABLE_THREADS", "-DENABLE_EXTRAPOLATION",
-                        f"-I{REF}", *map(str, srcs), "-lm", "-pthread",
-                        "-o", str(out)], check=True, capture_output=True)
+        cmd = ["gcc", "-O2", "-ffp-contract=off", "-DENABLE_THREADS",
+               "-DENABLE_EXTRAPOLATION", f"-I{REF}"]
+        if F64:
+            cmd.append("-DPATH_WIDTH=64")
+        subprocess.run(cmd + [*map(str, srcs), "-lm", "-pthread",
+                              "-o", str(out)], check=True,
+                       capture_output=True)
     return out
 
 
@@ -83,7 +89,8 @@ def gen_trial(rng):
     if rng.random() < 0.2:
         opts.append("-l16k")
     for fl, p in [("-e", .5), ("-i", .6), ("-a", .25), ("-x", .25),
-                  ("-z", .25), ("-m", .2), ("-v", .2)]:
+                  ("-z", .25), ("-m", .2), ("-v", .2)] \
+            + ([] if F64 else [("-p", .15)]):
         if rng.random() < p:
             opts.append(fl)
     return opts
@@ -99,7 +106,7 @@ def run_trial(seed, ref_bin):
     rc = 0
     with contextlib.redirect_stderr(buf):
         try:
-            rc = at.main(list(opts))
+            rc = at.main(list(opts) + (["--f64"] if F64 else []))
         except SystemExit as e:
             if isinstance(e.code, str):
                 buf.write(e.code + "\n")
@@ -159,7 +166,8 @@ def run_trial(seed, ref_bin):
 
 
 def main():
-    lo, hi = int(sys.argv[1]), int(sys.argv[2])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    lo, hi = int(args[0]), int(args[1])
     ref_bin = build_ref()
     nfail = 0
     for seed in range(lo, hi):
