@@ -46,7 +46,9 @@ USAGE = """
            -x          = extrapolate audio endpoints
            -p          = precise (doubles) convolution
            -v          = test non-interleaved (planar) API path
-           --f64       = 64-bit data path     --backend=<numpy|jax>
+           --f64       = 64-bit data path
+           --backend=<numpy|jax|device> (device = the TPU streaming
+                         engine for the -e resample path, host edges)
            --timing    = per-stage wall-clock summary
            --profile=<dir> = write a jax.profiler trace of the run
 """
@@ -84,8 +86,9 @@ def main(argv=None) -> int:
             if name == "f64":
                 dtype = np.float64
             elif name == "backend":
-                if val not in ("numpy", "jax"):
-                    raise SystemExit("--backend must be numpy or jax!")
+                if val not in ("numpy", "jax", "device"):
+                    raise SystemExit("--backend must be numpy, jax or "
+                                     "device!")
                 backend = val
             elif name == "timing":
                 timing = True
@@ -209,18 +212,29 @@ def main(argv=None) -> int:
                   f"{int(lr * src / 2.0)} Hz, {interp} interpolation",
                   file=sys.stderr)
 
+    if backend == "device" and not exact:
+        # the device streaming engine is the fixed-ratio steady-state path
+        # (reference resampleFixedRatioInit, resampler.c:310-356); the
+        # runtime-ratio interpolated mode stays on the host engines
+        raise SystemExit("--backend=device requires exact resampling (-e)!")
+
+    def make_resampler(src, dst):
+        if backend == "device":
+            from ..parallel.streams import HybridStreamResampler
+            return HybridStreamResampler(chans, taps, filters, src, dst,
+                                         lowpass_freq, flags, dtype=dtype)
+        return Resampler.fixed_ratio(chans, taps, filters, src, dst,
+                                     lowpass_freq, flags, dtype=dtype,
+                                     backend=backend)
+
     resampler = inv_resampler = None
     try:
         if ratio != 1.0 or lowpass_freq:
             if exact:
-                resampler = Resampler.fixed_ratio(
-                    chans, taps, filters, source_rate, destin_rate,
-                    lowpass_freq, flags, dtype=dtype, backend=backend)
+                resampler = make_resampler(source_rate, destin_rate)
                 describe(resampler, source_rate, destin_rate, "w1 --> w2")
                 if inv_resample:
-                    inv_resampler = Resampler.fixed_ratio(
-                        chans, taps, filters, destin_rate, source_rate,
-                        lowpass_freq, flags, dtype=dtype, backend=backend)
+                    inv_resampler = make_resampler(destin_rate, source_rate)
                     describe(inv_resampler, destin_rate, source_rate,
                              "w2 --> w4")
                 inv_ratio = ratio = 0.0

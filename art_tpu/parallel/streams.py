@@ -42,7 +42,7 @@ from ..core.flags import (BLACKMAN_HARRIS, EXTRAPOLATE_ENDPOINTS,
 from ..core.filters import (make_filter_bank, plan_fixed_ratio,
                             resolve_lowpass)
 from ..ops.polyphase import PolyphaseMatrix
-from .pipeline import residue_window_dots
+from .pipeline import _resample_block, residue_window_dots
 
 
 def _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len):
@@ -54,25 +54,15 @@ def _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len):
     power accumulate -> history extraction.  start is the window origin in
     the padded buffer; outputs beyond K are zeroed; acc carries running
     output power so streaming statistics add no extra dispatches.
-    Precision is pinned to HIGHEST inside the helper: the TPU default is
-    single-pass bf16, which costs ~90 dB of output SNR — full float32
-    keeps the C reference's -142 dB round-trip at ~10% throughput cost."""
-    ch = x.shape[0]
-    nb_rs = -(-nb // qn) * qn
-    xlen = (nb_rs + qn) * M
-    buf = jnp.concatenate([hist, x], axis=1)
-    pad = jnp.zeros((ch, xlen), dtype=x.dtype)
-    win = jax.lax.dynamic_slice(
-        jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
-        (ch, xlen))
-    out = residue_window_dots(win, P, M=M, nb_rs=nb_rs, qn_pad=qn,
-                              qn_local=qn, q0=0)
-    out = jax.lax.slice(out, (0, 0, 0), (ch, nb, L)).reshape(ch, nb * L)
-    valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
-    out = out * valid[None, :]
+    The window/dot/mask math is pipeline._resample_block (the sharded
+    production step with a trivial shard); precision is pinned to HIGHEST
+    inside residue_window_dots: the TPU default is single-pass bf16, which
+    costs ~90 dB of output SNR — full float32 keeps the C reference's
+    -142 dB round-trip at ~10% throughput cost."""
+    out, new_hist = _resample_block(
+        x, hist, P, start, K, M=M, L=L, nb=nb, qn_pad=qn, qn_local=qn,
+        hist_len=hist_len, q0=jnp.int32(0), taps_axis=None)
     acc = acc + jnp.sum(out * out)
-    new_hist = jax.lax.dynamic_slice(
-        buf, (0, buf.shape[1] - hist_len), (ch, hist_len))
     return new_hist, out, acc
 
 
@@ -125,31 +115,42 @@ def _chunk_step(hist, x, P, start, K, acc, M: int, L: int, nb: int,
                            hist_len, pallas)
 
 
+@functools.partial(jax.jit, static_argnames=("start", "K", "M", "L", "nb",
+                                             "qn", "hist_len", "pallas"))
+def _chunk_scan_step_static(hist, xs, P, acc, start: int, K: int, M: int,
+                            L: int, nb: int, qn: int, hist_len: int,
+                            pallas: bool = False):
+    """G fused chunk steps in one dispatch with a COMPILE-TIME-CONSTANT
+    plan: when the chunk size is a multiple of the input period M, the
+    fixed-ratio steady state consumes/emits identically every chunk
+    (same K, same window origin, same phase anchor), so start/K become
+    static — the window dynamic_slice canonicalizes to a static slice
+    XLA can fuse (no materialized window copy) and the validity mask
+    constant-folds.  Bitwise-identical outputs to _chunk_scan_step;
+    measured ~2x the traced-plan scan on v5e (tools/exp_scan_ablate.py)."""
+    def body(carry, x):
+        hist, acc = carry
+        # static ints become int32 literals inside the trace (graph
+        # constants — NOT traced operands like _chunk_scan_step's meta)
+        hist, out, acc = _chunk_body_any(hist, x, P, jnp.int32(start),
+                                         jnp.int32(K), acc, M, L, nb, qn,
+                                         hist_len, pallas)
+        return (hist, acc), out
+    (hist, acc), outs = jax.lax.scan(body, (hist, acc), xs)
+    return hist, outs, acc
+
+
 def _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
                        nb: int, qn: int, hist_len: int):
     """Interpolated fixed-rational chunk body: P2 stacks the two adjacent
     phase banks ([qn*M, 2L]); the per-phase lerp fractions broadcast over
     output blocks (reference subsample_interpolate, resampler.c:1147-1157,
-    factored dot-then-lerp)."""
-    ch = x.shape[0]
-    nb_rs = -(-nb // qn) * qn
-    xlen = (nb_rs + qn) * M
-    buf = jnp.concatenate([hist, x], axis=1)
-    pad = jnp.zeros((ch, xlen), dtype=x.dtype)
-    win = jax.lax.dynamic_slice(
-        jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
-        (ch, xlen))
-    dd = residue_window_dots(win, P2, M=M, nb_rs=nb_rs, qn_pad=qn,
-                             qn_local=qn, q0=0)
-    dd = jax.lax.slice(dd, (0, 0, 0), (ch, nb, 2 * L))
-    f = fracv[None, None, :]
-    out = (dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f).reshape(ch, nb * L)
-    valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
-    out = out * valid[None, :]
-    acc = acc + jnp.sum(out * out)
-    new_hist = jax.lax.dynamic_slice(
-        buf, (0, buf.shape[1] - hist_len), (ch, hist_len))
-    return new_hist, out, acc
+    factored dot-then-lerp).  One implementation: the sharded production
+    body with a trivial shard (no mesh axes)."""
+    return _sharded_interp_body(hist, x, P2, fracv, start, K, acc, M=M,
+                                L=L, nb=nb, qn_pad=qn, qn_local=qn,
+                                hist_len=hist_len, taps_axis=None,
+                                streams_axis=None)
 
 
 def _chunk_body_interp_any(hist, x, P2, fracv, start, K, acc, M, L, nb, qn,
@@ -172,6 +173,27 @@ def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
     """One fused interpolated streaming step (see _chunk_body_interp)."""
     return _chunk_body_interp_any(hist, x, P2, fracv, start, K, acc, M, L,
                                   nb, qn, hist_len, pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("start", "K", "M", "L", "nb",
+                                             "qn", "hist_len", "pallas"))
+def _chunk_scan_step_interp_static(hist, xs, P2, fracv, acc, start: int,
+                                   K: int, M: int, L: int, nb: int,
+                                   qn: int, hist_len: int,
+                                   pallas: bool = False):
+    """Interpolated scan with a compile-time-constant plan (periodic
+    steady state AND a repeating phase pattern — the M-multiple chunk
+    case; see _chunk_scan_step_static): one banked matrix / fraction
+    vector, static start/K.  Bitwise-identical to the scanned-meta
+    form."""
+    def body(carry, x):
+        hist, acc = carry
+        hist, out, acc = _chunk_body_interp_any(
+            hist, x, P2, fracv, jnp.int32(start), jnp.int32(K), acc, M, L,
+            nb, qn, hist_len, pallas)
+        return (hist, acc), out
+    (hist, acc), outs = jax.lax.scan(body, (hist, acc), xs)
+    return hist, outs, acc
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
@@ -216,15 +238,13 @@ def _sharded_interp_body(hist, x, P2l, fracv, start, K, acc, *, M: int,
     taps-rank contracts its slice of the stacked [qn_pad*M, 2L] interp
     matrix, the psum completes the banked dots, and the phase lerp runs on
     the replicated sum (reference subsample_interpolate,
-    resampler.c:1147-1157, scaled out)."""
+    resampler.c:1147-1157, scaled out).  Window build / output masking are
+    the shared pipeline helpers (_window_and_hist / _mask_outputs)."""
+    from .pipeline import _mask_outputs, _window_and_hist
     ch = x.shape[0]
     nb_rs = -(-nb // qn_pad) * qn_pad
-    xlen = (nb_rs + qn_pad) * M
-    buf = jnp.concatenate([hist, x], axis=1)
-    pad = jnp.zeros((ch, xlen), dtype=x.dtype)
-    win = jax.lax.dynamic_slice(
-        jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
-        (ch, xlen))
+    win, new_hist = _window_and_hist(x, hist, start,
+                                     (nb_rs + qn_pad) * M, hist_len)
     q0 = jnp.int32(0)
     if taps_axis is not None:
         q0 = jax.lax.axis_index(taps_axis).astype(jnp.int32) * qn_local
@@ -234,15 +254,12 @@ def _sharded_interp_body(hist, x, P2l, fracv, start, K, acc, *, M: int,
         dd = jax.lax.psum(dd, taps_axis)
     dd = jax.lax.slice(dd, (0, 0, 0), (ch, nb, 2 * L))
     f = fracv[None, None, :]
-    out = (dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f).reshape(ch, nb * L)
-    valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
-    out = out * valid[None, :]
+    out = dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f
+    out = _mask_outputs(out, K, ch, nb, L)
     power = jnp.sum(out * out)
     if streams_axis is not None:
         power = jax.lax.psum(power, streams_axis)
     acc = acc + power
-    new_hist = jax.lax.dynamic_slice(
-        buf, (0, buf.shape[1] - hist_len), (ch, hist_len))
     return new_hist, out, acc
 
 
@@ -429,21 +446,34 @@ class DeviceStreamResampler:
         G = xs.shape[0]
         if self.interp:
             return self._process_scan_interp(xs, n_in, acc)
-        # build/validate the stacked bank BEFORE the planning loop: _plan
-        # mutates consume/emit state per chunk, so a size rejection after
-        # it would leave the engine silently desynced from the audio
-        self._stacked_matrices()
         state0 = (self.output_offset, self.input_index)
         try:
             plans = [self._plan(n_in) for _ in range(G)]
             Ks = [p[0] for p in plans]
             nb = max(max(-(-k // self.L) for k in Ks), 1)
-            meta = jnp.asarray([[p[2] for p in plans],
-                                [p[1] for p in plans], Ks], jnp.int32)
             acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
-            self.hist, outs, acc_out = _chunk_scan_step(
-                self.hist, xs, self._stacked_matrices(), meta, acc_in,
-                self.M, self.L, nb, self.qn, self.num_samples, self._pallas)
+            if all(p[:3] == plans[0][:3] for p in plans):
+                # periodic steady state (e.g. chunk size a multiple of M):
+                # every chunk has the identical (K, start, anchor) plan, so
+                # the scan runs with a compile-time-constant plan — the
+                # window slice goes static (fusable) and the mask constant-
+                # folds; bitwise-identical, measured materially faster on
+                # v5e (tools/exp_scan_ablate.py)
+                K0, start0, j0 = plans[0][:3]
+                self.hist, outs, acc_out = _chunk_scan_step_static(
+                    self.hist, xs, self._matrix(j0), acc_in, int(start0),
+                    int(K0), self.M, self.L, nb, self.qn, self.num_samples,
+                    self._pallas)
+            else:
+                # mixed plans: dynamic meta + stacked anchor bank (built/
+                # validated inside the try so a size rejection rolls the
+                # consume/emit state back with the except below)
+                meta = jnp.asarray([[p[2] for p in plans],
+                                    [p[1] for p in plans], Ks], jnp.int32)
+                self.hist, outs, acc_out = _chunk_scan_step(
+                    self.hist, xs, self._stacked_matrices(), meta, acc_in,
+                    self.M, self.L, nb, self.qn, self.num_samples,
+                    self._pallas)
         except BaseException:
             # a failed dispatch (trace error, remote-compile outage) must
             # not leave the consume/emit state G chunks ahead of the
@@ -501,13 +531,25 @@ class DeviceStreamResampler:
         Ks = [m[0] for m in metas]
         nb = max(max(-(-k // self.L) for k in Ks), 1)
         try:
-            meta = jnp.asarray([[m[1] for m in metas], Ks], jnp.int32)
-            P2s = jnp.stack([m[2] for m in metas])
-            frs = jnp.stack([m[3] for m in metas])
             acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
-            self.hist, outs, acc_out = _chunk_scan_step_interp(
-                self.hist, xs, P2s, frs, meta, acc_in,
-                self.M, self.L, nb, self.qn, self.num_samples, self._pallas)
+            if all(m[0] == metas[0][0] and m[1] == metas[0][1]
+                   and m[2] is metas[0][2] and m[3] is metas[0][3]
+                   for m in metas):
+                # periodic steady state with a repeating phase pattern
+                # (cache identity on the banked matrix/fractions): static
+                # plan, one matrix operand — see _chunk_scan_step_static
+                self.hist, outs, acc_out = _chunk_scan_step_interp_static(
+                    self.hist, xs, metas[0][2], metas[0][3], acc_in,
+                    int(metas[0][1]), int(metas[0][0]), self.M, self.L, nb,
+                    self.qn, self.num_samples, self._pallas)
+            else:
+                meta = jnp.asarray([[m[1] for m in metas], Ks], jnp.int32)
+                P2s = jnp.stack([m[2] for m in metas])
+                frs = jnp.stack([m[3] for m in metas])
+                self.hist, outs, acc_out = _chunk_scan_step_interp(
+                    self.hist, xs, P2s, frs, meta, acc_in,
+                    self.M, self.L, nb, self.qn, self.num_samples,
+                    self._pallas)
         except BaseException:
             # failed dispatch: roll the scalar state back (hist untouched)
             # so the engine is not G chunks ahead of the processed audio
@@ -892,6 +934,36 @@ class HybridStreamResampler:
             out = np.ascontiguousarray(
                 np.asarray(dev)[:, :res.output_generated].T)
         return out, res
+
+    def process(self, data, n_in: int, n_out: int, ratio: float = 0.0):
+        """Planar process (host-engine contract: inputs [ch, n] ->
+        output [K, ch] transposed back to [ch, K]); routed through the
+        interleaved path — the device engine is planar internally, so
+        this only adds host transposes at the boundary."""
+        inter = None if data is None else \
+            np.ascontiguousarray(np.asarray(data).T)
+        out, res = self.process_interleaved(inter, n_in, n_out, ratio)
+        return np.ascontiguousarray(out.T), res
+
+    def process_and_flush_interleaved(self, data, n_in: int, n_out: int,
+                                      ratio: float = 0.0):
+        """Process the final block then flush in one call (reference
+        resampleProcessAndFlushInterleaved, resampler.c:741-758)."""
+        out1, res = self.process_interleaved(data, n_in, n_out, ratio)
+        if res.input_used != n_in or res.output_generated == n_out:
+            return out1, res
+        out2, fres = self.process_interleaved(
+            None, -1, n_out - res.output_generated, ratio)
+        res.output_generated += fres.output_generated
+        return np.concatenate([out1, out2], axis=0), res
+
+    def process_and_flush(self, data, n_in: int, n_out: int,
+                          ratio: float = 0.0):
+        inter = None if data is None else \
+            np.ascontiguousarray(np.asarray(data).T)
+        out, res = self.process_and_flush_interleaved(inter, n_in, n_out,
+                                                      ratio)
+        return np.ascontiguousarray(out.T), res
 
     def process_interleaved_device(self, data, n_in: int, n_out: int,
                                    ratio: float = 0.0):
