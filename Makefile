@@ -27,7 +27,7 @@ bench: native
 # a production geometry vs a host oracle (the pytest suite runs them in
 # interpret mode only); commit the artifact each round
 bench-smoke:
-	$(PY) tools/tpu_smoke.py --save=MOSAIC_SMOKE_r03.json
+	$(PY) tools/tpu_smoke.py --save=MOSAIC_SMOKE_r04.json
 
 clean:
 	rm -f art_tpu/native/*.so

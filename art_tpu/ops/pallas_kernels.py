@@ -520,14 +520,21 @@ def _asrc_hankel_kernel(carry_ref, fir_ref, frr_ref, buf_ref, tb_ref,
     fr = frr_ref[0, 0, :, :]                               # [1, r8]
     w = f1 * (1.0 - fr) + f2 * fr                          # [tp, r8]
 
-    # ---- carry: w2[t] = w[t - carry_k] via smax+1 sublane-rotated copies
+    # ---- carry: w2[t] = w[t - carry_k], applied as the BINARY expansion
+    # of carry (per-column conditional rolls compose: the total sublane
+    # rotation of column k is the sum of its selected bits = carry_k) —
+    # ceil(log2(smax+1)) roll+select passes instead of smax, which makes
+    # wide-drift tiers (smax 16/32) nearly as cheap as smax=4.  Pure data
+    # movement: results identical to the linear form.
     wpad = jnp.concatenate(
         [w, jnp.zeros((tpx - tp, r8), dtype=w.dtype)], axis=0)  # [tpx, r8]
     carry = carry_ref[0, 0, :, :]                          # [1, r8] i32
     w2 = wpad
-    for cc in range(1, smax + 1):
-        m = jnp.broadcast_to(carry == cc, (tpx, r8))
-        w2 = jnp.where(m, pltpu.roll(wpad, cc, 0), w2)
+    bit = 1
+    while bit <= smax:
+        m = jnp.broadcast_to((carry & bit) != 0, (tpx, r8))
+        w2 = jnp.where(m, pltpu.roll(w2, bit, 0), w2)
+        bit <<= 1
 
     # ---- window side: per-stream Hankel bands, accumulated in place
     acc = None
@@ -725,16 +732,20 @@ def _asrc_hankel_ds_kernel(carry_ref, fir_ref, frh_ref, frl_ref, bufh_ref,
     wh, we = _two_sum(f1h, mh)
     wl = we + (f1l + me)
 
-    # ---- carry: both planes shift together
+    # ---- carry: both planes shift together (binary carry expansion —
+    # see _asrc_hankel_kernel: log2(smax) roll+select passes, identical
+    # data movement)
     zpad = jnp.zeros((tpx - tp, r8), dtype=wh.dtype)
     wh = jnp.concatenate([wh, zpad], axis=0)
     wl = jnp.concatenate([wl, zpad], axis=0)
     carry = carry_ref[0, 0, :, :]
     w2h, w2l = wh, wl
-    for cc in range(1, smax + 1):
-        m = jnp.broadcast_to(carry == cc, (tpx, r8))
-        w2h = jnp.where(m, pltpu.roll(wh, cc, 0), w2h)
-        w2l = jnp.where(m, pltpu.roll(wl, cc, 0), w2l)
+    bit = 1
+    while bit <= smax:
+        m = jnp.broadcast_to((carry & bit) != 0, (tpx, r8))
+        w2h = jnp.where(m, pltpu.roll(w2h, bit, 0), w2h)
+        w2l = jnp.where(m, pltpu.roll(w2l, bit, 0), w2l)
+        bit <<= 1
 
     # ---- window Hankel bands on both planes + compensated dot
     acc_h_cols, acc_l_cols = [], []

@@ -148,7 +148,8 @@ class BatchedASRC:
     def __init__(self, num_streams: int, num_taps: int, num_filters: int,
                  *, dtype=np.float32, blackman_harris: bool = True,
                  kernel: str = "auto", mesh=None, dense_kb: int = 128,
-                 hankel_kb: int = 128, hankel_smax: int = 4):
+                 hankel_kb: int = 128, hankel_smax: int = 4,
+                 hankel_smax_wide: int = 32):
         """``mesh``: optional jax.sharding.Mesh with a "streams" axis; stream
         state and chunks are sharded across it (streams are independent, so
         scale-out needs no hot-path collectives).
@@ -207,7 +208,13 @@ class BatchedASRC:
                 raise ValueError("hankel_kb must be a multiple of 128")
             self._hkb = hankel_kb
             self._hsmax = hankel_smax
-            self._hsegl = hankel_segl(self._tp, hankel_kb, hankel_smax)
+            # second Hankel tier for wider drifts (|1/ratio - 1| up to
+            # smax_wide/(kb-1), ~12-25% at the defaults): the binary
+            # carry expansion makes its select cost log2(smax), so the
+            # wide kernel stays in the Hankel class instead of dropping
+            # to the dense-gather path (0 disables the tier)
+            self._hsmax_wide = hankel_smax_wide
+            self._hsegl_fn = hankel_segl
         self.offsets = np.full(num_streams, float(num_taps // 2),
                                dtype=np.float64)
         self.input_index = num_taps
@@ -439,10 +446,20 @@ class BatchedASRC:
                        and self.S % n_shards == 0
                        and self.dtype in (np.float32, np.float64))
         # the Hankel kernel covers the ASRC home regime (ratios near 1.0);
-        # its staircase bound is |1/ratio - 1| <= smax / (kb - 1)
+        # its staircase bound is |1/ratio - 1| <= smax / (kb - 1).  Two
+        # tiers: the narrow default smax, then the wide tier (log2-cost
+        # binary carry select) before falling to the dense path.
         qdev = float(np.abs(1.0 / ratios - 1.0).max())
-        hankel_fits = (geometry_ok and self.kernel in ("auto", "hankel")
-                       and math.ceil(qdev * (self._hkb - 1)) <= self._hsmax)
+        hsmax = None
+        if geometry_ok and self.kernel in ("auto", "hankel"):
+            need = math.ceil(qdev * (self._hkb - 1))
+            if need <= self._hsmax:
+                hsmax = self._hsmax
+            elif self._hsmax_wide and need <= self._hsmax_wide:
+                hsmax = self._hsmax_wide
+        hankel_fits = hsmax is not None
+        hsegl = self._hsegl_fn(self._tp, self._hkb, hsmax) \
+            if hankel_fits else 0
         use_hankel_ds = hankel_fits and self.dtype == np.float64
         use_hankel = hankel_fits and self.dtype == np.float32
         use_dense = (geometry_ok and self.dtype == np.float32
@@ -464,10 +481,11 @@ class BatchedASRC:
             if self.sharding is None:
                 new_hist, out = asrc_step_hankel_ds(
                     *args, self.num_taps, self.num_filters, k_max, kp,
-                    self.num_samples, self._tp, self._hsegl, self._hkb,
-                    self._hsmax, interpret)
+                    self.num_samples, self._tp, hsegl, self._hkb,
+                    hsmax, interpret)
             else:
-                new_hist, out = self._ds_sharded(k_max, kp, interpret)(*args)
+                new_hist, out = self._ds_sharded(k_max, kp, interpret,
+                                                 hsmax, hsegl)(*args)
             if req_k_max is not None and req_k_max != k_max:
                 out = out[:, :req_k_max]
             return new_hist, out
@@ -493,8 +511,8 @@ class BatchedASRC:
                 if use_hankel:
                     new_hist, out = asrc_step_hankel(
                         *args, self.num_taps, self.num_filters, k_max, kp,
-                        self.num_samples, self._tp, self._hsegl, self._hkb,
-                        self._hsmax, interpret)
+                        self.num_samples, self._tp, hsegl, self._hkb,
+                        hsmax, interpret)
                 else:
                     new_hist, out = asrc_step_dense(
                         *args, self.num_taps, self.num_filters, k_max, kp,
@@ -502,7 +520,7 @@ class BatchedASRC:
                         interpret)
             else:
                 new_hist, out = self._dense_sharded(
-                    k_max, kp, interpret, use_hankel)(*args)
+                    k_max, kp, interpret, use_hankel, hsmax, hsegl)(*args)
             if req_k_max is not None and req_k_max != k_max:
                 out = out[:, :req_k_max]
         elif self.kernel == "pallas":
@@ -521,11 +539,12 @@ class BatchedASRC:
                 out = out[:, :req_k_max]
         return new_hist, out
 
-    def _ds_sharded(self, k_max: int, kp: int, interpret: bool):
+    def _ds_sharded(self, k_max: int, kp: int, interpret: bool,
+                    hsmax: int, hsegl: int):
         """shard_map-wrapped double-single (f64) Hankel step: one kernel
         instance per device on its local stream block; the four bank plane
         tables replicate."""
-        key = (k_max, kp, interpret, "ds")
+        key = (k_max, kp, interpret, "ds", hsmax)
         fn = self._dense_sharded_cache.get(key)
         if fn is None:
             from jax.experimental.shard_map import shard_map
@@ -537,8 +556,8 @@ class BatchedASRC:
                 return asrc_step_hankel_ds(
                     hist, x, bth, btl, bt2h, bt2l, scal, ints,
                     self.num_taps, self.num_filters, k_max, kp,
-                    self.num_samples, self._tp, self._hsegl, self._hkb,
-                    self._hsmax, interpret)
+                    self.num_samples, self._tp, hsegl, self._hkb,
+                    hsmax, interpret)
 
             st = P("streams", None)
             rep = P(None, None)
@@ -551,12 +570,13 @@ class BatchedASRC:
         return fn
 
     def _dense_sharded(self, k_max: int, kp: int, interpret: bool,
-                       hankel: bool = False):
+                       hankel: bool = False, hsmax: int = 0,
+                       hsegl: int = 0):
         """shard_map-wrapped dense/Hankel step: one kernel instance per
         device on its local block of streams (no collectives — streams are
         independent, the scaled-out analog of the reference's per-channel
         pool, workers.c:133-184)."""
-        key = (k_max, kp, interpret, hankel)
+        key = (k_max, kp, interpret, hankel, hsmax)
         fn = self._dense_sharded_cache.get(key)
         if fn is None:
             from jax.experimental.shard_map import shard_map
@@ -570,8 +590,8 @@ class BatchedASRC:
                     return asrc_step_hankel(
                         hist, x, bt, bt2, scal, ints,
                         self.num_taps, self.num_filters, k_max, kp,
-                        self.num_samples, self._tp, self._hsegl, self._hkb,
-                        self._hsmax, interpret)
+                        self.num_samples, self._tp, hsegl, self._hkb,
+                        hsmax, interpret)
                 return asrc_step_dense(
                     hist, x, bt, bt2, scal, ints,
                     self.num_taps, self.num_filters, k_max, kp,

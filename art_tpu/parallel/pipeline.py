@@ -72,6 +72,28 @@ def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
     return jnp.stack(outs, axis=2).reshape(S, nb_rs, -1)
 
 
+def _window_and_hist(x, hist, start, xlen: int, hist_len: int):
+    """Shared chunk prologue/epilogue: history concat -> padded window
+    slice at ``start`` (the block-Toeplitz operand view) and the advanced
+    history (last hist_len columns of history+input)."""
+    S = x.shape[0]
+    buf = jnp.concatenate([hist, x], axis=1)
+    pad = jnp.zeros((S, xlen), dtype=x.dtype)
+    win = jax.lax.dynamic_slice(
+        jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
+        (S, xlen))
+    new_hist = jax.lax.dynamic_slice(
+        buf, (0, buf.shape[1] - hist_len), (S, hist_len))
+    return win, new_hist
+
+
+def _mask_outputs(out, K, S: int, nb: int, L: int):
+    """Flatten [S, nb, L] output blocks and zero entries beyond K."""
+    out = jax.lax.slice(out, (0, 0, 0), (S, nb, L)).reshape(S, nb * L)
+    valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
+    return out * valid[None, :]
+
+
 def _resample_block(x, hist, P_local, start, K, *, M: int, L: int, nb: int,
                     qn_pad: int, qn_local: int, hist_len: int, q0,
                     taps_axis: str | None):
@@ -85,22 +107,13 @@ def _resample_block(x, hist, P_local, start, K, *, M: int, L: int, nb: int,
     Returns (out [S, nb*L] masked beyond K, new_hist)."""
     S = x.shape[0]
     nb_rs = -(-nb // qn_pad) * qn_pad
-    xlen = (nb_rs + qn_pad) * M
-    buf = jnp.concatenate([hist, x], axis=1)
-    pad = jnp.zeros((S, xlen), dtype=x.dtype)
-    win = jax.lax.dynamic_slice(
-        jnp.concatenate([buf, pad], axis=1), (jnp.int32(0), start),
-        (S, xlen))
+    win, new_hist = _window_and_hist(x, hist, start,
+                                     (nb_rs + qn_pad) * M, hist_len)
     out = residue_window_dots(win, P_local, M=M, nb_rs=nb_rs,
                               qn_pad=qn_pad, qn_local=qn_local, q0=q0)
     if taps_axis is not None:
         out = jax.lax.psum(out, taps_axis)
-    out = jax.lax.slice(out, (0, 0, 0), (S, nb, L)).reshape(S, nb * L)
-    valid = (jnp.arange(nb * L, dtype=jnp.int32) < K).astype(out.dtype)
-    out = out * valid[None, :]
-    new_hist = jax.lax.dynamic_slice(
-        buf, (0, buf.shape[1] - hist_len), (S, hist_len))
-    return out, new_hist
+    return _mask_outputs(out, K, S, nb, L), new_hist
 
 
 def pipeline_chunk(x, hist, P_local, start, K, gens, fb, xh, yh,

@@ -219,8 +219,9 @@ def test_batched_asrc_kernel_chain_matches_host_oracle():
         r.advance_position(24.0)
         singles.append(r)
     legs = [
-        1.0 + 0.0005 * np.arange(S),          # hankel (tight drift)
-        np.full(S, 0.5) + 0.01 * np.arange(S),  # dense (hankel bound fails)
+        1.0 + 0.0005 * np.arange(S),          # hankel narrow (tight drift)
+        1.0 / (1.0 + 0.15 * np.sin(np.arange(S) + 1.0)),  # hankel WIDE tier
+        np.full(S, 0.5) + 0.01 * np.arange(S),  # dense (hankel bounds fail)
         np.full(S, 0.2),                      # xla (dense bound fails)
         1.0 - 0.0005 * np.arange(S),          # back to hankel
     ]

@@ -39,7 +39,7 @@ def record(name, fn):
     print(name, results["kernels"][name], file=sys.stderr)
 
 
-def _asrc_inputs(n=2048, S=256, taps=380, F=380):
+def _asrc_inputs(n=2048, S=256, taps=380, F=380, drift=0.01):
     from art_tpu.core.filters import make_filter_bank
     from art_tpu.ops.pallas_kernels import (dense_bank_tables,
                                             pack_step_scalars,
@@ -51,7 +51,7 @@ def _asrc_inputs(n=2048, S=256, taps=380, F=380):
     bt, bt2 = dense_bank_tables(bank)
     hist = jnp.asarray(rng.standard_normal((S, hist_len)).astype(np.float32))
     x = jnp.asarray(rng.standard_normal((S, n)).astype(np.float32))
-    ratios = 1.0 + 0.01 * np.sin(np.arange(S) * 0.1 + 0.3)
+    ratios = 1.0 / (1.0 + drift * np.sin(np.arange(S) * 0.1 + 0.3))
     offsets = np.full(S, float(half), np.float64) + \
         np.random.default_rng(1).random(S)
     input_index = taps
@@ -102,6 +102,32 @@ def smoke_hankel():
         A["taps"], A["F"], kp, kp, A["hist_len"], A["tp"],
         hankel_segl(A["tp"], kb, smax), kb, smax, False)
     return check(out, kp)
+
+
+def smoke_hankel_wide():
+    """Wide-drift Hankel tier (smax=32, binary carry select): ratios at
+    ~12% drift — beyond the narrow tier's bound — vs its own XLA oracle."""
+    from art_tpu.ops.pallas_kernels import asrc_step_hankel, hankel_segl
+    from art_tpu.parallel.asrc import _asrc_step
+    W = _asrc_inputs(drift=0.12)
+    kb, smax = 256, 32
+    kmx = W["k_max"]
+    kp = -(-kmx // kb) * kb
+    ow_hist, ow_out = _asrc_step(
+        W["hist"], W["x"], jnp.asarray(W["bank"]),
+        jnp.asarray(W["offsets"]), jnp.asarray(W["ratios"]),
+        jnp.asarray(W["Ks"]), jnp.int32(W["hist_len"] - W["input_index"]),
+        W["taps"], W["F"], kmx, W["hist_len"])
+    ow = np.asarray(ow_out)
+    h, out = asrc_step_hankel(
+        W["hist"], W["x"], W["bt"], W["bt2"], W["scal"], W["ints"],
+        W["taps"], W["F"], kp, kp, W["hist_len"], W["tp"],
+        hankel_segl(W["tp"], kb, smax), kb, smax, False)
+    got = np.asarray(out)[:, :kmx]
+    sc = float(np.abs(ow).max())
+    md = float(np.abs(got - ow[:, :got.shape[1]]).max())
+    assert md <= 3e-6 * sc, f"maxdiff {md} vs scale {sc}"
+    return {"maxdiff": md}
 
 
 def smoke_dense():
@@ -249,6 +275,7 @@ from art_tpu.ops.pallas_kernels import split_f64_pairs  # noqa: E402
 
 record("fixed_stream_step", smoke_fixed_stream)
 record("asrc_step_hankel", smoke_hankel)
+record("asrc_step_hankel_wide_smax32", smoke_hankel_wide)
 record("asrc_step_hankel_ds_f64", smoke_hankel_ds)
 record("asrc_step_dense", smoke_dense)
 record("asrc_v1_kernel", smoke_v1)
