@@ -127,7 +127,10 @@ def _measure_roundtrip_snr(seconds: int = 60):
     from art_tpu.parallel.streams import DeviceStreamResampler
     from art_tpu.utils.testsig import NoiseLCG, fade_in, fade_out
 
-    IB = F.SUBSAMPLE_INTERPOLATE | F.BLACKMAN_HARRIS | F.INCLUDE_LOWPASS
+    # NO lowpass: `artest -i -e` runs without -l, and the inverse
+    # (downsampling) leg's auto-lowpass would strip the source's top band
+    # and dominate the diff at ~-26 dB
+    IB = F.SUBSAMPLE_INTERPOLATE | F.BLACKMAN_HARRIS
     ch, taps, src, dst, bufn = 2, 380, 44100, 48000, 4096
     buffers = -(-seconds * src // bufn)
     n = buffers * bufn
