@@ -81,9 +81,10 @@ def _chunk_body_any(hist, x, P, start, K, acc, M, L, nb, qn, hist_len,
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len", "pallas"))
+                                             "hist_len", "pallas", "stats"))
 def _chunk_scan_step(hist, xs, P_all, meta, acc, M: int, L: int, nb: int,
-                     qn: int, hist_len: int, pallas: bool = False):
+                     qn: int, hist_len: int, pallas: bool = False,
+                     stats: bool = False):
     """G fused steady-state chunk steps in ONE dispatch: lax.scan over
     _chunk_body with the phase-anchor matrix dynamically indexed from the
     stacked bank ``P_all`` [L, qn*M, L] per step.  Amortizes per-dispatch
@@ -93,14 +94,19 @@ def _chunk_scan_step(hist, xs, P_all, meta, acc, M: int, L: int, nb: int,
     identical outputs; the round-1 scan attempt lost to XLA layout
     assignment, the residue-split body's pure reshape views lower
     cleanly).  ``meta`` [3, G] int32 packs
-    (j0, start, K) rows so each call uploads ONE small array."""
+    (j0, start, K) rows so each call uploads ONE small array.
+    ``stats=True`` consumes each chunk's outputs in-graph (the power
+    accumulator IS the consumer — the artest harness analog, reference
+    artest.c:491 update_stats over a cache-resident scratch) and returns
+    outs=None: no [G, ch, nb*L] HBM materialization (+1.19 ms per 2^22
+    chunk, SOL.md)."""
     def body(carry, per):
         hist, acc = carry
         x, j, start, K = per
         P = jax.lax.dynamic_index_in_dim(P_all, j, axis=0, keepdims=False)
         hist, out, acc = _chunk_body_any(hist, x, P, start, K, acc, M, L,
                                          nb, qn, hist_len, pallas)
-        return (hist, acc), out
+        return (hist, acc), (None if stats else out)
     (hist, acc), outs = jax.lax.scan(
         body, (hist, acc), (xs, meta[0], meta[1], meta[2]))
     return hist, outs, acc
@@ -116,10 +122,11 @@ def _chunk_step(hist, x, P, start, K, acc, M: int, L: int, nb: int,
 
 
 @functools.partial(jax.jit, static_argnames=("start", "K", "M", "L", "nb",
-                                             "qn", "hist_len", "pallas"))
+                                             "qn", "hist_len", "pallas",
+                                             "stats"))
 def _chunk_scan_step_static(hist, xs, P, acc, start: int, K: int, M: int,
                             L: int, nb: int, qn: int, hist_len: int,
-                            pallas: bool = False):
+                            pallas: bool = False, stats: bool = False):
     """G fused chunk steps in one dispatch with a COMPILE-TIME-CONSTANT
     plan: when the chunk size is a multiple of the input period M, the
     fixed-ratio steady state consumes/emits identically every chunk
@@ -127,7 +134,9 @@ def _chunk_scan_step_static(hist, xs, P, acc, start: int, K: int, M: int,
     static — the window dynamic_slice canonicalizes to a static slice
     XLA can fuse (no materialized window copy) and the validity mask
     constant-folds.  Bitwise-identical outputs to _chunk_scan_step;
-    measured ~2x the traced-plan scan on v5e (tools/exp_scan_ablate.py)."""
+    measured ~2x the traced-plan scan on v5e (tools/exp_scan_ablate.py).
+    ``stats=True``: outputs consumed in-graph by the power accumulator
+    (see _chunk_scan_step), outs=None."""
     def body(carry, x):
         hist, acc = carry
         # static ints become int32 literals inside the trace (graph
@@ -135,7 +144,7 @@ def _chunk_scan_step_static(hist, xs, P, acc, start: int, K: int, M: int,
         hist, out, acc = _chunk_body_any(hist, x, P, jnp.int32(start),
                                          jnp.int32(K), acc, M, L, nb, qn,
                                          hist_len, pallas)
-        return (hist, acc), out
+        return (hist, acc), (None if stats else out)
     (hist, acc), outs = jax.lax.scan(body, (hist, acc), xs)
     return hist, outs, acc
 
@@ -176,41 +185,45 @@ def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
 
 
 @functools.partial(jax.jit, static_argnames=("start", "K", "M", "L", "nb",
-                                             "qn", "hist_len", "pallas"))
+                                             "qn", "hist_len", "pallas",
+                                             "stats"))
 def _chunk_scan_step_interp_static(hist, xs, P2, fracv, acc, start: int,
                                    K: int, M: int, L: int, nb: int,
                                    qn: int, hist_len: int,
-                                   pallas: bool = False):
+                                   pallas: bool = False,
+                                   stats: bool = False):
     """Interpolated scan with a compile-time-constant plan (periodic
     steady state AND a repeating phase pattern — the M-multiple chunk
     case; see _chunk_scan_step_static): one banked matrix / fraction
     vector, static start/K.  Bitwise-identical to the scanned-meta
-    form."""
+    form.  ``stats=True``: outputs consumed in-graph (see
+    _chunk_scan_step), outs=None."""
     def body(carry, x):
         hist, acc = carry
         hist, out, acc = _chunk_body_interp_any(
             hist, x, P2, fracv, jnp.int32(start), jnp.int32(K), acc, M, L,
             nb, qn, hist_len, pallas)
-        return (hist, acc), out
+        return (hist, acc), (None if stats else out)
     (hist, acc), outs = jax.lax.scan(body, (hist, acc), xs)
     return hist, outs, acc
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len", "pallas"))
+                                             "hist_len", "pallas", "stats"))
 def _chunk_scan_step_interp(hist, xs, P2s, frs, meta, acc, M: int, L: int,
                             nb: int, qn: int, hist_len: int,
-                            pallas: bool = False):
+                            pallas: bool = False, stats: bool = False):
     """G interpolated chunk steps in ONE dispatch (see _chunk_scan_step;
     here the per-chunk banked matrix [qn*M, 2L] and lerp fractions ride
-    as scanned inputs instead of a stacked-bank index)."""
+    as scanned inputs instead of a stacked-bank index).  ``stats=True``:
+    outputs consumed in-graph (see _chunk_scan_step), outs=None."""
     def body(carry, per):
         hist, acc = carry
         x, P2, fracv, start, K = per
         hist, out, acc = _chunk_body_interp_any(hist, x, P2, fracv, start,
                                                 K, acc, M, L, nb, qn,
                                                 hist_len, pallas)
-        return (hist, acc), out
+        return (hist, acc), (None if stats else out)
     (hist, acc), outs = jax.lax.scan(
         body, (hist, acc), (xs, P2s, frs, meta[0], meta[1]))
     return hist, outs, acc
@@ -430,7 +443,7 @@ class DeviceStreamResampler:
                 [self._mats[j] for j in range(self.L)])
         return self._mats_stacked
 
-    def process_scan(self, xs, n_in: int, acc=None):
+    def process_scan(self, xs, n_in: int, acc=None, stats: bool = False):
         """Run G steady-state chunks in ONE dispatch (lax.scan over the
         fused chunk body) — amortizes per-dispatch host/tunnel
         overhead: 1.30-1.56x when each group's results are fetched
@@ -440,12 +453,23 @@ class DeviceStreamResampler:
         every chunk is consumed in full.  Works in both the reduced and
         the interpolated fixed-ratio device modes (no mesh).  Returns
         (outs [G, ch, nb*L] with entries beyond each chunk's K zeroed,
-        Ks int array [G][, acc'])."""
+        Ks int array [G][, acc']).
+
+        ``stats=True`` (requires ``acc``): the power accumulator is the
+        in-graph consumer of every output sample and the audio is never
+        materialized to HBM — outs comes back None.  This is the faithful
+        analog of the reference harness, whose 4096-frame scratch buffer
+        (32 KB, cache-resident, overwritten every call) is read back only
+        by update_stats (reference artest.c:371, 491); acc/hist advance
+        bitwise-identically to the stacked form (test_parallel.py)."""
         if self.mesh is not None:
             raise NotImplementedError("scan batching is single-shard only")
+        if stats and acc is None:
+            raise ValueError("stats=True consumes outputs into the power "
+                             "accumulator; pass acc")
         G = xs.shape[0]
         if self.interp:
-            return self._process_scan_interp(xs, n_in, acc)
+            return self._process_scan_interp(xs, n_in, acc, stats)
         state0 = (self.output_offset, self.input_index)
         try:
             plans = [self._plan(n_in) for _ in range(G)]
@@ -463,7 +487,7 @@ class DeviceStreamResampler:
                 self.hist, outs, acc_out = _chunk_scan_step_static(
                     self.hist, xs, self._matrix(j0), acc_in, int(start0),
                     int(K0), self.M, self.L, nb, self.qn, self.num_samples,
-                    self._pallas)
+                    self._pallas, stats)
             else:
                 # mixed plans: dynamic meta + stacked anchor bank (built/
                 # validated inside the try so a size rejection rolls the
@@ -473,7 +497,7 @@ class DeviceStreamResampler:
                 self.hist, outs, acc_out = _chunk_scan_step(
                     self.hist, xs, self._stacked_matrices(), meta, acc_in,
                     self.M, self.L, nb, self.qn, self.num_samples,
-                    self._pallas)
+                    self._pallas, stats)
         except BaseException:
             # a failed dispatch (trace error, remote-compile outage) must
             # not leave the consume/emit state G chunks ahead of the
@@ -485,7 +509,7 @@ class DeviceStreamResampler:
             return outs, np.asarray(Ks)
         return outs, np.asarray(Ks), acc_out
 
-    def _process_scan_interp(self, xs, n_in: int, acc):
+    def _process_scan_interp(self, xs, n_in: int, acc, stats: bool = False):
         """Interpolated-mode scan batching: the per-chunk banked matrices
         and lerp fractions are stacked ([G, qn*M, 2L] / [G, L] — cached
         device arrays, so stacking is one device op) and scanned over.
@@ -519,6 +543,10 @@ class DeviceStreamResampler:
                 Ks.append(r[1])
                 if acc is not None:
                     accs = r[2]
+            if stats:
+                # outputs already consumed into the accumulator by each
+                # process() call's fused power term; discard the audio
+                return None, np.asarray(Ks), accs
             nbL = max(o.shape[1] for o in outs)
             outs = jnp.stack([
                 jnp.concatenate(
@@ -541,7 +569,7 @@ class DeviceStreamResampler:
                 self.hist, outs, acc_out = _chunk_scan_step_interp_static(
                     self.hist, xs, metas[0][2], metas[0][3], acc_in,
                     int(metas[0][1]), int(metas[0][0]), self.M, self.L, nb,
-                    self.qn, self.num_samples, self._pallas)
+                    self.qn, self.num_samples, self._pallas, stats)
             else:
                 meta = jnp.asarray([[m[1] for m in metas], Ks], jnp.int32)
                 P2s = jnp.stack([m[2] for m in metas])
@@ -549,7 +577,7 @@ class DeviceStreamResampler:
                 self.hist, outs, acc_out = _chunk_scan_step_interp(
                     self.hist, xs, P2s, frs, meta, acc_in,
                     self.M, self.L, nb, self.qn, self.num_samples,
-                    self._pallas)
+                    self._pallas, stats)
         except BaseException:
             # failed dispatch: roll the scalar state back (hist untouched)
             # so the engine is not G chunks ahead of the processed audio

@@ -13,6 +13,15 @@ Method notes (CLAUDE.md measurement discipline):
     state has ONE exact plan per chunk and the scan dispatches run with a
     compile-time-constant plan (streams._chunk_scan_step_static — the
     window slice fuses, ~2x the traced-plan scan, bitwise-identical),
+  - outputs are CONSUMED IN-GRAPH by the power accumulator
+    (process_scan(stats=True)) rather than stacked to HBM — the faithful
+    analog of what the reference harness does with its own outputs: artest
+    writes each buffer into a 4096-frame scratch (32 KB, cache-resident,
+    overwritten every call; artest.c:118, 371) and reads it back only via
+    update_stats (artest.c:491), so the C baseline never materializes
+    output audio to DRAM either.  acc/hist/counts advance
+    bitwise-identically to the stacked form (test_parallel.py); the
+    stacked-output rate is reported as a secondary JSON line,
   - the tunnel's service speed drifts ~1.7x by hour and ±20% run to run:
     the headline is the BEST MEDIAN over several spaced 5-rep windows
     (the other bench sections provide the spacing), each window a median
@@ -83,7 +92,9 @@ def _bench_device_fixed(ch, taps, filters, src, dst, flags, chunk_target,
                         nchunks, G=8):
     """Fixed-ratio device resample throughput (output Mframes/s) via the
     scan-batched steady state (G chunks per dispatch; M-multiple chunks
-    keep the plan static)."""
+    keep the plan static; outputs consumed in-graph by the power
+    accumulator — the harness-analog headline methodology, see the module
+    docstring)."""
     import jax
     import jax.numpy as jnp
 
@@ -103,7 +114,7 @@ def _bench_device_fixed(ch, taps, filters, src, dst, flags, chunk_target,
         produced = 0
         acc = jnp.zeros((), jnp.float32)
         for _ in range(nchunks // G):
-            outs, Ks, acc = eng.process_scan(noise, chunk, acc)
+            _o, Ks, acc = eng.process_scan(noise, chunk, acc, stats=True)
             produced += int(Ks.sum())
         float(acc)
         return produced
@@ -321,27 +332,28 @@ def main():
     # absorb the non-periodic first chunk so every timed group is static
     eng.process(xs[0], chunk)
 
-    def run(n):
+    def run(n, stats=True):
         produced = 0
         acc = jnp.zeros((), jnp.float32)
         for _ in range(n // G):
-            outs, Ks, acc = eng.process_scan(xs, chunk, acc)
+            _outs, Ks, acc = eng.process_scan(xs, chunk, acc, stats=stats)
             produced += int(Ks.sum())
         out, K, acc = eng.process(zeros_flush, 190, acc)   # flush analog
         produced += K
         return produced, float(acc)       # the fetch synchronizes
 
     run(nchunks)                          # warmup: compiles the chunk steps
+    run(nchunks, stats=False)             # and the stacked variant
 
-    def window():
+    def window(stats=True):
         times = []
         produced = 0
         for _ in range(5):
             t0 = time.perf_counter()
-            produced, power = run(nchunks)
+            produced, power = run(nchunks, stats)
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[len(times) // 2]
-        print(f"# window: produced={produced} frames, "
+        print(f"# window(stats={stats}): produced={produced} frames, "
               f"times={['%.3f' % t for t in times]} power={power:.1f}",
               file=sys.stderr)
         return produced / dt
@@ -360,6 +372,16 @@ def main():
     print(json.dumps({"metric": name5, "value": round(rate5, 2),
                       "unit": unit5,
                       "vs_baseline": round(rate5 / base5, 2)}))
+
+    # secondary record: the same loop with outputs STACKED to HBM
+    # ([G, ch, nb*L] per dispatch) for consumers that want the audio
+    # materialized — pays exactly its HBM bytes (SOL.md)
+    rate_mat = window(stats=False)
+    print(json.dumps({"metric": "preset-3 fixed-ratio resample, outputs "
+                      "materialized to HBM", "value": round(rate_mat / 1e6, 2),
+                      "unit": "Mframes/s (output)",
+                      "vs_baseline": round(rate_mat / 1e6 / C_BASELINE_MFPS,
+                                           2)}))
 
     # window 2 (spaced from window 1 by the sections above; best median
     # wins — tunnel drift discipline, CLAUDE.md)

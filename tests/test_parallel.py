@@ -15,6 +15,7 @@ from art_tpu.parallel.streams import DeviceStreamResampler
 from art_tpu.utils.testsig import NoiseLCG
 
 IBL = SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS | INCLUDE_LOWPASS
+IB = SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS
 
 
 def test_device_stream_matches_host_engine():
@@ -530,6 +531,44 @@ def test_device_stream_process_scan_matches_sequential():
                                   np.asarray(o2)[:, :K2])
 
 
+@pytest.mark.parametrize("ctor,n", [
+    # reduced mode, M-multiple chunk -> static-plan scan
+    ((2, 64, 380, 44100, 48000, 0, IBL), None),
+    # reduced mode, non-periodic chunk -> dynamic-meta scan
+    ((2, 64, 380, 44100, 48000, 0, IBL), 2000),
+    # interpolated mode (no lowpass keeps 380 filters un-reduced)
+    ((1, 48, 48, 44100, 48000, 0, IB), 1470),
+    # interpolated mode, non-periodic chunk -> dynamic-meta interp scan
+    ((1, 48, 48, 44100, 48000, 0, IB), 1000),
+])
+def test_process_scan_stats_matches_stacked(ctor, n):
+    """stats=True (outputs consumed in-graph by the power accumulator,
+    never materialized) advances acc/hist/Ks bitwise-identically to the
+    stacked form — the headline-bench contract (reference artest.c:491
+    update_stats as the output consumer)."""
+    lcg = NoiseLCG()
+    G = 5
+    a = DeviceStreamResampler(*ctor)
+    b = DeviceStreamResampler(*ctor)
+    if n is None:
+        n = 4 * a.M
+    ch = ctor[0]
+    xs = jnp.asarray(lcg.fill(G * ch * n).reshape(G, ch, n))
+    a.advance_position(ctor[1] // 2)
+    b.advance_position(ctor[1] // 2)
+    acc_a = jnp.zeros((), jnp.float32)
+    outs, Ks_a, acc_a = a.process_scan(xs, n, acc_a)
+    acc_b = jnp.zeros((), jnp.float32)
+    none_out, Ks_b, acc_b = b.process_scan(xs, n, acc_b, stats=True)
+    assert none_out is None
+    assert list(Ks_a) == list(Ks_b)
+    np.testing.assert_array_equal(np.asarray(b.hist), np.asarray(a.hist))
+    assert float(acc_a) == float(acc_b)
+    assert a.get_position() == b.get_position()
+    with pytest.raises(ValueError, match="stats=True"):
+        b.process_scan(xs, n, stats=True)
+
+
 def test_process_scan_rejects_mesh_mode():
     from art_tpu.parallel.sharding import make_mesh
     eng = DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL,
@@ -613,8 +652,14 @@ def test_process_scan_rejects_oversized_anchor_bank():
     ~8.6 GB)."""
     eng = DeviceStreamResampler(1, 380, 1024, 51150, 51200, 0, IBL)
     assert not eng.interp and eng.L == 1024
+    # two chunks whose size is NOT a multiple of M so the plans differ:
+    # an all-equal-plan group runs the static path, which legitimately
+    # never builds the stacked bank
+    assert 4096 % eng.M != 0
     with pytest.raises(ValueError, match="stacked anchor bank"):
-        eng.process_scan(jnp.zeros((1, 1, 4096), jnp.float32), 4096)
+        eng.process_scan(jnp.zeros((2, 1, 4096), jnp.float32), 4096)
+    # and the failed dispatch must have rolled the plan state back
+    assert eng.output_offset == 190.0 and eng.input_index == eng.num_taps
 
 
 def test_sharded_step_perdevice_flops_scale():
