@@ -254,6 +254,27 @@ class Resampler:
         parts = resample_kernel.decompose_indexed(
             ipos, frac0, self.num_filters, self.num_taps, interp,
             bool(self.flags & INCLUDE_LOWPASS))
+        # Window underrun guard (reference defect #5, PARITY.md): the
+        # reference's flush-path ring slide (resampler.c:775-779) can
+        # leave its output cursor with less than half a filter of
+        # retained ring history; its emission then reads before the ring
+        # (heap garbage; ASan-verified via subsample_interpolate
+        # resampler.c:1155 -> apply_filter:1039).  Our linear buffer L
+        # retains the FULL pre-flush history, so those same emissions
+        # normally map to real in-bounds samples here.  Defensively, any
+        # index that still falls before L (conceivable only via extreme
+        # un-drained cursor states) reads leading silence: numpy fancy
+        # indexing would otherwise WRAP negative bases to the buffer
+        # tail while the jax gather clamps -- both silently wrong.
+        lo = int(parts["base"].min(initial=0))
+        if parts["pass_mask"].any():
+            lo = min(lo, int(parts["pass_idx"][parts["pass_mask"]].min()))
+        if lo < 0:
+            L = np.concatenate(
+                [np.zeros((self.num_channels, -lo), dtype=L.dtype), L],
+                axis=1)
+            parts["base"] = parts["base"] - lo
+            parts["pass_idx"] = parts["pass_idx"] - lo
         if self.backend == "jax":
             return resample_kernel.apply_jax(L, self._bank_dev, parts,
                                              interp, self.dtype)

@@ -136,8 +136,14 @@ class PolyphaseKernel:
         xlen = (nb - 1) * M + S
         ch = Lbuf.shape[0]
         x = np.zeros((ch, xlen), dtype=dtype)
-        avail = min(xlen, Lbuf.shape[1] - start)
-        x[:, :avail] = Lbuf[:, start:start + avail]
+        # defensive (reference defect #5 class, PARITY.md): a window start
+        # before the buffer reads leading silence, never a Python
+        # negative-index wrapped slice
+        src0 = max(0, start)
+        dst0 = src0 - start
+        avail = min(xlen - dst0, Lbuf.shape[1] - src0)
+        if avail > 0:
+            x[:, dst0:dst0 + avail] = Lbuf[:, src0:src0 + avail]
         import jax.numpy as jnp
         out = _jit_conv(L, M, S, np.dtype(dtype).name)(
             jnp.asarray(x), mat.device())

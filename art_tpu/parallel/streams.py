@@ -149,6 +149,50 @@ def _chunk_scan_step_static(hist, xs, P, acc, start: int, K: int, M: int,
     return hist, outs, acc
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "start", "K", "G", "n", "M", "L", "nb", "qn", "hist_len"))
+def _chunk_group_static(hist, xs_flat, P, acc, start: int, K: int, G: int,
+                        n: int, M: int, L: int, nb: int, qn: int,
+                        hist_len: int):
+    """G periodic steady-state chunks over ONE flat input buffer, fully
+    static (no lax.scan): because the steady state is exactly periodic
+    (M-multiple chunks — the _chunk_scan_step_static precondition), the
+    whole group is one contiguous stream [hist ++ xs_flat] and chunk g's
+    block-Toeplitz window is a STATIC slice at g*n + start.  That removes
+    the two copies the scanned form pays per chunk (the scan's per-step
+    xs slice materialization and the per-chunk history concat write —
+    measured +1.0 ms per 2^22-frame chunk same-process,
+    tools/exp_static_xs.py); XLA fuses the static window slices straight
+    into the dot operand reads (SOL.md "direct" variant).
+
+    Blocks past each chunk's K read real next-chunk samples here (the
+    per-chunk form reads zero padding) but are masked to zero after the
+    dot, so outputs/acc/hist are bitwise-identical to sequential
+    process() (tests/test_parallel.py).  Outputs are consumed in-graph by
+    the power accumulator (stats form — the headline-bench contract);
+    returns (new_hist, acc)."""
+    ch = xs_flat.shape[0]
+    nb_rs = -(-nb // qn) * qn
+    xlen = (nb_rs + qn) * M
+    tail = (G - 1) * n + start + xlen - (hist_len + G * n)
+    parts = [hist, xs_flat]
+    if tail > 0:
+        parts.append(jnp.zeros((ch, tail), dtype=xs_flat.dtype))
+    buf = jnp.concatenate(parts, axis=1)
+    valid = (jnp.arange(nb * L, dtype=jnp.int32) < K)
+    for g in range(G):
+        off = g * n + start
+        win = jax.lax.slice(buf, (0, off), (ch, off + xlen))
+        out = residue_window_dots(win, P, M=M, nb_rs=nb_rs, qn_pad=qn,
+                                  qn_local=qn, q0=jnp.int32(0))
+        out = jax.lax.slice(out, (0, 0, 0), (ch, nb, L)).reshape(ch, nb * L)
+        out = out * valid.astype(out.dtype)[None, :]
+        acc = acc + jnp.sum(out * out)
+    new_hist = jax.lax.slice(
+        buf, (0, G * n), (ch, hist_len + G * n))
+    return new_hist, acc
+
+
 def _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
                        nb: int, qn: int, hist_len: int):
     """Interpolated fixed-rational chunk body: P2 stacks the two adjacent
@@ -508,6 +552,53 @@ class DeviceStreamResampler:
         if acc is None:
             return outs, np.asarray(Ks)
         return outs, np.asarray(Ks), acc_out
+
+    def process_flat(self, xs_flat, n_in: int, acc):
+        """G periodic steady-state chunks over a FLAT [ch, G*n_in] buffer
+        in one fully-static dispatch, outputs consumed in-graph by the
+        power accumulator (see _chunk_group_static — the fastest shipped
+        form of the headline steady state: no scan, no per-chunk input
+        copies).  Requires the reduced (non-interpolated) single-shard
+        mode and an exactly periodic plan (n_in a multiple of the
+        fundamental input period — use an M-multiple chunk and absorb the
+        first non-periodic chunk with process() first; raises ValueError
+        otherwise, with no state consumed).  Returns (Ks int array [G],
+        acc')."""
+        if self.mesh is not None:
+            raise NotImplementedError("flat grouping is single-shard only")
+        if self.interp:
+            raise NotImplementedError("flat grouping serves the reduced "
+                                      "mode; use process_scan(stats=True) "
+                                      "for interpolated configurations")
+        ch, total = xs_flat.shape
+        if total % n_in:
+            raise ValueError(f"flat buffer ({total}) must be G*n_in")
+        G = total // n_in
+        if self._flushed:
+            # FLUSHED latch (reference resampler.c:438-439): input after
+            # flush is ignored; state does not advance
+            return np.zeros((G,), np.int64), acc
+        if G * n_in < self.num_samples:
+            raise ValueError("group must cover at least one history length")
+        state0 = (self.output_offset, self.input_index)
+        plans = [self._plan(n_in) for _ in range(G)]
+        if not all(p[:3] == plans[0][:3] for p in plans):
+            self.output_offset, self.input_index = state0
+            raise ValueError("process_flat needs an exactly periodic "
+                             "steady state (identical per-chunk plans); "
+                             "use an M-multiple chunk size and absorb the "
+                             "first chunk with process()")
+        K0, start0, j0 = plans[0][:3]
+        nb = max(-(-K0 // self.L), 1)
+        try:
+            self.hist, acc = _chunk_group_static(
+                self.hist, xs_flat, self._matrix(j0), acc, int(start0),
+                int(K0), G, n_in, self.M, self.L, nb, self.qn,
+                self.num_samples)
+        except BaseException:
+            self.output_offset, self.input_index = state0
+            raise
+        return np.asarray([p[0] for p in plans]), acc
 
     def _process_scan_interp(self, xs, n_in: int, acc, stats: bool = False):
         """Interpolated-mode scan batching: the per-chunk banked matrices

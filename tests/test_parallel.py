@@ -569,6 +569,49 @@ def test_process_scan_stats_matches_stacked(ctor, n):
         b.process_scan(xs, n, stats=True)
 
 
+def test_process_flat_matches_sequential():
+    """process_flat (fully-static unrolled group over one flat buffer,
+    outputs consumed in-graph) advances acc/hist/Ks/position
+    bitwise-identically to sequential process() on the periodic steady
+    state, and rejects non-periodic chunk sizes with no state consumed."""
+    lcg = NoiseLCG()
+    a = DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL)
+    b = DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL)
+    a.advance_position(32)
+    b.advance_position(32)
+    G, n = 5, 8 * a.M
+    xs = jnp.asarray(lcg.fill(G * 2 * n).reshape(G, 2, n))
+    # absorb the non-periodic first chunk on both engines
+    first = jnp.asarray(lcg.fill(2 * n).reshape(2, n))
+    acc_a = jnp.zeros((), jnp.float32)
+    _o, _k, acc_a = a.process(first, n, acc_a)
+    acc_b = jnp.zeros((), jnp.float32)
+    _o, _k, acc_b = b.process(first, n, acc_b)
+    Ks_a = []
+    for g in range(G):
+        _o, K, acc_a = a.process(xs[g], n, acc_a)
+        Ks_a.append(K)
+    flat = jnp.concatenate([xs[g] for g in range(G)], axis=1)
+    Ks_b, acc_b = b.process_flat(flat, n, acc_b)
+    assert list(Ks_b) == Ks_a
+    np.testing.assert_array_equal(np.asarray(b.hist), np.asarray(a.hist))
+    assert float(acc_a) == float(acc_b)
+    assert a.get_position() == b.get_position()
+    # a second group continues the stream
+    Ks_a2 = []
+    for g in range(G):
+        _o, K, acc_a = a.process(xs[g], n, acc_a)
+        Ks_a2.append(K)
+    Ks_b2, acc_b = b.process_flat(flat, n, acc_b)
+    assert list(Ks_b2) == Ks_a2
+    assert float(acc_a) == float(acc_b)
+    # non-periodic chunk size: clean rejection, no state consumed
+    state = (b.output_offset, b.input_index)
+    with pytest.raises(ValueError, match="periodic"):
+        b.process_flat(flat[:, : 3 * (n - 1)], n - 1, acc_b)
+    assert (b.output_offset, b.input_index) == state
+
+
 def test_process_scan_rejects_mesh_mode():
     from art_tpu.parallel.sharding import make_mesh
     eng = DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL,

@@ -128,3 +128,39 @@ def test_interleaved_vs_planar_equivalence():
     assert (resp.input_used, resp.output_generated) == \
         (resi.input_used, resi.output_generated)
     np.testing.assert_array_equal(op, oi.T)
+
+
+def test_reference_flush_underrun_config_is_deterministic():
+    """Reference defect #5 (PARITY.md): the reference's flush-path ring
+    slide (resampler.c:775-779) can leave its output cursor with less
+    than half a filter of retained ring history; its emission then reads
+    up to half_taps-2 samples BEFORE the ring buffer (heap garbage --
+    ASan-verified; artest w2/w3 stats vary run to run on the strict
+    build).  Our engine keeps the full pre-flush history in its linear
+    buffer, so the same emissions read the TRUE stream samples: output
+    must be deterministic, backend-agreed, and bounded on the defect
+    config (fuzz seed 3276: artest -t20 -f237 -s64k -d44.1k -b777)."""
+
+    def run(backend):
+        r = Resampler.fixed_ratio(1, 20, 237, 64000, 44100, 0, IB,
+                                  backend=backend)
+        r.advance_position(10.0)
+        rng = np.random.default_rng(42)
+        sig = (rng.standard_normal(64491) * 0.4).astype(np.float32)
+        outs = []
+        for i in range(0, len(sig), 777):
+            blk = sig[i:i + 777][None, :]
+            o, res = r.process(blk, blk.shape[1], 2 * 777 + 64, 0.0)
+            outs.append(o[:, :res.output_generated])
+        o, res = r.process(None, -1, 4096, 0.0)
+        outs.append(o[:, :res.output_generated])
+        return np.concatenate(outs, axis=1)
+
+    a = run("numpy")
+    b = run("numpy")
+    c = run("jax")
+    np.testing.assert_array_equal(a, b)          # deterministic
+    assert np.abs(a).max() < 8.0                 # no heap-garbage blowups
+    # (sinc overshoot on unfiltered noise peaks near 2.0; the reference's
+    # OOB reads produced values up to ~1e22 on this config)
+    np.testing.assert_allclose(a, c, atol=2e-6)  # backends agree

@@ -1,7 +1,8 @@
 """Hankel vs dense ASRC step: correctness + same-process interleaved A/B.
 
-Usage: exp_hankel.py [n] [kb_hankel] [smax] [--cpu]
-Engine-shape inputs (S=256 preset-3 drifting ratios +-1%).
+Usage: exp_hankel.py [n] [kb_hankel] [smax] [driftpct] [--cpu]
+Engine-shape inputs (S=256 preset-3 drifting ratios +-driftpct%,
+default 1 — pass ~10 with smax=32 for the wide-drift tier A/B).
 """
 import sys
 import time
@@ -13,6 +14,7 @@ args = [a for a in sys.argv[1:] if not a.startswith("--")]
 n = int(args[0]) if len(args) > 0 else 8192
 kb_h = int(args[1]) if len(args) > 1 else 128
 smax = int(args[2]) if len(args) > 2 else 4
+driftpct = float(args[3]) if len(args) > 3 else 1.0
 
 import jax
 
@@ -39,7 +41,7 @@ tp = bt.shape[0]
 
 hist = jnp.asarray(rng.standard_normal((S, hist_len)).astype(np.float32))
 x = jnp.asarray(rng.standard_normal((S, n)).astype(np.float32))
-ratios = 1.0 + 0.01 * np.sin(np.arange(S) * 0.1 + 0.3)
+ratios = 1.0 + driftpct / 100.0 * np.sin(np.arange(S) * 0.1 + 0.3)
 offsets = np.full(S, float(half), np.float64) + rng.random(S)
 input_index = taps
 shift = np.int32(hist_len - input_index)
