@@ -193,6 +193,39 @@ def _chunk_group_static(hist, xs_flat, P, acc, start: int, K: int, G: int,
     return new_hist, acc
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "start", "K", "G", "n", "M", "L", "nb", "qn", "hist_len"))
+def _chunk_group_static_interp(hist, xs_flat, P2, fracv, acc, start: int,
+                               K: int, G: int, n: int, M: int, L: int,
+                               nb: int, qn: int, hist_len: int):
+    """Interpolated-mode flat group (see _chunk_group_static): G periodic
+    chunks with a REPEATING phase pattern (one banked [qn*M, 2L] matrix +
+    fraction vector) as one fully-static dispatch; outputs consumed
+    in-graph by the power accumulator.  Bitwise-identical to sequential
+    process() on the same plan."""
+    ch = xs_flat.shape[0]
+    nb_rs = -(-nb // qn) * qn
+    xlen = (nb_rs + qn) * M
+    tail = (G - 1) * n + start + xlen - (hist_len + G * n)
+    parts = [hist, xs_flat]
+    if tail > 0:
+        parts.append(jnp.zeros((ch, tail), dtype=xs_flat.dtype))
+    buf = jnp.concatenate(parts, axis=1)
+    valid = (jnp.arange(nb * L, dtype=jnp.int32) < K)
+    f = fracv[None, None, :]
+    for g in range(G):
+        off = g * n + start
+        win = jax.lax.slice(buf, (0, off), (ch, off + xlen))
+        dd = residue_window_dots(win, P2, M=M, nb_rs=nb_rs, qn_pad=qn,
+                                 qn_local=qn, q0=jnp.int32(0))
+        dd = jax.lax.slice(dd, (0, 0, 0), (ch, nb, 2 * L))
+        out = dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f
+        out = out.reshape(ch, nb * L) * valid.astype(out.dtype)[None, :]
+        acc = acc + jnp.sum(out * out)
+    new_hist = jax.lax.slice(buf, (0, G * n), (ch, hist_len + G * n))
+    return new_hist, acc
+
+
 def _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
                        nb: int, qn: int, hist_len: int):
     """Interpolated fixed-rational chunk body: P2 stacks the two adjacent
@@ -558,18 +591,16 @@ class DeviceStreamResampler:
         in one fully-static dispatch, outputs consumed in-graph by the
         power accumulator (see _chunk_group_static — the fastest shipped
         form of the headline steady state: no scan, no per-chunk input
-        copies).  Requires the reduced (non-interpolated) single-shard
-        mode and an exactly periodic plan (n_in a multiple of the
-        fundamental input period — use an M-multiple chunk and absorb the
-        first non-periodic chunk with process() first; raises ValueError
-        otherwise, with no state consumed).  Returns (Ks int array [G],
+        copies).  Works in both the reduced and the interpolated
+        single-shard modes; requires an exactly periodic plan (n_in a
+        multiple of the fundamental input period — use an M-multiple
+        chunk and absorb the first non-periodic chunk with process()
+        first; the interpolated mode additionally needs the repeating
+        phase pattern to pass the exact-tie oracle).  Raises ValueError
+        otherwise, with no state consumed.  Returns (Ks int array [G],
         acc')."""
         if self.mesh is not None:
             raise NotImplementedError("flat grouping is single-shard only")
-        if self.interp:
-            raise NotImplementedError("flat grouping serves the reduced "
-                                      "mode; use process_scan(stats=True) "
-                                      "for interpolated configurations")
         ch, total = xs_flat.shape
         if total % n_in:
             raise ValueError(f"flat buffer ({total}) must be G*n_in")
@@ -581,6 +612,45 @@ class DeviceStreamResampler:
         if G * n_in < self.num_samples:
             raise ValueError("group must cover at least one history length")
         state0 = (self.output_offset, self.input_index)
+        if self.interp:
+            # interpolated mode additionally needs the SAME verified phase
+            # pattern every chunk (cache identity on the banked matrix /
+            # fractions, like _process_scan_interp's static check)
+            metas = []
+            ok = True
+            for _ in range(G):
+                K, start, j0, pos0, plan = self._plan_compute(n_in)
+                nb_g = -(-K // self.L) if K else 1
+                P2, fracv, dpat, fipat, fracpat = self._interp_matrix(pos0)
+                if not self._pattern_safe(plan, n_in, K, nb_g,
+                                          math.floor(pos0), dpat, fipat,
+                                          fracpat):
+                    ok = False
+                    break
+                self.output_offset = plan.new_output_offset
+                self.input_index = plan.new_input_index
+                metas.append((K, start, P2, fracv))
+            ok = ok and all(
+                m[0] == metas[0][0] and m[1] == metas[0][1]
+                and m[2] is metas[0][2] and m[3] is metas[0][3]
+                for m in metas)
+            if not ok:
+                self.output_offset, self.input_index = state0
+                raise ValueError("process_flat needs an exactly periodic "
+                                 "steady state with a repeating verified "
+                                 "phase pattern; use process_scan for "
+                                 "this configuration")
+            K0, start0 = metas[0][0], metas[0][1]
+            nb = max(-(-K0 // self.L), 1)
+            try:
+                self.hist, acc = _chunk_group_static_interp(
+                    self.hist, xs_flat, metas[0][2], metas[0][3], acc,
+                    int(start0), int(K0), G, n_in, self.M, self.L, nb,
+                    self.qn, self.num_samples)
+            except BaseException:
+                self.output_offset, self.input_index = state0
+                raise
+            return np.asarray([m[0] for m in metas]), acc
         plans = [self._plan(n_in) for _ in range(G)]
         if not all(p[:3] == plans[0][:3] for p in plans):
             self.output_offset, self.input_index = state0

@@ -10,9 +10,11 @@ synchronize the timed region.
 
 Method notes (CLAUDE.md measurement discipline):
   - the chunk size is a multiple of the input period M=147, so the steady
-    state has ONE exact plan per chunk and the scan dispatches run with a
-    compile-time-constant plan (streams._chunk_scan_step_static — the
-    window slice fuses, ~2x the traced-plan scan, bitwise-identical),
+    state has ONE exact plan per chunk and each G-chunk group runs as one
+    FULLY-STATIC dispatch over a flat device buffer
+    (streams.process_flat: static window slices fused into the dot
+    operand reads, no scan input-slice copies, no per-chunk history
+    concats — bitwise-identical to sequential process()),
   - outputs are CONSUMED IN-GRAPH by the power accumulator
     (process_scan(stats=True)) rather than stacked to HBM — the faithful
     analog of what the reference harness does with its own outputs: artest
@@ -322,7 +324,13 @@ def main():
     nchunks = max(1, round(total_in / chunk / G)) * G
 
     key = jax.random.PRNGKey(0)
-    xs = jax.random.normal(key, (G, 2, chunk), dtype=jnp.float32) * 0.25
+    # ONE flat device buffer [2, G*chunk]: the periodic steady-state group
+    # runs as a single fully-static dispatch (process_flat) — no scan
+    # input-slice copies, no per-chunk history concats
+    # (tools/exp_static_xs.py measured the scanned form +1.0 ms/chunk)
+    xs_flat = jax.random.normal(key, (2, G * chunk), dtype=jnp.float32) \
+        * 0.25
+    xs = xs_flat.reshape(2, G, chunk).transpose(1, 0, 2)
     zeros_flush = jnp.zeros((2, 190), jnp.float32)   # built ONCE (no
     # per-run host->device upload inside the timed region)
 
@@ -332,28 +340,32 @@ def main():
     # absorb the non-periodic first chunk so every timed group is static
     eng.process(xs[0], chunk)
 
-    def run(n, stats=True):
+    def run(n, mode="flat"):
         produced = 0
         acc = jnp.zeros((), jnp.float32)
         for _ in range(n // G):
-            _outs, Ks, acc = eng.process_scan(xs, chunk, acc, stats=stats)
+            if mode == "flat":
+                Ks, acc = eng.process_flat(xs_flat, chunk, acc)
+            else:
+                _outs, Ks, acc = eng.process_scan(xs, chunk, acc,
+                                                  stats=mode == "stats")
             produced += int(Ks.sum())
         out, K, acc = eng.process(zeros_flush, 190, acc)   # flush analog
         produced += K
         return produced, float(acc)       # the fetch synchronizes
 
     run(nchunks)                          # warmup: compiles the chunk steps
-    run(nchunks, stats=False)             # and the stacked variant
+    run(nchunks, mode="stacked")          # and the stacked variant
 
-    def window(stats=True):
+    def window(mode="flat"):
         times = []
         produced = 0
         for _ in range(5):
             t0 = time.perf_counter()
-            produced, power = run(nchunks, stats)
+            produced, power = run(nchunks, mode)
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[len(times) // 2]
-        print(f"# window(stats={stats}): produced={produced} frames, "
+        print(f"# window({mode}): produced={produced} frames, "
               f"times={['%.3f' % t for t in times]} power={power:.1f}",
               file=sys.stderr)
         return produced / dt
@@ -376,7 +388,7 @@ def main():
     # secondary record: the same loop with outputs STACKED to HBM
     # ([G, ch, nb*L] per dispatch) for consumers that want the audio
     # materialized — pays exactly its HBM bytes (SOL.md)
-    rate_mat = window(stats=False)
+    rate_mat = window(mode="stacked")
     print(json.dumps({"metric": "preset-3 fixed-ratio resample, outputs "
                       "materialized to HBM", "value": round(rate_mat / 1e6, 2),
                       "unit": "Mframes/s (output)",

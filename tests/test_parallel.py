@@ -569,20 +569,35 @@ def test_process_scan_stats_matches_stacked(ctor, n):
         b.process_scan(xs, n, stats=True)
 
 
-def test_process_flat_matches_sequential():
+@pytest.mark.parametrize("ctor", [
+    # reduced mode
+    (2, 64, 380, 44100, 48000, 0, IBL),
+    # interpolated mode, dyadic period (positions exact in f64 -> the
+    # phase pattern repeats bitwise and the flat path engages)
+    (1, 48, 48, 5000, 256000, 0, IB),
+    # interpolated mode, non-dyadic period (pattern cache identity breaks
+    # at f64 rounding -> clean rejection + process_scan fallback)
+    (1, 48, 48, 44100, 48000, 0, IB),
+])
+def test_process_flat_matches_sequential(ctor):
     """process_flat (fully-static unrolled group over one flat buffer,
     outputs consumed in-graph) advances acc/hist/Ks/position
     bitwise-identically to sequential process() on the periodic steady
     state, and rejects non-periodic chunk sizes with no state consumed."""
     lcg = NoiseLCG()
-    a = DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL)
-    b = DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL)
-    a.advance_position(32)
-    b.advance_position(32)
-    G, n = 5, 8 * a.M
-    xs = jnp.asarray(lcg.fill(G * 2 * n).reshape(G, 2, n))
+    a = DeviceStreamResampler(*ctor)
+    b = DeviceStreamResampler(*ctor)
+    ch = ctor[0]
+    a.advance_position(ctor[1] // 2)
+    b.advance_position(ctor[1] // 2)
+    G = 5
+    # chunks must be M-multiples and the group must cover the history
+    # (with one chunk of slack: the rejection sub-check below shrinks
+    # every chunk by one sample)
+    n = max(8, -(-a.num_samples // (G * a.M)) + 1) * a.M
+    xs = jnp.asarray(lcg.fill(G * ch * n).reshape(G, ch, n))
     # absorb the non-periodic first chunk on both engines
-    first = jnp.asarray(lcg.fill(2 * n).reshape(2, n))
+    first = jnp.asarray(lcg.fill(ch * n).reshape(ch, n))
     acc_a = jnp.zeros((), jnp.float32)
     _o, _k, acc_a = a.process(first, n, acc_a)
     acc_b = jnp.zeros((), jnp.float32)
@@ -592,23 +607,38 @@ def test_process_flat_matches_sequential():
         _o, K, acc_a = a.process(xs[g], n, acc_a)
         Ks_a.append(K)
     flat = jnp.concatenate([xs[g] for g in range(G)], axis=1)
-    Ks_b, acc_b = b.process_flat(flat, n, acc_b)
+    state_b0 = (b.output_offset, b.input_index)
+    try:
+        Ks_b, acc_b = b.process_flat(flat, n, acc_b)
+    except ValueError:
+        # non-repeating interp pattern: clean rejection + scan fallback
+        assert (b.output_offset, b.input_index) == state_b0
+        _none, Ks_b, acc_b = b.process_scan(xs, n, acc_b, stats=True)
     assert list(Ks_b) == Ks_a
     np.testing.assert_array_equal(np.asarray(b.hist), np.asarray(a.hist))
     assert float(acc_a) == float(acc_b)
     assert a.get_position() == b.get_position()
-    # a second group continues the stream
+    # a second group continues the stream.  The interpolated mode may
+    # legitimately reject it (the phase pattern's cache identity can
+    # break at f64 rounding magnitudes); the contract is then a CLEAN
+    # rejection (no state consumed) and process_scan continues the
+    # stream bit-identically.
     Ks_a2 = []
     for g in range(G):
         _o, K, acc_a = a.process(xs[g], n, acc_a)
         Ks_a2.append(K)
-    Ks_b2, acc_b = b.process_flat(flat, n, acc_b)
+    state_b = (b.output_offset, b.input_index)
+    try:
+        Ks_b2, acc_b = b.process_flat(flat, n, acc_b)
+    except ValueError:
+        assert (b.output_offset, b.input_index) == state_b
+        _none, Ks_b2, acc_b = b.process_scan(xs, n, acc_b, stats=True)
     assert list(Ks_b2) == Ks_a2
     assert float(acc_a) == float(acc_b)
     # non-periodic chunk size: clean rejection, no state consumed
     state = (b.output_offset, b.input_index)
     with pytest.raises(ValueError, match="periodic"):
-        b.process_flat(flat[:, : 3 * (n - 1)], n - 1, acc_b)
+        b.process_flat(flat[:, : G * (n - 1)], n - 1, acc_b)
     assert (b.output_offset, b.input_index) == state
 
 
