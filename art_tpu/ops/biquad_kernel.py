@@ -65,15 +65,33 @@ def biquad_apply_buffer_assoc(biquad, buffer: np.ndarray) -> np.ndarray:
 
 
 _IIR_BLOCK = 256
+_IIR_SUPER = 64          # carry-recurrence blocks per outer-scan step
+
+
+def _carry_power_tables(AB: np.ndarray, Q: int):
+    """Closed-form carry tables from the per-block transition AB = A^B:
+    PW [Q,4,4] with PW[d] = AB^d, the masked inner window W [Q,Q,4,4]
+    with W[q,j] = AB^(q-1-j) for j < q (else 0), WQ [Q,4,4] with
+    WQ[j] = AB^(Q-1-j), and ABQ = AB^Q."""
+    PW = np.zeros((Q, 4, 4))
+    p = np.eye(4)
+    for d in range(Q):
+        PW[d] = p
+        p = p @ AB
+    W = np.zeros((Q, Q, 4, 4))
+    for q in range(1, Q):
+        W[q, :q] = PW[:q][::-1]
+    return PW, W, PW[::-1].copy(), p
 
 
 def iir_tables(b, B: int = _IIR_BLOCK):
     """Host-precomputed block-IIR tables for feedback taps ``b`` (numpy
     float64): (T [B,B] lower-triangular Toeplitz impulse response,
     G [B,4] boundary rows e0^T A^(t+1), Wv [4,B] / AB [4,4] the carry
-    recurrence rows), as device arrays.  Building these once per filter
-    instead of per call (a B-step in-graph scan) measured 3.9x on-chip
-    (tools/exp_iir_tables.py: 30.4 vs 7.8 M samples/s at B=256)."""
+    recurrence rows, and the _carry_power_tables bundle), as device
+    arrays.  Building these once per filter instead of per call (a B-step
+    in-graph scan) measured 3.9x on-chip (tools/exp_iir_tables.py: 30.4
+    vs 7.8 M samples/s at B=256)."""
     b = np.asarray(b, np.float64)
     A = np.zeros((4, 4))
     A[0] = [-b[1], -b[2], -b[3], -b[4]]
@@ -86,9 +104,12 @@ def iir_tables(b, B: int = _IIR_BLOCK):
     h = np.concatenate([[1.0], G[:B - 1, 0]])
     d = np.arange(B)[:, None] - np.arange(B)[None, :]
     T = np.where(d >= 0, h[np.clip(d, 0, B - 1)], 0.0)
+    AB = G[B - 4:][::-1].copy()
+    PW, W, WQ, ABQ = _carry_power_tables(AB, _IIR_SUPER)
     return (jnp.asarray(T), jnp.asarray(G),
-            jnp.asarray(T[B - 4:][::-1].copy()),
-            jnp.asarray(G[B - 4:][::-1].copy()))
+            jnp.asarray(T[B - 4:][::-1].copy()), jnp.asarray(AB),
+            jnp.asarray(PW), jnp.asarray(W), jnp.asarray(WQ),
+            jnp.asarray(ABQ))
 
 
 def _iir_y(f, b, yh, tables=None):
@@ -119,7 +140,7 @@ def _iir_y(f, b, yh, tables=None):
     fp = jnp.concatenate(
         [f, jnp.zeros((nb * B - n, Sp), jnp.float64)], axis=0)
     if tables is not None:
-        T, G, Wv, AB = tables
+        T, G, Wv, AB, PW, W, WQ, ABQ = tables
     else:
         A = jnp.array([[0.0, 0.0, 0.0, 0.0],
                        [1.0, 0.0, 0.0, 0.0],
@@ -139,17 +160,58 @@ def _iir_y(f, b, yh, tables=None):
         # (rows newest-first to match the state layout)
         Wv = T[B - 4:][::-1]                                  # [4, B]
         AB = G[B - 4:][::-1]                                  # [4, 4]
+        # carry power tables (see _carry_power_tables), built in-graph
+        Q = _IIR_SUPER
+        def pstep(p, _):
+            return jnp.dot(p, AB, precision=jax.lax.Precision.HIGHEST), p
+        ABQ, PW = jax.lax.scan(pstep, jnp.eye(4, dtype=jnp.float64),
+                               None, length=Q)                # PW[d]=AB^d
+        qi = jnp.arange(Q)
+        dmat = qi[:, None] - 1 - qi[None, :]
+        W = jnp.where((dmat >= 0)[:, :, None, None],
+                      PW[jnp.clip(dmat, 0, Q - 1)], 0.0)      # [Q,Q,4,4]
+        WQ = PW[::-1]                                         # [Q,4,4]
 
     fb = fp.reshape(nb, B, Sp)
     hi = jax.lax.Precision.HIGHEST
-    v = jnp.einsum("ij,kjs->kis", Wv, fb, precision=hi)       # [nb, 4, Sp]
+    # One wide matmul instead of nb batched [B,B]x[B,Sp] products: the
+    # batched einsum leaves the MXU lane tile 8/128 full (Sp lanes per
+    # instance) and measured 42.6 ms per 2^19-frame 6-stream f64 chunk —
+    # the config-4 chain's dominant cost (tools/exp_config4_stages.py).
+    # Flattening (block, stream) into one lane axis runs the same flops
+    # as [B, B] x [B, nb*Sp] at full lane density; each output column's
+    # contraction is unchanged (same j-order), so per-stream results stay
+    # independent of the batch width (the sharded == single-device
+    # bit-identity contract).
+    F2 = fb.transpose(1, 0, 2).reshape(B, nb * Sp)            # [j, k*s]
+    v2 = jnp.dot(Wv, F2, precision=hi)                        # [4, nb*Sp]
+    v = v2.reshape(4, nb, Sp).transpose(1, 0, 2)              # [nb, 4, Sp]
 
-    def sstep(s, vk):
-        return jnp.dot(AB, s, precision=hi) + vk, s
-    _, sks = jax.lax.scan(sstep, yh, v)                       # [nb, 4, Sp]
+    # Carry recurrence e_{k+1} = AB e_k + v_k, SOLVED IN BLOCKS: the
+    # naive nb-step lax.scan of tiny [4,4] emulated-f64 dots measured
+    # 42 ms per 2^19-frame chunk — the config-4 chain's dominant cost
+    # (tools/exp_config4_stages.py); nb/Q outer steps with closed-form
+    # inner contributions through the precomputed AB powers cut the
+    # sequential depth Q=64-fold at trivial extra flops.
+    #   e_{bQ+q} = AB^q e_{bQ} + sum_{j<q} AB^(q-1-j) v_{bQ+j}
+    Q = _IIR_SUPER
+    nsb = -(-nb // Q)
+    if nsb * Q != nb:
+        v = jnp.concatenate(
+            [v, jnp.zeros((nsb * Q - nb, 4, Sp), jnp.float64)], axis=0)
+    vsb = v.reshape(nsb, Q, 4, Sp)
+    inner = jnp.einsum("qjab,kjbs->kqas", W, vsb, precision=hi)
+    u = jnp.einsum("jab,kjbs->kas", WQ, vsb, precision=hi)
 
-    y = (jnp.einsum("ij,kjs->kis", T, fb, precision=hi)
-         + jnp.einsum("tj,kjs->kts", G, sks, precision=hi))
+    def sstep(e, ub):
+        return jnp.dot(ABQ, e, precision=hi) + ub, e
+    _, E = jax.lax.scan(sstep, yh, u)                         # [nsb, 4, Sp]
+    sks = (jnp.einsum("qab,kbs->kqas", PW, E, precision=hi)
+           + inner).reshape(nsb * Q, 4, Sp)[:nb]              # [nb, 4, Sp]
+
+    S2 = sks.transpose(1, 0, 2).reshape(4, nb * Sp)
+    Y2 = jnp.dot(T, F2, precision=hi) + jnp.dot(G, S2, precision=hi)
+    y = Y2.reshape(B, nb, Sp).transpose(1, 0, 2)
     return y.reshape(nb * B, Sp)[:n, :S]
 
 
@@ -189,6 +251,29 @@ def assoc_core_masked(x, a, b, xh, yh, K, tables=None):
     return y.astype(dt), xh_n, yh_n
 
 
+def assoc_core_full(x, a, b, xh, yh, tables=None):
+    """assoc_core_masked for the K == n (whole-chunk-valid) case: the
+    validity masks vanish and the state extraction is a static slice.
+    Bitwise-identical outputs/state to the masked form at K == n (the
+    masks multiply by 1.0 there) without its f64 pointwise where-passes
+    — the steady-state streaming cascade shape
+    (DeviceBiquadCascade.process on full chunks)."""
+    n, S = x.shape
+    dt = x.dtype
+    xm = x.astype(jnp.float64)
+    a = jnp.asarray(a, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    xh = jnp.asarray(xh, jnp.float64)
+    yh = jnp.asarray(yh, jnp.float64)
+    xpad = jnp.concatenate([xh[::-1], xm], axis=0)
+    f = (a[0] * xpad[4:] + a[1] * xpad[3:-1] + a[2] * xpad[2:-2]
+         + a[3] * xpad[1:-3] + a[4] * xpad[:-4])
+    y = _iir_y(f, b, yh, tables)
+    xh_n = xpad[n:][::-1]
+    yh_n = jnp.concatenate([yh[::-1], y], axis=0)[n:][::-1]
+    return y.astype(dt), xh_n, yh_n
+
+
 @jax.jit
 def _cascade2_step(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, K, t1, t2):
     """Two cascaded masked block-IIR sections in one dispatch (the ART
@@ -196,6 +281,14 @@ def _cascade2_step(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, K, t1, t2):
     art.c:847-876).  t1/t2: precomputed iir_tables per section."""
     y1, xh1n, yh1n = assoc_core_masked(x, a1, b1, xh1, yh1, K, t1)
     y2, xh2n, yh2n = assoc_core_masked(y1, a2, b2, xh2, yh2, K, t2)
+    return y2, xh1n, yh1n, xh2n, yh2n
+
+
+@jax.jit
+def _cascade2_step_full(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2):
+    """_cascade2_step for full-chunk calls (K == n): see assoc_core_full."""
+    y1, xh1n, yh1n = assoc_core_full(x, a1, b1, xh1, yh1, t1)
+    y2, xh2n, yh2n = assoc_core_full(y1, a2, b2, xh2, yh2, t2)
     return y2, xh1n, yh1n, xh2n, yh2n
 
 
@@ -239,9 +332,16 @@ class DeviceBiquadCascade:
         a1, b1, a2, b2 = self._coef
         xh1, yh1, xh2, yh2 = self._state
         t1, t2 = self._tabs
-        y, xh1, yh1, xh2, yh2 = _cascade2_step(
-            dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2, jnp.int32(K),
-            t1, t2)
+        if K == dev_out.shape[1]:
+            # whole chunk valid (the steady-state streaming shape): the
+            # maskless variant skips three f64 pointwise where-passes per
+            # section, bitwise-identically
+            y, xh1, yh1, xh2, yh2 = _cascade2_step_full(
+                dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2)
+        else:
+            y, xh1, yh1, xh2, yh2 = _cascade2_step(
+                dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2,
+                jnp.int32(K), t1, t2)
         self._state = (xh1, yh1, xh2, yh2)
         return y.T
 

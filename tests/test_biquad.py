@@ -153,3 +153,28 @@ def test_masked_block_iir_ragged_K_and_tables():
         np.testing.assert_allclose(np.asarray(yh1),
                                    np.asarray(host.yh, np.float64),
                                    atol=3e-7)
+
+
+def test_assoc_core_full_matches_masked_bitwise():
+    """assoc_core_full (the maskless whole-chunk streaming shape) is
+    bitwise-identical to assoc_core_masked at K == n, outputs and state,
+    f32 and f64."""
+    import jax.numpy as jnp
+
+    from art_tpu.ops.biquad_kernel import (assoc_core_full,
+                                           assoc_core_masked, iir_tables)
+    coeffs = biquad_lowpass(0.31)
+    for dt in (np.float32, np.float64):
+        bq = Biquad.init(coeffs, 1.0, channels=3, dtype=dt)
+        x = NoiseLCG().fill(3 * 1000, dt).reshape(1000, 3)
+        t = iir_tables(np.asarray(bq.b, np.float64))
+        a = jnp.asarray(np.asarray(bq.a, np.float64))
+        b = jnp.asarray(np.asarray(bq.b, np.float64))
+        xh = jnp.asarray(np.random.default_rng(0).standard_normal((4, 3)))
+        yh = jnp.asarray(np.random.default_rng(1).standard_normal((4, 3)))
+        y1, xh1, yh1 = assoc_core_masked(jnp.asarray(x), a, b, xh, yh,
+                                         jnp.int32(1000), t)
+        y2, xh2, yh2 = assoc_core_full(jnp.asarray(x), a, b, xh, yh, t)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        np.testing.assert_array_equal(np.asarray(xh1), np.asarray(xh2))
+        np.testing.assert_array_equal(np.asarray(yh1), np.asarray(yh2))

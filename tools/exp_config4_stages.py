@@ -116,6 +116,51 @@ def bq_toep(hist, acc, c):
     return hist, acc + jnp.sum(y[::4096])
 
 
+# --- inside-of-_iir_y decomposition (geometry of the 2^19 6ch call) ---
+_B = 256
+_Sp = 8
+_nb = chunk // _B
+_T_, _G_, _Wv_, _AB_, _PW_, _W_, _WQ_, _ABQ_ = t1
+_F2c = jax.random.normal(jax.random.PRNGKey(7), (_B, _nb * _Sp),
+                         jnp.float64) * 0.25
+_S2c = jax.random.normal(jax.random.PRNGKey(8), (4, _nb * _Sp),
+                         jnp.float64) * 0.25
+_HI = jax.lax.Precision.HIGHEST
+
+
+def toep_mm(hist, acc, c):
+    """The two wide f64 matmuls alone (T@F2 + G@S2)."""
+    F2 = _F2c + c * 1e-30
+    Y2 = jnp.dot(_T_, F2, precision=_HI) + jnp.dot(_G_, _S2c, precision=_HI)
+    return hist, acc + jnp.sum(Y2[0, ::4096])
+
+
+def toep_tr(hist, acc, c):
+    """The layout moves alone: [n,Sp] -> blocks -> [B, nb*Sp] -> back."""
+    f = xT + c * 1e-30
+    fb = f.reshape(_nb, _B, _Sp)
+    F2 = fb.transpose(1, 0, 2).reshape(_B, _nb * _Sp)
+    y = F2.reshape(_B, _nb, _Sp).transpose(1, 0, 2).reshape(_nb * _B, _Sp)
+    return hist, acc + jnp.sum(y[::4096])
+
+
+def toep_inner(hist, acc, c):
+    """The carry einsums + 32-step outer scan alone."""
+    F2 = _F2c + c * 1e-30
+    v2 = jnp.dot(_Wv_, F2, precision=_HI)
+    v = v2.reshape(4, _nb, _Sp).transpose(1, 0, 2)
+    nsb = _nb // 64
+    vsb = v.reshape(nsb, 64, 4, _Sp)
+    inner = jnp.einsum("qjab,kjbs->kqas", _W_, vsb, precision=_HI)
+    u = jnp.einsum("jab,kjbs->kas", _WQ_, vsb, precision=_HI)
+
+    def sstep(e, ub):
+        return jnp.dot(_ABQ_, e, precision=_HI) + ub, e
+    _, E = jax.lax.scan(sstep, yh0, u)
+    sks = (jnp.einsum("qab,kbs->kqas", _PW_, E, precision=_HI) + inner)
+    return hist, acc + jnp.sum(sks[:, 0, 0, :])
+
+
 def bq_full(hist, acc, c):
     y, xh, yh = assoc_core_masked(xT + c * 1e-30, a5, b5, xh0, yh0,
                                   jnp.int32(chunk), t1)
@@ -137,7 +182,10 @@ def scan_of(body):
 
 variants = {"rs_full": rs_full, "rs_dot": rs_dot, "rs_win": rs_win,
             "rs_mask": rs_mask, "bq_fir": bq_fir, "bq_toep": bq_toep,
-            "bq_full": bq_full}
+            "bq_full": bq_full, "toep_mm": toep_mm, "toep_tr": toep_tr,
+            "toep_inner": toep_inner}
+if "--toep-only" in sys.argv:
+    variants = {k: v for k, v in variants.items() if k.startswith("toep")}
 h0 = jnp.zeros((S, hist_len), jnp.float64)
 a0 = jnp.zeros((), jnp.float64)
 runs = {}
