@@ -84,7 +84,7 @@ def _carry_power_tables(AB: np.ndarray, Q: int):
     return PW, W, PW[::-1].copy(), p
 
 
-def iir_tables(b, B: int = _IIR_BLOCK):
+def iir_tables(b, B: int = _IIR_BLOCK, Q: int = _IIR_SUPER):
     """Host-precomputed block-IIR tables for feedback taps ``b`` (numpy
     float64): (T [B,B] lower-triangular Toeplitz impulse response,
     G [B,4] boundary rows e0^T A^(t+1), Wv [4,B] / AB [4,4] the carry
@@ -105,7 +105,7 @@ def iir_tables(b, B: int = _IIR_BLOCK):
     d = np.arange(B)[:, None] - np.arange(B)[None, :]
     T = np.where(d >= 0, h[np.clip(d, 0, B - 1)], 0.0)
     AB = G[B - 4:][::-1].copy()
-    PW, W, WQ, ABQ = _carry_power_tables(AB, _IIR_SUPER)
+    PW, W, WQ, ABQ = _carry_power_tables(AB, Q)
     return (jnp.asarray(T), jnp.asarray(G),
             jnp.asarray(T[B - 4:][::-1].copy()), jnp.asarray(AB),
             jnp.asarray(PW), jnp.asarray(W), jnp.asarray(WQ),
@@ -122,7 +122,10 @@ def _iir_y(f, b, yh, tables=None):
     f [n, S] float64 (forcing, already masked as needed); yh [4, S]
     newest-first output history.  Returns y [n, S] float64."""
     n, S = f.shape
-    B = _IIR_BLOCK
+    # geometry rides with the tables (iir_tables(b, B=..., Q=...)) so the
+    # block size can be tuned per deployment; the in-graph fallback uses
+    # the defaults
+    B = tables[0].shape[0] if tables is not None else _IIR_BLOCK
     nb = -(-n // B)
     # pad the stream axis to a multiple of 8: per-stream results must be
     # bitwise independent of the batch width, because the sharded pipeline
@@ -194,7 +197,7 @@ def _iir_y(f, b, yh, tables=None):
     # inner contributions through the precomputed AB powers cut the
     # sequential depth Q=64-fold at trivial extra flops.
     #   e_{bQ+q} = AB^q e_{bQ} + sum_{j<q} AB^(q-1-j) v_{bQ+j}
-    Q = _IIR_SUPER
+    Q = W.shape[0]
     nsb = -(-nb // Q)
     if nsb * Q != nb:
         v = jnp.concatenate(

@@ -138,6 +138,8 @@ def toep_mm(hist, acc, c):
 def toep_tr(hist, acc, c):
     """The layout moves alone: [n,Sp] -> blocks -> [B, nb*Sp] -> back."""
     f = xT + c * 1e-30
+    f = jnp.concatenate(
+        [f, jnp.zeros((chunk, _Sp - S), jnp.float64)], axis=1)
     fb = f.reshape(_nb, _B, _Sp)
     F2 = fb.transpose(1, 0, 2).reshape(_B, _nb * _Sp)
     y = F2.reshape(_B, _nb, _Sp).transpose(1, 0, 2).reshape(_nb * _B, _Sp)
@@ -156,7 +158,7 @@ def toep_inner(hist, acc, c):
 
     def sstep(e, ub):
         return jnp.dot(_ABQ_, e, precision=_HI) + ub, e
-    _, E = jax.lax.scan(sstep, yh0, u)
+    _, E = jax.lax.scan(sstep, jnp.zeros((4, _Sp), jnp.float64), u)
     sks = (jnp.einsum("qab,kbs->kqas", _PW_, E, precision=_HI) + inner)
     return hist, acc + jnp.sum(sks[:, 0, 0, :])
 

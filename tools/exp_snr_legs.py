@@ -41,11 +41,10 @@ def run_host(x_planar, s, d):
     eng.advance_position(taps // 2)
     nin = x_planar.shape[1]
     cap = int(nin * d / s) + taps + 64
-    out, res = eng.process(x_planar, nin, cap)
-    out2, res2 = eng.process(None, -1, cap - res.output_generated)
-    y = np.concatenate([out[:res.output_generated],
-                        out2[:res2.output_generated]], axis=0)
-    return np.ascontiguousarray(y.T)
+    out, res = eng.process(x_planar, nin, cap, 0.0)
+    out2, res2 = eng.process(None, -1, cap - res.output_generated, 0.0)
+    return np.concatenate([out[:, :res.output_generated],
+                           out2[:, :res2.output_generated]], axis=1)
 
 
 def run_dev(x_planar, s, d):
