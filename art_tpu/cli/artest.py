@@ -49,6 +49,8 @@ USAGE = """
            --f64       = 64-bit data path
            --backend=<numpy|jax|device> (device = the TPU streaming
                          engine for the -e resample path, host edges)
+           --precise   = device backend: f64-accumulated contraction
+                         dots (the within-0.1-dB-of-C operating point)
            --timing    = per-stage wall-clock summary
            --profile=<dir> = write a jax.profiler trace of the run
 """
@@ -70,6 +72,7 @@ def main(argv=None) -> int:
     tone_freq = 0.0
     dtype = np.float32
     backend = "numpy"
+    precise = False
     timing = False
     profile_dir = None
 
@@ -90,6 +93,8 @@ def main(argv=None) -> int:
                     raise SystemExit("--backend must be numpy, jax or "
                                      "device!")
                 backend = val
+            elif name == "precise":
+                precise = True
             elif name == "timing":
                 timing = True
             elif name == "profile":
@@ -217,12 +222,15 @@ def main(argv=None) -> int:
         # (reference resampleFixedRatioInit, resampler.c:310-356); the
         # runtime-ratio interpolated mode stays on the host engines
         raise SystemExit("--backend=device requires exact resampling (-e)!")
+    if precise and backend != "device":
+        raise SystemExit("--precise applies to --backend=device!")
 
     def make_resampler(src, dst):
         if backend == "device":
             from ..parallel.streams import HybridStreamResampler
             return HybridStreamResampler(chans, taps, filters, src, dst,
-                                         lowpass_freq, flags, dtype=dtype)
+                                         lowpass_freq, flags, dtype=dtype,
+                                         precise=precise)
         return Resampler.fixed_ratio(chans, taps, filters, src, dst,
                                      lowpass_freq, flags, dtype=dtype,
                                      backend=backend)

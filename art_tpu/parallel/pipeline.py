@@ -35,7 +35,7 @@ from ..ops import decimate_device as dd
 
 
 def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
-                        qn_local: int, q0):
+                        qn_local: int, q0, precise: bool = False):
     """Residue-split block-Toeplitz contraction.
 
     Output block i needs window elements [i*M, i*M + qn_pad*M) of the
@@ -53,10 +53,20 @@ def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
     [q0*M, (q0+qn_local)*M) of the full [qn_pad*M, L2] phase matrix
     (``P_local``); the caller psums over the taps axis to complete the
     dot.  Returns [S, nb_rs, L2] (partial sums when qn_local < qn_pad).
+
+    ``precise=True`` (f32 data only) accumulates each dot in float64 and
+    rounds ONCE to the data dtype: the MXU's f32 HIGHEST algorithm
+    bottoms the round-trip diff RMS at -141.47 dB (~0.8 dB above the C
+    reference; K-splits and the X9 dot algorithm measured no better /
+    unsupported on this deployment — tools/exp_splitk.py, exp_dotalg.py),
+    while f64 accumulation lands -142.69 dB (0.4 dB BETTER than C) at
+    ~4x dot cost (tools/exp_f64acc.py) — the within-0.1-dB operating
+    point for clients that need it.
     """
     S = win.shape[0]
     nr = nb_rs // qn_pad
     KQ = qn_pad * M
+    acc_dt = jnp.float64 if precise else win.dtype
     outs = []
     for r in range(qn_pad):
         Vr = jax.lax.slice(win, (0, r * M), (S, r * M + nr * KQ)) \
@@ -64,10 +74,11 @@ def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
         if qn_local != qn_pad:
             Vr = jax.lax.dynamic_slice_in_dim(Vr, q0 * M, qn_local * M,
                                               axis=2)
-        outs.append(jax.lax.dot_general(
+        d = jax.lax.dot_general(
             Vr, P_local, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=win.dtype,
-            precision=jax.lax.Precision.HIGHEST))
+            preferred_element_type=acc_dt,
+            precision=jax.lax.Precision.HIGHEST)
+        outs.append(d.astype(win.dtype) if precise else d)
     # [S, nr, qn_pad, L2] -> [S, nb_rs, L2]; i = j*qn_pad + r, pure reshape
     return jnp.stack(outs, axis=2).reshape(S, nb_rs, -1)
 
@@ -96,7 +107,7 @@ def _mask_outputs(out, K, S: int, nb: int, L: int):
 
 def _resample_block(x, hist, P_local, start, K, *, M: int, L: int, nb: int,
                     qn_pad: int, qn_local: int, hist_len: int, q0,
-                    taps_axis: str | None):
+                    taps_axis: str | None, precise: bool = False):
     """Block-Toeplitz resample chunk over a local range of shift blocks.
 
     Each taps-rank holds shift blocks [q0, q0 + qn_local) of the padded
@@ -110,7 +121,8 @@ def _resample_block(x, hist, P_local, start, K, *, M: int, L: int, nb: int,
     win, new_hist = _window_and_hist(x, hist, start,
                                      (nb_rs + qn_pad) * M, hist_len)
     out = residue_window_dots(win, P_local, M=M, nb_rs=nb_rs,
-                              qn_pad=qn_pad, qn_local=qn_local, q0=q0)
+                              qn_pad=qn_pad, qn_local=qn_local, q0=q0,
+                              precise=precise)
     if taps_axis is not None:
         out = jax.lax.psum(out, taps_axis)
     return _mask_outputs(out, K, S, nb, L), new_hist

@@ -45,7 +45,8 @@ from ..ops.polyphase import PolyphaseMatrix
 from .pipeline import _resample_block, residue_window_dots
 
 
-def _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len):
+def _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len,
+                precise=False):
     """The fused streaming step: history concat -> block-Toeplitz window
     build (static shifted slices, no gather) -> residue-split MXU matmuls
     against the padded [qn*M, L] phase matrix (pipeline.residue_window_dots:
@@ -61,30 +62,35 @@ def _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len):
     -142 dB round-trip at ~10% throughput cost."""
     out, new_hist = _resample_block(
         x, hist, P, start, K, M=M, L=L, nb=nb, qn_pad=qn, qn_local=qn,
-        hist_len=hist_len, q0=jnp.int32(0), taps_axis=None)
+        hist_len=hist_len, q0=jnp.int32(0), taps_axis=None,
+        precise=precise)
     acc = acc + jnp.sum(out * out)
     return new_hist, out, acc
 
 
 
 def _chunk_body_any(hist, x, P, start, K, acc, M, L, nb, qn, hist_len,
-                    pallas: bool):
+                    pallas: bool, precise: bool = False):
     """Dispatch between the XLA residue-split body and the single-pass
     Pallas streaming kernel (ops/fixed_pallas: same contraction at the f32
-    floor, window buffer read once instead of qn operand passes)."""
+    floor, window buffer read once instead of qn operand passes).
+    ``precise``: f64-accumulated dots (residue_window_dots docstring);
+    XLA body only."""
     if pallas:
         from ..ops.fixed_pallas import fixed_step_pallas
         return fixed_step_pallas(hist, x, P, start, K, acc, M=M, L=L,
                                  nb=nb, qn=qn, hist_len=hist_len,
                                  interpret=jax.default_backend() != "tpu")
-    return _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len)
+    return _chunk_body(hist, x, P, start, K, acc, M, L, nb, qn, hist_len,
+                       precise)
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len", "pallas", "stats"))
+                                             "hist_len", "pallas", "stats",
+                                             "precise"))
 def _chunk_scan_step(hist, xs, P_all, meta, acc, M: int, L: int, nb: int,
                      qn: int, hist_len: int, pallas: bool = False,
-                     stats: bool = False):
+                     stats: bool = False, precise: bool = False):
     """G fused steady-state chunk steps in ONE dispatch: lax.scan over
     _chunk_body with the phase-anchor matrix dynamically indexed from the
     stacked bank ``P_all`` [L, qn*M, L] per step.  Amortizes per-dispatch
@@ -105,7 +111,7 @@ def _chunk_scan_step(hist, xs, P_all, meta, acc, M: int, L: int, nb: int,
         x, j, start, K = per
         P = jax.lax.dynamic_index_in_dim(P_all, j, axis=0, keepdims=False)
         hist, out, acc = _chunk_body_any(hist, x, P, start, K, acc, M, L,
-                                         nb, qn, hist_len, pallas)
+                                         nb, qn, hist_len, pallas, precise)
         return (hist, acc), (None if stats else out)
     (hist, acc), outs = jax.lax.scan(
         body, (hist, acc), (xs, meta[0], meta[1], meta[2]))
@@ -113,20 +119,23 @@ def _chunk_scan_step(hist, xs, P_all, meta, acc, M: int, L: int, nb: int,
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len", "pallas"))
+                                             "hist_len", "pallas",
+                                             "precise"))
 def _chunk_step(hist, x, P, start, K, acc, M: int, L: int, nb: int,
-                qn: int, hist_len: int, pallas: bool = False):
+                qn: int, hist_len: int, pallas: bool = False,
+                precise: bool = False):
     """One fused streaming step (see _chunk_body)."""
     return _chunk_body_any(hist, x, P, start, K, acc, M, L, nb, qn,
-                           hist_len, pallas)
+                           hist_len, pallas, precise)
 
 
 @functools.partial(jax.jit, static_argnames=("start", "K", "M", "L", "nb",
                                              "qn", "hist_len", "pallas",
-                                             "stats"))
+                                             "stats", "precise"))
 def _chunk_scan_step_static(hist, xs, P, acc, start: int, K: int, M: int,
                             L: int, nb: int, qn: int, hist_len: int,
-                            pallas: bool = False, stats: bool = False):
+                            pallas: bool = False, stats: bool = False,
+                            precise: bool = False):
     """G fused chunk steps in one dispatch with a COMPILE-TIME-CONSTANT
     plan: when the chunk size is a multiple of the input period M, the
     fixed-ratio steady state consumes/emits identically every chunk
@@ -143,17 +152,17 @@ def _chunk_scan_step_static(hist, xs, P, acc, start: int, K: int, M: int,
         # constants — NOT traced operands like _chunk_scan_step's meta)
         hist, out, acc = _chunk_body_any(hist, x, P, jnp.int32(start),
                                          jnp.int32(K), acc, M, L, nb, qn,
-                                         hist_len, pallas)
+                                         hist_len, pallas, precise)
         return (hist, acc), (None if stats else out)
     (hist, acc), outs = jax.lax.scan(body, (hist, acc), xs)
     return hist, outs, acc
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "start", "K", "G", "n", "M", "L", "nb", "qn", "hist_len"))
+    "start", "K", "G", "n", "M", "L", "nb", "qn", "hist_len", "precise"))
 def _chunk_group_static(hist, xs_flat, P, acc, start: int, K: int, G: int,
                         n: int, M: int, L: int, nb: int, qn: int,
-                        hist_len: int):
+                        hist_len: int, precise: bool = False):
     """G periodic steady-state chunks over ONE flat input buffer, fully
     static (no lax.scan): because the steady state is exactly periodic
     (M-multiple chunks — the _chunk_scan_step_static precondition), the
@@ -184,7 +193,8 @@ def _chunk_group_static(hist, xs_flat, P, acc, start: int, K: int, G: int,
         off = g * n + start
         win = jax.lax.slice(buf, (0, off), (ch, off + xlen))
         out = residue_window_dots(win, P, M=M, nb_rs=nb_rs, qn_pad=qn,
-                                  qn_local=qn, q0=jnp.int32(0))
+                                  qn_local=qn, q0=jnp.int32(0),
+                                  precise=precise)
         out = jax.lax.slice(out, (0, 0, 0), (ch, nb, L)).reshape(ch, nb * L)
         out = out * valid.astype(out.dtype)[None, :]
         acc = acc + jnp.sum(out * out)
@@ -194,10 +204,11 @@ def _chunk_group_static(hist, xs_flat, P, acc, start: int, K: int, G: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "start", "K", "G", "n", "M", "L", "nb", "qn", "hist_len"))
+    "start", "K", "G", "n", "M", "L", "nb", "qn", "hist_len", "precise"))
 def _chunk_group_static_interp(hist, xs_flat, P2, fracv, acc, start: int,
                                K: int, G: int, n: int, M: int, L: int,
-                               nb: int, qn: int, hist_len: int):
+                               nb: int, qn: int, hist_len: int,
+                               precise: bool = False):
     """Interpolated-mode flat group (see _chunk_group_static): G periodic
     chunks with a REPEATING phase pattern (one banked [qn*M, 2L] matrix +
     fraction vector) as one fully-static dispatch; outputs consumed
@@ -217,7 +228,8 @@ def _chunk_group_static_interp(hist, xs_flat, P2, fracv, acc, start: int,
         off = g * n + start
         win = jax.lax.slice(buf, (0, off), (ch, off + xlen))
         dd = residue_window_dots(win, P2, M=M, nb_rs=nb_rs, qn_pad=qn,
-                                 qn_local=qn, q0=jnp.int32(0))
+                                 qn_local=qn, q0=jnp.int32(0),
+                                 precise=precise)
         dd = jax.lax.slice(dd, (0, 0, 0), (ch, nb, 2 * L))
         out = dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f
         out = out.reshape(ch, nb * L) * valid.astype(out.dtype)[None, :]
@@ -227,7 +239,8 @@ def _chunk_group_static_interp(hist, xs_flat, P2, fracv, acc, start: int,
 
 
 def _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
-                       nb: int, qn: int, hist_len: int):
+                       nb: int, qn: int, hist_len: int,
+                       precise: bool = False):
     """Interpolated fixed-rational chunk body: P2 stacks the two adjacent
     phase banks ([qn*M, 2L]); the per-phase lerp fractions broadcast over
     output blocks (reference subsample_interpolate, resampler.c:1147-1157,
@@ -236,11 +249,11 @@ def _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
     return _sharded_interp_body(hist, x, P2, fracv, start, K, acc, M=M,
                                 L=L, nb=nb, qn_pad=qn, qn_local=qn,
                                 hist_len=hist_len, taps_axis=None,
-                                streams_axis=None)
+                                streams_axis=None, precise=precise)
 
 
 def _chunk_body_interp_any(hist, x, P2, fracv, start, K, acc, M, L, nb, qn,
-                           hist_len, pallas: bool):
+                           hist_len, pallas: bool, precise: bool = False):
     if pallas:
         from ..ops.fixed_pallas import fixed_step_pallas
         return fixed_step_pallas(hist, x, P2, start, K, acc, M=M, L=L,
@@ -248,27 +261,29 @@ def _chunk_body_interp_any(hist, x, P2, fracv, start, K, acc, M, L, nb, qn,
                                  fracv=fracv,
                                  interpret=jax.default_backend() != "tpu")
     return _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M, L, nb,
-                              qn, hist_len)
+                              qn, hist_len, precise)
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len", "pallas"))
+                                             "hist_len", "pallas",
+                                             "precise"))
 def _chunk_step_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
                        nb: int, qn: int, hist_len: int,
-                       pallas: bool = False):
+                       pallas: bool = False, precise: bool = False):
     """One fused interpolated streaming step (see _chunk_body_interp)."""
     return _chunk_body_interp_any(hist, x, P2, fracv, start, K, acc, M, L,
-                                  nb, qn, hist_len, pallas)
+                                  nb, qn, hist_len, pallas, precise)
 
 
 @functools.partial(jax.jit, static_argnames=("start", "K", "M", "L", "nb",
                                              "qn", "hist_len", "pallas",
-                                             "stats"))
+                                             "stats", "precise"))
 def _chunk_scan_step_interp_static(hist, xs, P2, fracv, acc, start: int,
                                    K: int, M: int, L: int, nb: int,
                                    qn: int, hist_len: int,
                                    pallas: bool = False,
-                                   stats: bool = False):
+                                   stats: bool = False,
+                                   precise: bool = False):
     """Interpolated scan with a compile-time-constant plan (periodic
     steady state AND a repeating phase pattern — the M-multiple chunk
     case; see _chunk_scan_step_static): one banked matrix / fraction
@@ -279,17 +294,19 @@ def _chunk_scan_step_interp_static(hist, xs, P2, fracv, acc, start: int,
         hist, acc = carry
         hist, out, acc = _chunk_body_interp_any(
             hist, x, P2, fracv, jnp.int32(start), jnp.int32(K), acc, M, L,
-            nb, qn, hist_len, pallas)
+            nb, qn, hist_len, pallas, precise)
         return (hist, acc), (None if stats else out)
     (hist, acc), outs = jax.lax.scan(body, (hist, acc), xs)
     return hist, outs, acc
 
 
 @functools.partial(jax.jit, static_argnames=("M", "L", "nb", "qn",
-                                             "hist_len", "pallas", "stats"))
+                                             "hist_len", "pallas", "stats",
+                                             "precise"))
 def _chunk_scan_step_interp(hist, xs, P2s, frs, meta, acc, M: int, L: int,
                             nb: int, qn: int, hist_len: int,
-                            pallas: bool = False, stats: bool = False):
+                            pallas: bool = False, stats: bool = False,
+                            precise: bool = False):
     """G interpolated chunk steps in ONE dispatch (see _chunk_scan_step;
     here the per-chunk banked matrix [qn*M, 2L] and lerp fractions ride
     as scanned inputs instead of a stacked-bank index).  ``stats=True``:
@@ -299,7 +316,7 @@ def _chunk_scan_step_interp(hist, xs, P2s, frs, meta, acc, M: int, L: int,
         x, P2, fracv, start, K = per
         hist, out, acc = _chunk_body_interp_any(hist, x, P2, fracv, start,
                                                 K, acc, M, L, nb, qn,
-                                                hist_len, pallas)
+                                                hist_len, pallas, precise)
         return (hist, acc), (None if stats else out)
     (hist, acc), outs = jax.lax.scan(
         body, (hist, acc), (xs, P2s, frs, meta[0], meta[1]))
@@ -323,7 +340,8 @@ def _build_interp_matrix(bank, d, fi, rows: int, L: int, T: int):
 
 def _sharded_interp_body(hist, x, P2l, fracv, start, K, acc, *, M: int,
                          L: int, nb: int, qn_pad: int, qn_local: int,
-                         hist_len: int, taps_axis, streams_axis):
+                         hist_len: int, taps_axis, streams_axis,
+                         precise: bool = False):
     """Interpolated chunk body over a local range of shift blocks: each
     taps-rank contracts its slice of the stacked [qn_pad*M, 2L] interp
     matrix, the psum completes the banked dots, and the phase lerp runs on
@@ -339,7 +357,7 @@ def _sharded_interp_body(hist, x, P2l, fracv, start, K, acc, *, M: int,
     if taps_axis is not None:
         q0 = jax.lax.axis_index(taps_axis).astype(jnp.int32) * qn_local
     dd = residue_window_dots(win, P2l, M=M, nb_rs=nb_rs, qn_pad=qn_pad,
-                             qn_local=qn_local, q0=q0)
+                             qn_local=qn_local, q0=q0, precise=precise)
     if taps_axis is not None:
         dd = jax.lax.psum(dd, taps_axis)
     dd = jax.lax.slice(dd, (0, 0, 0), (ch, nb, 2 * L))
@@ -378,7 +396,7 @@ class DeviceStreamResampler:
     def __init__(self, num_channels: int, num_taps: int, max_filters: int,
                  source_rate: float, destin_rate: float, lowpass_freq: float,
                  flags: int, *, dtype=np.float32, mesh=None,
-                 pallas_step: bool = False):
+                 pallas_step: bool = False, precise: bool = False):
         if flags & EXTRAPOLATE_ENDPOINTS:
             # fail fast: the device engine does not model endpoint
             # extrapolation (prefill/postfill) — silently emitting
@@ -435,6 +453,15 @@ class DeviceStreamResampler:
         # on-chip A/B
         self._pallas = bool(pallas_step and self.dtype == np.float32
                             and mesh is None)
+        # precise mode: f64-accumulated contraction dots, rounded once to
+        # the data dtype (residue_window_dots docstring) — the shipped
+        # within-0.1-dB-of-C operating point.  f32 data only (the f64
+        # path accumulates in f64 natively); exclusive with the Pallas
+        # body.
+        self._precise = bool(precise and self.dtype == np.float32)
+        if self._precise and self._pallas:
+            raise ValueError("precise (f64-accumulate) mode is the XLA "
+                             "body only; drop pallas_step")
         self._interp_cache: dict = {}
         self._pattern_safe_cache: dict = {}
         self._flushed = False
@@ -564,7 +591,7 @@ class DeviceStreamResampler:
                 self.hist, outs, acc_out = _chunk_scan_step_static(
                     self.hist, xs, self._matrix(j0), acc_in, int(start0),
                     int(K0), self.M, self.L, nb, self.qn, self.num_samples,
-                    self._pallas, stats)
+                    self._pallas, stats, self._precise)
             else:
                 # mixed plans: dynamic meta + stacked anchor bank (built/
                 # validated inside the try so a size rejection rolls the
@@ -574,7 +601,7 @@ class DeviceStreamResampler:
                 self.hist, outs, acc_out = _chunk_scan_step(
                     self.hist, xs, self._stacked_matrices(), meta, acc_in,
                     self.M, self.L, nb, self.qn, self.num_samples,
-                    self._pallas, stats)
+                    self._pallas, stats, self._precise)
         except BaseException:
             # a failed dispatch (trace error, remote-compile outage) must
             # not leave the consume/emit state G chunks ahead of the
@@ -646,7 +673,7 @@ class DeviceStreamResampler:
                 self.hist, acc = _chunk_group_static_interp(
                     self.hist, xs_flat, metas[0][2], metas[0][3], acc,
                     int(start0), int(K0), G, n_in, self.M, self.L, nb,
-                    self.qn, self.num_samples)
+                    self.qn, self.num_samples, self._precise)
             except BaseException:
                 self.output_offset, self.input_index = state0
                 raise
@@ -664,7 +691,7 @@ class DeviceStreamResampler:
             self.hist, acc = _chunk_group_static(
                 self.hist, xs_flat, self._matrix(j0), acc, int(start0),
                 int(K0), G, n_in, self.M, self.L, nb, self.qn,
-                self.num_samples)
+                self.num_samples, self._precise)
         except BaseException:
             self.output_offset, self.input_index = state0
             raise
@@ -730,7 +757,8 @@ class DeviceStreamResampler:
                 self.hist, outs, acc_out = _chunk_scan_step_interp_static(
                     self.hist, xs, metas[0][2], metas[0][3], acc_in,
                     int(metas[0][1]), int(metas[0][0]), self.M, self.L, nb,
-                    self.qn, self.num_samples, self._pallas, stats)
+                    self.qn, self.num_samples, self._pallas, stats,
+                    self._precise)
             else:
                 meta = jnp.asarray([[m[1] for m in metas], Ks], jnp.int32)
                 P2s = jnp.stack([m[2] for m in metas])
@@ -738,7 +766,7 @@ class DeviceStreamResampler:
                 self.hist, outs, acc_out = _chunk_scan_step_interp(
                     self.hist, xs, P2s, frs, meta, acc_in,
                     self.M, self.L, nb, self.qn, self.num_samples,
-                    self._pallas, stats)
+                    self._pallas, stats, self._precise)
         except BaseException:
             # failed dispatch: roll the scalar state back (hist untouched)
             # so the engine is not G chunks ahead of the processed audio
@@ -769,10 +797,12 @@ class DeviceStreamResampler:
             M, L, hist_len = self.M, self.L, self.num_samples
             tspec = P("taps", None) if has_taps else P(None, None)
 
+            precise = self._precise
             if self.interp:
                 def local(hist, x, P2l, fracv, start, K, acc):
                     return _sharded_interp_body(
-                        hist, x, P2l, fracv, start, K, acc, M=M, L=L, nb=nb,
+                        hist, x, P2l, fracv, start, K, acc, precise=precise,
+                        M=M, L=L, nb=nb,
                         qn_pad=qn_pad, qn_local=qn_local, hist_len=hist_len,
                         taps_axis=taps_axis, streams_axis="streams")
 
@@ -791,7 +821,7 @@ class DeviceStreamResampler:
                     out, new_hist = _resample_block(
                         x, hist, Pl, start, K, M=M, L=L, nb=nb,
                         qn_pad=qn_pad, qn_local=qn_local, hist_len=hist_len,
-                        q0=q0, taps_axis=taps_axis)
+                        q0=q0, taps_axis=taps_axis, precise=precise)
                     acc = acc + jax.lax.psum(jnp.sum(out * out), "streams")
                     return new_hist, out, acc
 
@@ -991,12 +1021,12 @@ class DeviceStreamResampler:
             new_hist, out, acc_out = _chunk_step_interp(
                 self.hist, x, P2, fracv, jnp.int32(start), jnp.int32(K),
                 acc_in, self.M, self.L, nb, self.qn, self.num_samples,
-                self._pallas)
+                self._pallas, self._precise)
         else:
             new_hist, out, acc_out = _chunk_step(
                 self.hist, x, self._matrix(j0), jnp.int32(start),
                 jnp.int32(K), acc_in, self.M, self.L, nb, self.qn,
-                self.num_samples, self._pallas)
+                self.num_samples, self._pallas, self._precise)
         self.hist = new_hist
         if acc is None:
             return out, K
@@ -1041,7 +1071,8 @@ class HybridStreamResampler:
 
     def __init__(self, num_channels: int, num_taps: int, max_filters: int,
                  source_rate: float, destin_rate: float, lowpass_freq: float,
-                 flags: int, *, dtype=np.float32, mesh=None):
+                 flags: int, *, dtype=np.float32, mesh=None,
+                 precise: bool = False):
         from ..engines.resampler import Resampler
         self.host = Resampler.fixed_ratio(
             num_channels, num_taps, max_filters, source_rate, destin_rate,
@@ -1049,7 +1080,7 @@ class HybridStreamResampler:
         self.dev = DeviceStreamResampler(
             num_channels, num_taps, max_filters, source_rate, destin_rate,
             lowpass_freq, flags & ~EXTRAPOLATE_ENDPOINTS, dtype=dtype,
-            mesh=mesh)
+            mesh=mesh, precise=precise)
         self.dev.prewarm()
         self._on_device = False
         self._steady_n = None

@@ -861,3 +861,76 @@ def test_hybrid_advance_midstream_and_scalar_query(tmp_path):
         assert rh.output_generated == rr.output_generated
         np.testing.assert_allclose(oh, orf, atol=2e-7)
     assert hyb.get_position() == ref.get_position()
+
+
+@pytest.mark.parametrize("ctor", [
+    # reduced mode (the headline config class)
+    (2, 64, 380, 44100, 48000, 0, IBL),
+    # interpolated mode
+    (1, 48, 48, 44100, 48000, 0, IB),
+])
+def test_precise_mode_semantics_and_consistency(ctor):
+    """precise=True (f64-accumulated contraction dots, rounded once to
+    f32 — the within-0.1-dB-of-C operating point, residue_window_dots
+    docstring): counts/positions identical to the default engine, outputs
+    at the f32 rounding floor of it, and sequential process() ==
+    process_scan bitwise.  For the reduced mode the output is checked
+    against an independent numpy float64 dot of the same f32 operands."""
+    lcg = NoiseLCG()
+    ch = ctor[0]
+    G, n = 4, 4 * DeviceStreamResampler(*ctor).M
+    xs = jnp.asarray(lcg.fill(G * ch * n).reshape(G, ch, n))
+    a = DeviceStreamResampler(*ctor)                     # default
+    p = DeviceStreamResampler(*ctor, precise=True)       # sequential
+    q = DeviceStreamResampler(*ctor, precise=True)       # scanned
+    for e in (a, p, q):
+        e.advance_position(ctor[1] // 2)
+
+    if not a.interp:
+        # independent numpy f64 oracle for the first chunk's samples
+        K, start, j0, _pos0, _plan = p._plan_compute(n)
+        nb = -(-K // p.L)
+        nb_rs = -(-nb // p.qn) * p.qn
+        xlen = (nb_rs + p.qn) * p.M
+        buf = np.concatenate([np.asarray(p.hist),
+                              np.asarray(xs[0], np.float32)], axis=1)
+        buf = np.concatenate(
+            [buf, np.zeros((ch, xlen), np.float32)], axis=1)
+        win = buf[:, start:start + xlen].astype(np.float64)
+        P64 = np.asarray(p._matrix(j0)).astype(np.float64)
+        KQ = p.qn * p.M
+        cols = []
+        for r in range(p.qn):
+            Vr = win[:, r * p.M:r * p.M + (nb_rs // p.qn) * KQ] \
+                .reshape(ch, nb_rs // p.qn, KQ)
+            cols.append((Vr @ P64).astype(np.float32))
+        oracle = np.stack(cols, axis=2).reshape(ch, nb_rs, p.L)
+        oracle = oracle[:, :nb, :].reshape(ch, nb * p.L)[:, :K]
+
+    outs_seq, Ks_seq = [], []
+    for g in range(G):
+        o, K = p.process(xs[g], n)
+        outs_seq.append(np.asarray(o))
+        Ks_seq.append(K)
+        oa, Ka = a.process(xs[g], n)
+        assert Ka == K
+        # precise vs default: same products, wider accumulate — f32 floor
+        assert float(jnp.max(jnp.abs(o - oa))) < 2e-6
+    assert a.get_position() == p.get_position()
+
+    if not a.interp:
+        np.testing.assert_array_equal(outs_seq[0][:, :Ks_seq[0]], oracle)
+
+    outs, Ks = q.process_scan(xs, n)
+    assert list(Ks) == Ks_seq
+    for g in range(G):
+        K = Ks_seq[g]
+        np.testing.assert_array_equal(np.asarray(outs[g])[:, :K],
+                                      outs_seq[g][:, :K])
+    np.testing.assert_array_equal(np.asarray(q.hist), np.asarray(p.hist))
+
+
+def test_precise_mode_rejects_pallas():
+    with pytest.raises(ValueError, match="precise"):
+        DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL,
+                              precise=True, pallas_step=True)
