@@ -77,7 +77,7 @@ def build_win(hist, x):
     win = jax.lax.slice(jnp.concatenate([buf, pad], axis=1),
                         (0, start), (1, start + xlen))
     new_hist = jax.lax.slice(buf, (0, buf.shape[1] - hist_len),
-                             (1, hist_len))
+                             (1, buf.shape[1]))
     return win, new_hist
 
 
