@@ -295,6 +295,46 @@ def _cascade2_step_full(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2):
     return y2, xh1n, yh1n, xh2n, yh2n
 
 
+@jax.jit
+def _comb4_step(x, a, b, xh, yh, K, t):
+    """One combined order-4 section, masked (see combine_biquads)."""
+    return assoc_core_masked(x, a, b, xh, yh, K, t)
+
+
+@jax.jit
+def _comb4_step_full(x, a, b, xh, yh, t):
+    """One combined order-4 section, full-chunk."""
+    return assoc_core_full(x, a, b, xh, yh, t)
+
+
+def combine_biquads(bq1, bq2):
+    """Combine a 2-section biquad cascade into ONE order-4 section.
+
+    The companion-matrix block-IIR kernel is already order-4, so the
+    ART -p cascade (reference art.c:847-876, always two biquads) can run
+    as a single section with the polynomial products
+    a_c = a1 * a2 (feed-forward) and b_c = b1 * b2 (feedback): HALF the
+    Toeplitz/FIR work — measured 1.62x on the config-4 f64 device chain
+    (tools/exp_c4chain.py: 11.6 -> 18.8 M out/s same-process).
+
+    Parity class: mathematically identical transfer function; the
+    rounded coefficient products + the reassociated order-4 recurrence
+    measured ~2.4e-13 relative vs the sequential cascade on-chip (the
+    cascade form itself sits at ~1e-14 vs the host pair) — documented in
+    PARITY.md.  The combined state is (input history, FINAL output
+    history); the cascade's internal section-1 output history is not
+    represented, so a combined engine cannot hand state back to a host
+    Biquad PAIR mid-stream (DeviceBiquadCascade.pull_to raises).
+    """
+    a1, b1 = np.asarray(bq1.a, np.float64), np.asarray(bq1.b, np.float64)
+    a2, b2 = np.asarray(bq2.a, np.float64), np.asarray(bq2.b, np.float64)
+    ac = np.convolve(a1[:3], a2[:3])
+    bc = np.convolve(np.concatenate([[1.0], b1[1:3]]),
+                     np.concatenate([[1.0], b2[1:3]]))
+    bc[0] = 0.0                                        # b[0] unused
+    return ac, bc
+
+
 class DeviceBiquadCascade:
     """Two cascaded biquad sections applied device-side via the masked
     block-Toeplitz IIR, with streaming filter state carried device-resident
@@ -305,23 +345,47 @@ class DeviceBiquadCascade:
     Parity class: the kernel computes in float64 and rounds each output once
     to the data dtype, while the host path rounds every intermediate at
     dtype — outputs agree at the dtype rounding floor (documented in
-    PARITY.md), counts exactly."""
+    PARITY.md), counts exactly.
 
-    def __init__(self, bq1, bq2):
-        self._coef = tuple(
-            jnp.asarray(np.asarray(v, np.float64))
-            for v in (bq1.a, bq1.b, bq2.a, bq2.b))
-        self._tabs = (iir_tables(bq1.b), iir_tables(bq2.b))
+    ``combined=True`` runs the cascade as ONE order-4 section (see
+    combine_biquads: half the Toeplitz/FIR work, 1.62x on the config-4
+    chain) at the ~2.4e-13 parity class; its state cannot be handed back
+    to a host PAIR mid-stream (pull_to raises — use the default cascade
+    form where the CLI's host/device interleaving needs exact handoff)."""
+
+    def __init__(self, bq1, bq2, combined: bool = False):
+        self._combined = bool(combined)
+        if combined:
+            ac, bc = combine_biquads(bq1, bq2)
+            self._coef = (jnp.asarray(ac), jnp.asarray(bc))
+            self._tabs = (iir_tables(bc),)
+        else:
+            self._coef = tuple(
+                jnp.asarray(np.asarray(v, np.float64))
+                for v in (bq1.a, bq1.b, bq2.a, bq2.b))
+            self._tabs = (iir_tables(bq1.b), iir_tables(bq2.b))
         self._state = None                 # (xh1, yh1, xh2, yh2) on device
 
     def push_from(self, bq1, bq2) -> None:
-        """Adopt the host pair's streaming state (device takes over)."""
+        """Adopt the host pair's streaming state (device takes over).
+        Combined form: the order-4 state is (cascade input history,
+        final output history) = (bq1.xh, bq2.yh)."""
+        if self._combined:
+            self._state = (jnp.asarray(np.asarray(bq1.xh, np.float64)),
+                           jnp.asarray(np.asarray(bq2.yh, np.float64)))
+            return
         self._state = tuple(
             jnp.asarray(np.asarray(v, np.float64))
             for v in (bq1.xh, bq1.yh, bq2.xh, bq2.yh))
 
     def pull_to(self, bq1, bq2) -> None:
         """Hand the streaming state back to the host pair."""
+        if self._combined:
+            raise NotImplementedError(
+                "the combined order-4 form does not carry the cascade's "
+                "internal section-1 output history; use "
+                "DeviceBiquadCascade(combined=False) where mid-stream "
+                "host handoff is needed")
         xh1, yh1, xh2, yh2 = (np.asarray(s) for s in self._state)
         bq1.xh = xh1.astype(bq1.xh.dtype)
         bq1.yh = yh1.astype(bq1.yh.dtype)
@@ -332,6 +396,17 @@ class DeviceBiquadCascade:
     def process(self, dev_out, K: int):
         """Filter dev_out [ch, cap] (first K columns valid) through both
         sections; returns the filtered [ch, cap] device array."""
+        if self._combined:
+            a, b = self._coef
+            xh, yh = self._state
+            (t,) = self._tabs
+            if K == dev_out.shape[1]:
+                y, xh, yh = _comb4_step_full(dev_out.T, a, b, xh, yh, t)
+            else:
+                y, xh, yh = _comb4_step(dev_out.T, a, b, xh, yh,
+                                        jnp.int32(K), t)
+            self._state = (xh, yh)
+            return y.T
         a1, b1, a2, b2 = self._coef
         xh1, yh1, xh2, yh2 = self._state
         t1, t2 = self._tabs

@@ -464,6 +464,7 @@ class DeviceStreamResampler:
                              "body only; drop pallas_step")
         self._interp_cache: dict = {}
         self._pattern_safe_cache: dict = {}
+        self._last_interp = None           # steady-state pattern reuse
         self._flushed = False
 
         self.mesh = mesh
@@ -648,10 +649,9 @@ class DeviceStreamResampler:
             for _ in range(G):
                 K, start, j0, pos0, plan = self._plan_compute(n_in)
                 nb_g = -(-K // self.L) if K else 1
-                P2, fracv, dpat, fipat, fracpat = self._interp_matrix(pos0)
-                if not self._pattern_safe(plan, n_in, K, nb_g,
-                                          math.floor(pos0), dpat, fipat,
-                                          fracpat):
+                P2, fracv, _d, _fi, _fr, pok = self._interp_pattern(
+                    pos0, plan, n_in, K, nb_g)
+                if not pok:
                     ok = False
                     break
                 self.output_offset = plan.new_output_offset
@@ -712,10 +712,9 @@ class DeviceStreamResampler:
         for _ in range(G):
             K, start, j0, pos0, plan = self._plan_compute(n_in)
             nb_g = -(-K // self.L) if K else 1
-            P2, fracv, dpat, fipat, fracpat = self._interp_matrix(pos0)
-            if not self._pattern_safe(plan, n_in, K, nb_g,
-                                      math.floor(pos0), dpat, fipat,
-                                      fracpat):
+            P2, fracv, _d, _fi, _fr, ok = self._interp_pattern(
+                pos0, plan, n_in, K, nb_g)
+            if not ok:
                 safe = False
                 break
             self.output_offset = plan.new_output_offset
@@ -871,14 +870,10 @@ class DeviceStreamResampler:
         self.input_index = plan.new_input_index
         return K, start, j0, pos0
 
-    def _interp_matrix(self, first_position: float):
-        """Banked interpolated matrices for this chunk's phase pattern.
-
-        The first period's (window offset, filter index, fraction) triples
-        are computed exactly from the float64 streaming offset — the same
-        per-output math as the host engine — and the integer pattern is
-        tiled across the chunk's nb periods.  _pattern_safe verifies the
-        tiling exactly against the ring-coordinate oracle before use."""
+    def _pattern_vals(self, first_position: float):
+        """One period's (window offset, filter index, fraction) triples,
+        computed exactly from the float64 streaming offset — the same
+        per-output math as the host engine."""
         ratio = self.fixed_ratio
         j = np.arange(self.L, dtype=np.float64)
         pos = first_position + j / ratio
@@ -887,6 +882,58 @@ class DeviceStreamResampler:
         fi = np.minimum(np.floor(ff), self.num_filters - 1).astype(np.int64)
         frac = (ff - fi)
         d = (ipos - ipos[0]).astype(np.int64)
+        return d, fi, frac
+
+    def _interp_pattern(self, pos0: float, plan, n_in: int, K: int,
+                        nb: int):
+        """This chunk's banked pattern WITH steady-state reuse.
+
+        The f64 streaming offset drifts in its last ulps chunk to chunk,
+        so the bitwise (d, fi, frac) pattern of an exactly-periodic
+        steady state flips between value-continuous representations
+        (filter fi-1 at frac 1 == filter fi at frac 0) — breaking the
+        cache identity the static-plan scan and flat-group paths key on
+        (measured: preset-1 falls to the dynamic-meta scan, 839 vs the
+        1420 M out/s in-graph body, tools/exp_preset1.py).  Reuse rule:
+        if the PREVIOUS pattern's phase positions are within
+        PATTERN_TOL of this chunk's (per-period L-element compare, plus
+        this chunk's own analytic oracle bound), the previous pattern is
+        provably as close to the ring-exact oracle as the fresh one —
+        return it, keeping the cache identity stable.  Sequential
+        process(), process_scan and process_flat all route through
+        here, so they make identical pattern choices (the bitwise
+        scan == sequential contract).
+
+        Returns (P2, fracv, d, fi, frac, safe); ``safe=False`` means the
+        caller must split the chunk (the ~1e-10 tie class, see
+        _pattern_safe)."""
+        ipos0 = math.floor(pos0)
+        last = self._last_interp
+        if last is not None and K:
+            bound = 4.0 * np.spacing(abs(plan.first_position)
+                                     + K / self.fixed_ratio)
+            d, fi, frac = self._pattern_vals(pos0)
+            Fn = float(self.num_filters)
+            own = d.astype(np.float64) + (fi.astype(np.float64) + frac) / Fn
+            dl, fil, fracl = last[2], last[3], last[4]
+            prev = dl.astype(np.float64) \
+                + (fil.astype(np.float64) + fracl) / Fn
+            dev = float(np.abs(own - prev).max())
+            if dev + bound <= self.PATTERN_TOL:
+                return (*last, True)
+        m = self._interp_matrix(pos0)
+        safe = self._pattern_safe(plan, n_in, K, nb, ipos0, m[2], m[3],
+                                  m[4])
+        if safe:
+            self._last_interp = m
+        return (*m, safe)
+
+    def _interp_matrix(self, first_position: float):
+        """Banked interpolated matrices for this chunk's phase pattern
+        (the integer pattern is tiled across the chunk's nb periods;
+        _interp_pattern verifies the tiling against the ring-coordinate
+        oracle before use)."""
+        d, fi, frac = self._pattern_vals(first_position)
         key = (d.tobytes(), fi.tobytes(), frac.tobytes())
         m = self._interp_cache.get(key)
         if m is None:
@@ -988,13 +1035,9 @@ class DeviceStreamResampler:
         K, start, j0, pos0, plan = self._plan_compute(n_in)
         nb = -(-K // self.L) if K else 1
         if self.interp:
-            P2, fracv, dpat, fipat, fracpat = self._interp_matrix(pos0)
-            # ipos0 is recomputed from this chunk's own position: the
-            # matrix cache is keyed by the position-RELATIVE pattern
-            # (d, fi, frac), so a cached absolute position could belong to
-            # a different chunk sharing the pattern
-            if not self._pattern_safe(plan, n_in, K, nb, math.floor(pos0),
-                                      dpat, fipat, fracpat):
+            P2, fracv, _d, _fi, _fr, safe = self._interp_pattern(
+                pos0, plan, n_in, K, nb)
+            if not safe:
                 return self._process_split(x, n_in, acc)
         # adopt the plan's state advance verbatim: it reproduces the
         # reference's ring-slide arithmetic exactly, so emission-count

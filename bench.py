@@ -109,14 +109,27 @@ def _bench_device_fixed(ch, taps, filters, src, dst, flags, chunk_target,
     nchunks = max(G, nchunks // G * G)
     noise = jax.random.normal(jax.random.PRNGKey(0), (G, ch, chunk),
                               dtype=jnp.float32) * 0.25
-    # absorb the non-periodic first chunk so every scan group is static
+    flat = noise.transpose(1, 0, 2).reshape(ch, G * chunk)
+    # absorb the non-periodic first chunk so every timed group is static
     eng.process(noise[0], chunk)
+    # fastest shipped group form: the fully-static flat group (works for
+    # interp configs too via the steady-state pattern reuse); fall back
+    # to the scan-batched form where the plan is not exactly periodic
+    try:
+        eng.process_flat(flat, chunk, jnp.zeros((), jnp.float32))
+        mode = "flat"
+    except ValueError:
+        mode = "scan"
 
     def run_once():
         produced = 0
         acc = jnp.zeros((), jnp.float32)
         for _ in range(nchunks // G):
-            _o, Ks, acc = eng.process_scan(noise, chunk, acc, stats=True)
+            if mode == "flat":
+                Ks, acc = eng.process_flat(flat, chunk, acc)
+            else:
+                _o, Ks, acc = eng.process_scan(noise, chunk, acc,
+                                               stats=True)
             produced += int(Ks.sum())
         float(acc)
         return produced
@@ -242,8 +255,11 @@ def _bench_all():
     eng4.advance_position(190)
     eng4.prewarm()
     chunk4 = _mult_chunk(1 << 19, eng4.M)
+    # combined order-4 section: half the Toeplitz/FIR work, 1.62x
+    # same-process (tools/exp_c4chain.py; combine_biquads docstring)
     casc = DeviceBiquadCascade(Biquad.init(coeffs, 1.0, 1, np.float64),
-                               Biquad.init(coeffs, 1.0, 1, np.float64))
+                               Biquad.init(coeffs, 1.0, 1, np.float64),
+                               combined=True)
     casc.push_from(Biquad.init(coeffs, 1.0, 6, np.float64),
                    Biquad.init(coeffs, 1.0, 6, np.float64))
     x4 = jax.random.normal(jax.random.PRNGKey(4), (6, chunk4),

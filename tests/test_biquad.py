@@ -178,3 +178,45 @@ def test_assoc_core_full_matches_masked_bitwise():
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
         np.testing.assert_array_equal(np.asarray(xh1), np.asarray(xh2))
         np.testing.assert_array_equal(np.asarray(yh1), np.asarray(yh2))
+
+
+def test_combined_order4_matches_cascade():
+    """DeviceBiquadCascade(combined=True): the two-section -p cascade as
+    ONE order-4 section (combine_biquads — half the Toeplitz/FIR work).
+    Streaming over ragged chunks: outputs within the documented ~1e-12
+    f64 reassociation class of the sequential cascade form, state
+    advance consistent, pull_to refused (no internal section-1
+    history)."""
+    import jax.numpy as jnp
+
+    from art_tpu.engines.biquad import Biquad, biquad_lowpass
+    from art_tpu.ops.biquad_kernel import DeviceBiquadCascade
+
+    coeffs = biquad_lowpass(0.45 * 44100 / 48000)
+    ch = 6
+
+    def pair():
+        return (Biquad.init(coeffs, 1.0, ch, np.float64),
+                Biquad.init(coeffs, 1.0, ch, np.float64))
+
+    casc = DeviceBiquadCascade(*pair())
+    comb = DeviceBiquadCascade(*pair(), combined=True)
+    casc.push_from(*pair())
+    comb.push_from(*pair())
+
+    rng = np.random.default_rng(7)
+    md = 0.0
+    for n, K in ((4096, 4096), (1000, 700), (2048, 2048)):
+        x = jnp.asarray(rng.standard_normal((ch, n)) * 0.5)
+        ya = np.asarray(casc.process(x, K))
+        yb = np.asarray(comb.process(x, K))
+        md = max(md, float(np.abs(ya - yb)[:, :K].max()))
+    assert md < 1e-11, md
+    # combined state: input history equals the cascade's section-1 input
+    # history; output history equals the cascade's section-2 output
+    np.testing.assert_allclose(np.asarray(comb._state[0]),
+                               np.asarray(casc._state[0]), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(comb._state[1]),
+                               np.asarray(casc._state[3]), atol=1e-11)
+    with pytest.raises(NotImplementedError, match="combined"):
+        comb.pull_to(*pair())

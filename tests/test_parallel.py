@@ -337,7 +337,10 @@ def test_interp_device_split_path_matches_host():
     md = 0.0
     for it in range(4):
         x = lcg.fill(1470).reshape(1, -1)
-        if it == 2:       # force the split path for one chunk
+        if it == 2:       # force the split path for one chunk (a truly
+            # deviating pattern also fails the steady-state reuse
+            # compare, so clearing the reuse state models it faithfully)
+            eng._last_interp = None
             orig = eng._pattern_safe
             tripped = []
 

@@ -37,6 +37,11 @@ calls = int(args[0]) if len(args) > 0 else 400
 n = int(args[1]) if len(args) > 1 else 32768
 save = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--save=")),
             None)
+# --drift=PCT scales the per-stream ratio spread (default 1%: the
+# BASELINE config-5 pattern; 10 exercises the wide-drift Hankel tier —
+# |1/r - 1| up to ~11% stays on the smax=32 kernel, VERDICT r3 item 5)
+drift = float(next((a.split("=", 1)[1] for a in sys.argv
+                    if a.startswith("--drift=")), "1")) / 100.0
 
 S, taps, filters = 256, 380, 380
 half = taps // 2
@@ -50,8 +55,8 @@ x = jnp.asarray(x_np)
 
 def ratios_at(t: int) -> np.ndarray:
     # per-call drift: both the per-stream spread and the call MAXIMUM move
-    return 1.0 + 0.01 * np.sin(0.1 * np.arange(S) + 0.031 * t) \
-        + 0.002 * np.sin(0.017 * t)
+    return 1.0 + drift * np.sin(0.1 * np.arange(S) + 0.031 * t) \
+        + drift / 5.0 * np.sin(0.017 * t)
 
 
 SENTINELS = (0, 137)
@@ -114,6 +119,7 @@ rate = total / dt / 1e6
 result = {
     "metric": "256-stream drifting ASRC endurance (sustained)",
     "value": round(rate, 1), "unit": "M out/s",
+    "drift_pct": drift * 100.0,
     "calls": calls, "chunk": n, "outputs": total,
     "count_errors": count_errors, "position_err": pos_err,
     "sentinel_sample_maxdiff": sample_md,
