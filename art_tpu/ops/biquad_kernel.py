@@ -26,6 +26,8 @@ float32 quantization floor even for near-unstable shapers.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 from .._jaxinit import ensure_jax
 
@@ -112,7 +114,7 @@ def iir_tables(b, B: int = _IIR_BLOCK, Q: int = _IIR_SUPER):
             jnp.asarray(ABQ))
 
 
-def _iir_y(f, b, yh, tables=None):
+def _iir_y(f, b, yh, tables=None, sp=None):
     """Solve y_t = f_t - sum_j b[j] y_{t-j} block-parallel (module
     docstring): per block of B samples one lower-triangular Toeplitz
     matmul of the impulse response h plus boundary rows G on the carried
@@ -127,14 +129,20 @@ def _iir_y(f, b, yh, tables=None):
     # the defaults
     B = tables[0].shape[0] if tables is not None else _IIR_BLOCK
     nb = -(-n // B)
-    # pad the stream axis to a multiple of 8: per-stream results must be
+    # pad the stream axis to ``sp`` lanes: per-stream results must be
     # bitwise independent of the batch width, because the sharded pipeline
     # step runs this with S_local = S/n_shards and the sharded ==
     # single-device contract is bit-for-bit (tests/test_pipeline.py).
     # XLA picks shape-dependent dot associations (observed on XLA:CPU down
     # to K=4 contractions at S=1), so stability comes from running the
-    # SAME kernel shape class on every shard, not from the op choice.
-    Sp = -(-S // 8) * 8
+    # SAME kernel shape class on every shard, not from the op choice:
+    # callers pass sp = the GLOBAL stream count padded even, which is the
+    # same constant on every mesh width.  The pad matters on-chip — the
+    # emulated-f64 Toeplitz dot is output-tile-bound, and the legacy
+    # pad-to-8 rule cost the 6-stream config-4 chain 1.76x
+    # (tools/exp_ds_concat.py: N = nb*6 4.66 ms vs nb*8 8.19 ms).
+    Sp = sp if sp is not None else -(-S // 8) * 8
+    assert Sp >= S and Sp % 2 == 0, (Sp, S)
     if Sp != S:
         f = jnp.concatenate(
             [f, jnp.zeros((n, Sp - S), jnp.float64)], axis=1)
@@ -213,12 +221,19 @@ def _iir_y(f, b, yh, tables=None):
            + inner).reshape(nsb * Q, 4, Sp)[:nb]              # [nb, 4, Sp]
 
     S2 = sks.transpose(1, 0, 2).reshape(4, nb * Sp)
-    Y2 = jnp.dot(T, F2, precision=hi) + jnp.dot(G, S2, precision=hi)
+    # ONE fused dot [T|G] @ [F2; S2] instead of T@F2 + G@S2: the
+    # emulated-f64 dot is output-tile-bound (~1.7 us per [8,128] output
+    # tile regardless of K — tools/exp_ds_concat.py), so two full-size
+    # dots paid the output correction twice (~15.9 ms/section measured
+    # vs ~7.8 for the T dot alone, tools/exp_c4chain.py)
+    TG = jnp.concatenate([T, G], axis=1)                      # [B, B+4]
+    FS = jnp.concatenate([F2, S2], axis=0)                    # [B+4, N]
+    Y2 = jnp.dot(TG, FS, precision=hi)
     y = Y2.reshape(B, nb, Sp).transpose(1, 0, 2)
     return y.reshape(nb * B, Sp)[:n, :S]
 
 
-def assoc_core_masked(x, a, b, xh, yh, K, tables=None):
+def assoc_core_masked(x, a, b, xh, yh, K, tables=None, sp=None):
     """Pure masked block-IIR biquad for the fused device pipeline.
 
     x [n, S] (rows at k >= K ignored); a/b [5]; xh/yh [4, S] newest-first;
@@ -242,7 +257,7 @@ def assoc_core_masked(x, a, b, xh, yh, K, tables=None):
          + a[3] * xpad[1:-3] + a[4] * xpad[:-4])
     f = jnp.where(active, f, 0.0)
 
-    y = _iir_y(f, b, yh, tables)
+    y = _iir_y(f, b, yh, tables, sp)
     y = jnp.where(active, y, 0.0)
 
     # state after exactly K samples: the last 4 valid x / y values
@@ -254,7 +269,7 @@ def assoc_core_masked(x, a, b, xh, yh, K, tables=None):
     return y.astype(dt), xh_n, yh_n
 
 
-def assoc_core_full(x, a, b, xh, yh, tables=None):
+def assoc_core_full(x, a, b, xh, yh, tables=None, sp=None):
     """assoc_core_masked for the K == n (whole-chunk-valid) case: the
     validity masks vanish and the state extraction is a static slice.
     Bitwise-identical outputs/state to the masked form at K == n (the
@@ -271,40 +286,42 @@ def assoc_core_full(x, a, b, xh, yh, tables=None):
     xpad = jnp.concatenate([xh[::-1], xm], axis=0)
     f = (a[0] * xpad[4:] + a[1] * xpad[3:-1] + a[2] * xpad[2:-2]
          + a[3] * xpad[1:-3] + a[4] * xpad[:-4])
-    y = _iir_y(f, b, yh, tables)
+    y = _iir_y(f, b, yh, tables, sp)
     xh_n = xpad[n:][::-1]
     yh_n = jnp.concatenate([yh[::-1], y], axis=0)[n:][::-1]
     return y.astype(dt), xh_n, yh_n
 
 
-@jax.jit
-def _cascade2_step(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, K, t1, t2):
+@functools.partial(jax.jit, static_argnames=("sp",))
+def _cascade2_step(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, K, t1, t2,
+                   sp=None):
     """Two cascaded masked block-IIR sections in one dispatch (the ART
     CLI's pre/post filter is always a 2-section cascade, reference
     art.c:847-876).  t1/t2: precomputed iir_tables per section."""
-    y1, xh1n, yh1n = assoc_core_masked(x, a1, b1, xh1, yh1, K, t1)
-    y2, xh2n, yh2n = assoc_core_masked(y1, a2, b2, xh2, yh2, K, t2)
+    y1, xh1n, yh1n = assoc_core_masked(x, a1, b1, xh1, yh1, K, t1, sp)
+    y2, xh2n, yh2n = assoc_core_masked(y1, a2, b2, xh2, yh2, K, t2, sp)
     return y2, xh1n, yh1n, xh2n, yh2n
 
 
-@jax.jit
-def _cascade2_step_full(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2):
+@functools.partial(jax.jit, static_argnames=("sp",))
+def _cascade2_step_full(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2,
+                        sp=None):
     """_cascade2_step for full-chunk calls (K == n): see assoc_core_full."""
-    y1, xh1n, yh1n = assoc_core_full(x, a1, b1, xh1, yh1, t1)
-    y2, xh2n, yh2n = assoc_core_full(y1, a2, b2, xh2, yh2, t2)
+    y1, xh1n, yh1n = assoc_core_full(x, a1, b1, xh1, yh1, t1, sp)
+    y2, xh2n, yh2n = assoc_core_full(y1, a2, b2, xh2, yh2, t2, sp)
     return y2, xh1n, yh1n, xh2n, yh2n
 
 
-@jax.jit
-def _comb4_step(x, a, b, xh, yh, K, t):
+@functools.partial(jax.jit, static_argnames=("sp",))
+def _comb4_step(x, a, b, xh, yh, K, t, sp=None):
     """One combined order-4 section, masked (see combine_biquads)."""
-    return assoc_core_masked(x, a, b, xh, yh, K, t)
+    return assoc_core_masked(x, a, b, xh, yh, K, t, sp)
 
 
-@jax.jit
-def _comb4_step_full(x, a, b, xh, yh, t):
+@functools.partial(jax.jit, static_argnames=("sp",))
+def _comb4_step_full(x, a, b, xh, yh, t, sp=None):
     """One combined order-4 section, full-chunk."""
-    return assoc_core_full(x, a, b, xh, yh, t)
+    return assoc_core_full(x, a, b, xh, yh, t, sp)
 
 
 def combine_biquads(bq1, bq2):
@@ -396,15 +413,21 @@ class DeviceBiquadCascade:
     def process(self, dev_out, K: int):
         """Filter dev_out [ch, cap] (first K columns valid) through both
         sections; returns the filtered [ch, cap] device array."""
+        # lane pad = the channel count padded even (this engine is the
+        # unsharded CLI path, so the global width IS ch): the emulated-f64
+        # Toeplitz dot is output-tile-bound and the legacy pad-to-8 rule
+        # cost the 6-channel chain 1.76x (tools/exp_ds_concat.py)
+        sp = -(-dev_out.shape[0] // 2) * 2
         if self._combined:
             a, b = self._coef
             xh, yh = self._state
             (t,) = self._tabs
             if K == dev_out.shape[1]:
-                y, xh, yh = _comb4_step_full(dev_out.T, a, b, xh, yh, t)
+                y, xh, yh = _comb4_step_full(dev_out.T, a, b, xh, yh, t,
+                                             sp=sp)
             else:
                 y, xh, yh = _comb4_step(dev_out.T, a, b, xh, yh,
-                                        jnp.int32(K), t)
+                                        jnp.int32(K), t, sp=sp)
             self._state = (xh, yh)
             return y.T
         a1, b1, a2, b2 = self._coef
@@ -415,11 +438,12 @@ class DeviceBiquadCascade:
             # maskless variant skips three f64 pointwise where-passes per
             # section, bitwise-identically
             y, xh1, yh1, xh2, yh2 = _cascade2_step_full(
-                dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2)
+                dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2,
+                sp=sp)
         else:
             y, xh1, yh1, xh2, yh2 = _cascade2_step(
                 dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2,
-                jnp.int32(K), t1, t2)
+                jnp.int32(K), t1, t2, sp=sp)
         self._state = (xh1, yh1, xh2, yh2)
         return y.T
 

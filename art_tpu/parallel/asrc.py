@@ -149,7 +149,7 @@ class BatchedASRC:
                  *, dtype=np.float32, blackman_harris: bool = True,
                  kernel: str = "auto", mesh=None, dense_kb: int = 128,
                  hankel_kb: int = 128, hankel_smax: int = 4,
-                 hankel_smax_wide: int = 32):
+                 hankel_smax_wide: int = 64):
         """``mesh``: optional jax.sharding.Mesh with a "streams" axis; stream
         state and chunks are sharded across it (streams are independent, so
         scale-out needs no hot-path collectives).
@@ -209,10 +209,15 @@ class BatchedASRC:
             self._hkb = hankel_kb
             self._hsmax = hankel_smax
             # second Hankel tier for wider drifts (|1/ratio - 1| up to
-            # smax_wide/(kb-1), ~12-25% at the defaults): the binary
+            # smax_wide/(kb-1), ~25% at the defaults): the binary
             # carry expansion makes its select cost log2(smax), so the
             # wide kernel stays in the Hankel class instead of dropping
-            # to the dense-gather path (0 disables the tier)
+            # to the dense-gather path (0 disables the tier).  smax=64
+            # was chosen over 32 because the +-10% endurance pattern
+            # peaks at |1/r - 1| ~ 13.6% > 32/255: the 32 tier fell to
+            # the dense kernel on ~1/3 of calls (61.8 M out/s sustained
+            # vs 131 M kernel-level; carry selects measured ~free,
+            # tools/exp_hankel_ablate.py, so wider costs nothing)
             self._hsmax_wide = hankel_smax_wide
             self._hsegl_fn = hankel_segl
         self.offsets = np.full(num_streams, float(num_taps // 2),
@@ -292,7 +297,18 @@ class BatchedASRC:
         pallas_family = self.kernel in ("auto", "dense", "hankel")
         bucket = max(self._kb, self._hkb) if pallas_family else 128
         want = estimate if req_k_max is None else req_k_max + 1
-        return -(-want // bucket) * bucket
+        kp = -(-want // bucket) * bucket
+        # geometric coarsening (~1/16 granularity, still a kb multiple):
+        # one tile-bucket per 256 columns left the +-10% wide-drift
+        # endurance run with ~16 distinct capacities = ~16 mid-run remote
+        # compiles (measured 71 M out/s sustained vs ~131 M kernel-level;
+        # the profile showed asrc_step_hankel recompiles inside the timed
+        # loop).  Rounding the capacity to ~6% granularity caps the
+        # distinct-bucket count at O(log) across any drift range for <= 7%
+        # masked-out compute (the per-stream Ks mask already zeroes the
+        # pad, so width only costs throughput, never correctness).
+        g = max(bucket, (kp >> 4) // bucket * bucket)
+        return -(-kp // g) * g
 
     @staticmethod
     def _check_capacity(kmx: int, k_max: int, req_k_max, what: str) -> None:

@@ -67,6 +67,35 @@ def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
     nr = nb_rs // qn_pad
     KQ = qn_pad * M
     acc_dt = jnp.float64 if precise else win.dtype
+    if (win.dtype == jnp.float64 and not precise and qn_pad > 1
+            and qn_local == qn_pad):
+        # f64: ONE banded-wide dot instead of qn_pad anchor dots.  The
+        # emulated-f64 dot is output-tile-bound with strong lane-tile
+        # sensitivity (N = L2 < 128 wastes over a third of every output
+        # tile); fusing the qn_pad anchors' columns into one [*, qn_pad *
+        # L2] dot against a banded phase matrix (anchor r's P rows offset
+        # by r*M, zeros elsewhere — zeros add exactly 0 in f64) trades
+        # 1.75x structural-zero flops for 4x fewer output passes:
+        # 7.26 ms vs 8.67 same-process on the config-4 strip
+        # (tools/exp_ds_concat.py "wide" vs exp_f64orient "cur").  The
+        # overlapped operand is a concat of two pure reshape views.
+        L2 = P_local.shape[1]
+        KW = KQ + (qn_pad - 1) * M
+        Va = jax.lax.slice(win, (0, 0), (S, nr * KQ)).reshape(S, nr, KQ)
+        Vb = jax.lax.slice(win, (0, KQ), (S, KQ + nr * KQ)) \
+            .reshape(S, nr, KQ)[:, :, :KW - KQ]
+        V = jnp.concatenate([Va, Vb], axis=2)             # [S, nr, KW]
+        Pb = jnp.zeros((KW, qn_pad * L2), dtype=P_local.dtype)
+        for r in range(qn_pad):
+            Pb = jax.lax.dynamic_update_slice(Pb, P_local,
+                                              (r * M, r * L2))
+        d = jax.lax.dot_general(
+            V, Pb, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=acc_dt,
+            precision=jax.lax.Precision.HIGHEST)
+        # [S, nr, qn_pad * L2]: col block r is anchor r = the stack-axis
+        # layout of the per-anchor path; i = j*qn_pad + r, pure reshape
+        return d.reshape(S, nb_rs, L2)
     outs = []
     for r in range(qn_pad):
         Vr = jax.lax.slice(win, (0, r * M), (S, r * M + nr * KQ)) \
@@ -135,7 +164,8 @@ def pipeline_chunk(x, hist, P_local, start, K, gens, fb, xh, yh,
                    shaper_a, shaper_b, output_bits: int, output_bytes: int,
                    streams_axis: str | None = None,
                    taps_axis: str | None = None,
-                   post_bq=None, bq_state=None, post_bq_tables=None):
+                   post_bq=None, bq_state=None, post_bq_tables=None,
+                   bq_sp_mult: int = 1):
     """One full production chunk: resample -> [biquad post-filter cascade]
     -> dither -> shaped quantize -> pack.  Pure; state flows through.
     ``post_bq``: optional ((a1, b1), (a2, b2)) cascade coefficients (the
@@ -160,9 +190,14 @@ def pipeline_chunk(x, hist, P_local, start, K, gens, fb, xh, yh,
         t1, t2 = post_bq_tables if post_bq_tables is not None else (None,
                                                                     None)
         xh1, yh1, xh2, yh2 = bq_state
+        # block-IIR lane pad = the GLOBAL stream count padded even (the
+        # same constant on every mesh width, so sharded == single-device
+        # stays bit-for-bit; see _iir_y)
+        sp = -(-(x.shape[0] * bq_sp_mult) // 2) * 2
         y, xh1, yh1 = assoc_core_masked(out.T, a1, b1, xh1, yh1, K,
-                                        tables=t1)
-        y, xh2, yh2 = assoc_core_masked(y, a2, b2, xh2, yh2, K, tables=t2)
+                                        tables=t1, sp=sp)
+        y, xh2, yh2 = assoc_core_masked(y, a2, b2, xh2, yh2, K, tables=t2,
+                                        sp=sp)
         out = y.T
         new_bq_state = (xh1, yh1, xh2, yh2)
 
@@ -229,7 +264,8 @@ def make_sharded_step(mesh: Mesh, *, M: int, L: int, nb: int, qn: int,
               shaper_b=shaper_b, output_bits=output_bits,
               output_bytes=output_bytes, streams_axis="streams",
               taps_axis="taps", post_bq=post_bq,
-              post_bq_tables=post_bq_tables)
+              post_bq_tables=post_bq_tables,
+              bq_sp_mult=mesh.shape["streams"])
 
     base_in = (P("streams", None), P("streams", None), P("taps", None),
                P(), P(), P("streams"), P("streams"), P(None, "streams"),
