@@ -86,14 +86,17 @@ def _carry_power_tables(AB: np.ndarray, Q: int):
     return PW, W, PW[::-1].copy(), p
 
 
-def iir_tables(b, B: int = _IIR_BLOCK, Q: int = _IIR_SUPER):
+def iir_tables(b, B: int = _IIR_BLOCK, Q: int = _IIR_SUPER,
+               dtype=np.float64):
     """Host-precomputed block-IIR tables for feedback taps ``b`` (numpy
     float64): (T [B,B] lower-triangular Toeplitz impulse response,
     G [B,4] boundary rows e0^T A^(t+1), Wv [4,B] / AB [4,4] the carry
     recurrence rows, and the _carry_power_tables bundle), as device
     arrays.  Building these once per filter instead of per call (a B-step
     in-graph scan) measured 3.9x on-chip (tools/exp_iir_tables.py: 30.4
-    vs 7.8 M samples/s at B=256)."""
+    vs 7.8 M samples/s at B=256).  ``dtype``: table precision — the
+    tables are always built in float64 and rounded once (float32 tables
+    back the mixed-precision refined solve)."""
     b = np.asarray(b, np.float64)
     A = np.zeros((4, 4))
     A[0] = [-b[1], -b[2], -b[3], -b[4]]
@@ -108,10 +111,8 @@ def iir_tables(b, B: int = _IIR_BLOCK, Q: int = _IIR_SUPER):
     T = np.where(d >= 0, h[np.clip(d, 0, B - 1)], 0.0)
     AB = G[B - 4:][::-1].copy()
     PW, W, WQ, ABQ = _carry_power_tables(AB, Q)
-    return (jnp.asarray(T), jnp.asarray(G),
-            jnp.asarray(T[B - 4:][::-1].copy()), jnp.asarray(AB),
-            jnp.asarray(PW), jnp.asarray(W), jnp.asarray(WQ),
-            jnp.asarray(ABQ))
+    return tuple(jnp.asarray(t.astype(dtype)) for t in
+                 (T, G, T[B - 4:][::-1].copy(), AB, PW, W, WQ, ABQ))
 
 
 def _iir_y(f, b, yh, tables=None, sp=None):
@@ -121,9 +122,12 @@ def _iir_y(f, b, yh, tables=None, sp=None):
     state; across blocks a 4-vector lax.scan (s' = A^B s + trailing
     contribution).  Exact — no truncation; float64 throughout.
 
-    f [n, S] float64 (forcing, already masked as needed); yh [4, S]
-    newest-first output history.  Returns y [n, S] float64."""
+    f [n, S] (forcing, already masked as needed); yh [4, S] newest-first
+    output history.  Returns y [n, S] in f's dtype (float64 for the
+    exact path; the float32 instantiation backs the mixed-precision
+    refined solve — pass matching float32 ``tables``)."""
     n, S = f.shape
+    dt = f.dtype
     # geometry rides with the tables (iir_tables(b, B=..., Q=...)) so the
     # block size can be tuned per deployment; the in-graph fallback uses
     # the defaults
@@ -145,11 +149,11 @@ def _iir_y(f, b, yh, tables=None, sp=None):
     assert Sp >= S and Sp % 2 == 0, (Sp, S)
     if Sp != S:
         f = jnp.concatenate(
-            [f, jnp.zeros((n, Sp - S), jnp.float64)], axis=1)
+            [f, jnp.zeros((n, Sp - S), dt)], axis=1)
         yh = jnp.concatenate(
-            [yh, jnp.zeros((4, Sp - S), jnp.float64)], axis=1)
+            [yh, jnp.zeros((4, Sp - S), dt)], axis=1)
     fp = jnp.concatenate(
-        [f, jnp.zeros((nb * B - n, Sp), jnp.float64)], axis=0)
+        [f, jnp.zeros((nb * B - n, Sp), dt)], axis=0)
     if tables is not None:
         T, G, Wv, AB, PW, W, WQ, ABQ = tables
     else:
@@ -209,7 +213,7 @@ def _iir_y(f, b, yh, tables=None, sp=None):
     nsb = -(-nb // Q)
     if nsb * Q != nb:
         v = jnp.concatenate(
-            [v, jnp.zeros((nsb * Q - nb, 4, Sp), jnp.float64)], axis=0)
+            [v, jnp.zeros((nsb * Q - nb, 4, Sp), dt)], axis=0)
     vsb = v.reshape(nsb, Q, 4, Sp)
     inner = jnp.einsum("qjab,kjbs->kqas", W, vsb, precision=hi)
     u = jnp.einsum("jab,kjbs->kas", WQ, vsb, precision=hi)
@@ -233,7 +237,39 @@ def _iir_y(f, b, yh, tables=None, sp=None):
     return y.reshape(nb * B, Sp)[:n, :S]
 
 
-def assoc_core_masked(x, a, b, xh, yh, K, tables=None, sp=None):
+def _iir_y_refined(f, b, yh, tables32, sp=None, passes: int = 2):
+    """Mixed-precision _iir_y: f32 block solves on the fast MXU path +
+    float64 pointwise 5-tap residuals against the TRUE f64 recurrence.
+
+    The emulated-f64 Toeplitz dot is output-tile-bound (~1.7 us per
+    [8,128] output tile, tools/exp_ds_concat.py) and an f64-ACCUMULATED
+    f32 dot costs the same — there is no MXU escape for a single solve.
+    But the system is linear, so iterative refinement applies: solve in
+    f32 (error ~2^-24 * gain), form r = f - (y + sum b_j y_{t-j}) in f64
+    (pointwise, cheap), solve the residual in f32, add.  Two passes land
+    at the exact solve's own accuracy class (4.6e-15 rel at the config-4
+    geometry, incl. streaming carries; ONE pass is NOT enough — its
+    carry error compounds across chunks to ~1e-7; tools/exp_iir_refine.py).
+
+    The first pass's boundary error (yh - f32(yh)) rides as the first
+    correction's initial state; later passes start from zero state
+    because the residual is formed against the exact f64 boundary."""
+    yh32 = yh.astype(jnp.float32)
+    y = _iir_y(f.astype(jnp.float32), b, yh32, tables32, sp).astype(
+        jnp.float64)
+    eh32 = (yh - yh32.astype(jnp.float64)).astype(jnp.float32)
+    for _ in range(passes):
+        ypad = jnp.concatenate([yh[::-1], y], axis=0)
+        r = f - (ypad[4:] + b[1] * ypad[3:-1] + b[2] * ypad[2:-2]
+                 + b[3] * ypad[1:-3] + b[4] * ypad[:-4])
+        e = _iir_y(r.astype(jnp.float32), b, eh32, tables32, sp)
+        y = y + e.astype(jnp.float64)
+        eh32 = jnp.zeros_like(eh32)
+    return y
+
+
+def assoc_core_masked(x, a, b, xh, yh, K, tables=None, sp=None,
+                      tables32=None):
     """Pure masked block-IIR biquad for the fused device pipeline.
 
     x [n, S] (rows at k >= K ignored); a/b [5]; xh/yh [4, S] newest-first;
@@ -257,7 +293,10 @@ def assoc_core_masked(x, a, b, xh, yh, K, tables=None, sp=None):
          + a[3] * xpad[1:-3] + a[4] * xpad[:-4])
     f = jnp.where(active, f, 0.0)
 
-    y = _iir_y(f, b, yh, tables, sp)
+    if tables32 is not None:
+        y = _iir_y_refined(f, b, yh, tables32, sp)
+    else:
+        y = _iir_y(f, b, yh, tables, sp)
     y = jnp.where(active, y, 0.0)
 
     # state after exactly K samples: the last 4 valid x / y values
@@ -269,7 +308,7 @@ def assoc_core_masked(x, a, b, xh, yh, K, tables=None, sp=None):
     return y.astype(dt), xh_n, yh_n
 
 
-def assoc_core_full(x, a, b, xh, yh, tables=None, sp=None):
+def assoc_core_full(x, a, b, xh, yh, tables=None, sp=None, tables32=None):
     """assoc_core_masked for the K == n (whole-chunk-valid) case: the
     validity masks vanish and the state extraction is a static slice.
     Bitwise-identical outputs/state to the masked form at K == n (the
@@ -286,7 +325,10 @@ def assoc_core_full(x, a, b, xh, yh, tables=None, sp=None):
     xpad = jnp.concatenate([xh[::-1], xm], axis=0)
     f = (a[0] * xpad[4:] + a[1] * xpad[3:-1] + a[2] * xpad[2:-2]
          + a[3] * xpad[1:-3] + a[4] * xpad[:-4])
-    y = _iir_y(f, b, yh, tables, sp)
+    if tables32 is not None:
+        y = _iir_y_refined(f, b, yh, tables32, sp)
+    else:
+        y = _iir_y(f, b, yh, tables, sp)
     xh_n = xpad[n:][::-1]
     yh_n = jnp.concatenate([yh[::-1], y], axis=0)[n:][::-1]
     return y.astype(dt), xh_n, yh_n
@@ -294,34 +336,37 @@ def assoc_core_full(x, a, b, xh, yh, tables=None, sp=None):
 
 @functools.partial(jax.jit, static_argnames=("sp",))
 def _cascade2_step(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, K, t1, t2,
-                   sp=None):
+                   sp=None, t1_32=None, t2_32=None):
     """Two cascaded masked block-IIR sections in one dispatch (the ART
     CLI's pre/post filter is always a 2-section cascade, reference
-    art.c:847-876).  t1/t2: precomputed iir_tables per section."""
-    y1, xh1n, yh1n = assoc_core_masked(x, a1, b1, xh1, yh1, K, t1, sp)
-    y2, xh2n, yh2n = assoc_core_masked(y1, a2, b2, xh2, yh2, K, t2, sp)
+    art.c:847-876).  t1/t2: precomputed iir_tables per section;
+    t*_32: optional f32 tables selecting the refined solve."""
+    y1, xh1n, yh1n = assoc_core_masked(x, a1, b1, xh1, yh1, K, t1, sp,
+                                       t1_32)
+    y2, xh2n, yh2n = assoc_core_masked(y1, a2, b2, xh2, yh2, K, t2, sp,
+                                       t2_32)
     return y2, xh1n, yh1n, xh2n, yh2n
 
 
 @functools.partial(jax.jit, static_argnames=("sp",))
 def _cascade2_step_full(x, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2,
-                        sp=None):
+                        sp=None, t1_32=None, t2_32=None):
     """_cascade2_step for full-chunk calls (K == n): see assoc_core_full."""
-    y1, xh1n, yh1n = assoc_core_full(x, a1, b1, xh1, yh1, t1, sp)
-    y2, xh2n, yh2n = assoc_core_full(y1, a2, b2, xh2, yh2, t2, sp)
+    y1, xh1n, yh1n = assoc_core_full(x, a1, b1, xh1, yh1, t1, sp, t1_32)
+    y2, xh2n, yh2n = assoc_core_full(y1, a2, b2, xh2, yh2, t2, sp, t2_32)
     return y2, xh1n, yh1n, xh2n, yh2n
 
 
 @functools.partial(jax.jit, static_argnames=("sp",))
-def _comb4_step(x, a, b, xh, yh, K, t, sp=None):
+def _comb4_step(x, a, b, xh, yh, K, t, sp=None, t32=None):
     """One combined order-4 section, masked (see combine_biquads)."""
-    return assoc_core_masked(x, a, b, xh, yh, K, t, sp)
+    return assoc_core_masked(x, a, b, xh, yh, K, t, sp, t32)
 
 
 @functools.partial(jax.jit, static_argnames=("sp",))
-def _comb4_step_full(x, a, b, xh, yh, t, sp=None):
+def _comb4_step_full(x, a, b, xh, yh, t, sp=None, t32=None):
     """One combined order-4 section, full-chunk."""
-    return assoc_core_full(x, a, b, xh, yh, t, sp)
+    return assoc_core_full(x, a, b, xh, yh, t, sp, t32)
 
 
 def combine_biquads(bq1, bq2):
@@ -368,19 +413,30 @@ class DeviceBiquadCascade:
     combine_biquads: half the Toeplitz/FIR work, 1.62x on the config-4
     chain) at the ~2.4e-13 parity class; its state cannot be handed back
     to a host PAIR mid-stream (pull_to raises — use the default cascade
-    form where the CLI's host/device interleaving needs exact handoff)."""
+    form where the CLI's host/device interleaving needs exact handoff).
 
-    def __init__(self, bq1, bq2, combined: bool = False):
+    ``refine=True`` solves each section by mixed-precision iterative
+    refinement (_iir_y_refined: f32 MXU solves + f64 pointwise
+    residuals) instead of the emulated-f64 Toeplitz dot — same accuracy
+    class as the exact solve (4.6e-15 rel incl. streaming carries,
+    tools/exp_iir_refine.py)."""
+
+    def __init__(self, bq1, bq2, combined: bool = False,
+                 refine: bool = False):
         self._combined = bool(combined)
+        t32 = ((lambda b: iir_tables(b, dtype=np.float32)) if refine
+               else (lambda b: None))
         if combined:
             ac, bc = combine_biquads(bq1, bq2)
             self._coef = (jnp.asarray(ac), jnp.asarray(bc))
             self._tabs = (iir_tables(bc),)
+            self._tabs32 = (t32(bc),)
         else:
             self._coef = tuple(
                 jnp.asarray(np.asarray(v, np.float64))
                 for v in (bq1.a, bq1.b, bq2.a, bq2.b))
             self._tabs = (iir_tables(bq1.b), iir_tables(bq2.b))
+            self._tabs32 = (t32(bq1.b), t32(bq2.b))
         self._state = None                 # (xh1, yh1, xh2, yh2) on device
 
     def push_from(self, bq1, bq2) -> None:
@@ -422,28 +478,30 @@ class DeviceBiquadCascade:
             a, b = self._coef
             xh, yh = self._state
             (t,) = self._tabs
+            (t32,) = self._tabs32
             if K == dev_out.shape[1]:
                 y, xh, yh = _comb4_step_full(dev_out.T, a, b, xh, yh, t,
-                                             sp=sp)
+                                             sp=sp, t32=t32)
             else:
                 y, xh, yh = _comb4_step(dev_out.T, a, b, xh, yh,
-                                        jnp.int32(K), t, sp=sp)
+                                        jnp.int32(K), t, sp=sp, t32=t32)
             self._state = (xh, yh)
             return y.T
         a1, b1, a2, b2 = self._coef
         xh1, yh1, xh2, yh2 = self._state
         t1, t2 = self._tabs
+        t1_32, t2_32 = self._tabs32
         if K == dev_out.shape[1]:
             # whole chunk valid (the steady-state streaming shape): the
             # maskless variant skips three f64 pointwise where-passes per
             # section, bitwise-identically
             y, xh1, yh1, xh2, yh2 = _cascade2_step_full(
                 dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2,
-                sp=sp)
+                sp=sp, t1_32=t1_32, t2_32=t2_32)
         else:
             y, xh1, yh1, xh2, yh2 = _cascade2_step(
                 dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2,
-                jnp.int32(K), t1, t2, sp=sp)
+                jnp.int32(K), t1, t2, sp=sp, t1_32=t1_32, t2_32=t2_32)
         self._state = (xh1, yh1, xh2, yh2)
         return y.T
 

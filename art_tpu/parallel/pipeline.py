@@ -165,7 +165,7 @@ def pipeline_chunk(x, hist, P_local, start, K, gens, fb, xh, yh,
                    streams_axis: str | None = None,
                    taps_axis: str | None = None,
                    post_bq=None, bq_state=None, post_bq_tables=None,
-                   bq_sp_mult: int = 1):
+                   post_bq_tables32=None, bq_sp_mult: int = 1):
     """One full production chunk: resample -> [biquad post-filter cascade]
     -> dither -> shaped quantize -> pack.  Pure; state flows through.
     ``post_bq``: optional ((a1, b1), (a2, b2)) cascade coefficients (the
@@ -194,10 +194,12 @@ def pipeline_chunk(x, hist, P_local, start, K, gens, fb, xh, yh,
         # same constant on every mesh width, so sharded == single-device
         # stays bit-for-bit; see _iir_y)
         sp = -(-(x.shape[0] * bq_sp_mult) // 2) * 2
+        t1_32, t2_32 = (post_bq_tables32 if post_bq_tables32 is not None
+                        else (None, None))
         y, xh1, yh1 = assoc_core_masked(out.T, a1, b1, xh1, yh1, K,
-                                        tables=t1, sp=sp)
+                                        tables=t1, sp=sp, tables32=t1_32)
         y, xh2, yh2 = assoc_core_masked(y, a2, b2, xh2, yh2, K, tables=t2,
-                                        sp=sp)
+                                        sp=sp, tables32=t2_32)
         out = y.T
         new_bq_state = (xh1, yh1, xh2, yh2)
 
@@ -236,7 +238,8 @@ def make_sharded_step(mesh: Mesh, *, M: int, L: int, nb: int, qn: int,
                       hist_len: int, scaler: float, highclip: int,
                       lowclip: int, dither_type=-1, shaper_a=None,
                       shaper_b=None, output_bits: int = 16,
-                      output_bytes: int = 2, post_bq=None):
+                      output_bytes: int = 2, post_bq=None,
+                      bq_refine: bool = False):
     """Jitted multi-device production step over a (streams x taps) mesh.
 
     Global input shapes: x [S, n], hist [S, hist_len], Pmat [qn_pad*M, L]
@@ -249,7 +252,7 @@ def make_sharded_step(mesh: Mesh, *, M: int, L: int, nb: int, qn: int,
     ntap = mesh.shape["taps"]
     qn_pad = -(-qn // ntap) * ntap
     qn_local = qn_pad // ntap
-    post_bq_tables = None
+    post_bq_tables = post_bq_tables32 = None
     if post_bq is not None:
         # the cascade coefficients are host constants at step-build time:
         # precompute the block-IIR tables once here instead of re-running
@@ -258,6 +261,10 @@ def make_sharded_step(mesh: Mesh, *, M: int, L: int, nb: int, qn: int,
         from ..ops.biquad_kernel import iir_tables
         post_bq_tables = (iir_tables(np.asarray(post_bq[0][1])),
                           iir_tables(np.asarray(post_bq[1][1])))
+        if bq_refine:
+            post_bq_tables32 = (
+                iir_tables(np.asarray(post_bq[0][1]), dtype=np.float32),
+                iir_tables(np.asarray(post_bq[1][1]), dtype=np.float32))
     kw = dict(M=M, L=L, nb=nb, qn_pad=qn_pad, qn_local=qn_local,
               hist_len=hist_len, scaler=scaler, highclip=highclip,
               lowclip=lowclip, dither_type=dither_type, shaper_a=shaper_a,
@@ -265,6 +272,7 @@ def make_sharded_step(mesh: Mesh, *, M: int, L: int, nb: int, qn: int,
               output_bytes=output_bytes, streams_axis="streams",
               taps_axis="taps", post_bq=post_bq,
               post_bq_tables=post_bq_tables,
+              post_bq_tables32=post_bq_tables32,
               bq_sp_mult=mesh.shape["streams"])
 
     base_in = (P("streams", None), P("streams", None), P("taps", None),

@@ -220,3 +220,41 @@ def test_combined_order4_matches_cascade():
                                np.asarray(casc._state[3]), atol=1e-11)
     with pytest.raises(NotImplementedError, match="combined"):
         comb.pull_to(*pair())
+
+
+@pytest.mark.parametrize("combined", [False, True])
+def test_refined_solve_matches_exact(combined):
+    """DeviceBiquadCascade(refine=True): the mixed-precision iterative
+    refinement solve (f32 MXU block solves + f64 pointwise residuals,
+    _iir_y_refined) stays in the exact emulated-f64 solve's own accuracy
+    class over streaming ragged chunks — 2 passes are load-bearing (one
+    pass's carry error compounds to ~1e-7, tools/exp_iir_refine.py)."""
+    import jax.numpy as jnp
+
+    from art_tpu.engines.biquad import Biquad, biquad_lowpass
+    from art_tpu.ops.biquad_kernel import DeviceBiquadCascade
+
+    coeffs = biquad_lowpass(0.45 * 44100 / 48000)
+    ch = 6
+
+    def pair():
+        return (Biquad.init(coeffs, 1.0, ch, np.float64),
+                Biquad.init(coeffs, 1.0, ch, np.float64))
+
+    exact = DeviceBiquadCascade(*pair(), combined=combined)
+    refd = DeviceBiquadCascade(*pair(), combined=combined, refine=True)
+    exact.push_from(*pair())
+    refd.push_from(*pair())
+
+    rng = np.random.default_rng(13)
+    md, scale = 0.0, 0.0
+    for n, K in ((4096, 4096), (1000, 700), (2048, 2048), (4096, 4096)):
+        x = jnp.asarray(rng.standard_normal((ch, n)) * 0.5)
+        ya = np.asarray(exact.process(x, K))
+        yb = np.asarray(refd.process(x, K))
+        md = max(md, float(np.abs(ya - yb)[:, :K].max()))
+        scale = max(scale, float(np.abs(ya).max()))
+    assert md / scale < 1e-12, (md, scale)
+    for sa, sb in zip(exact._state, refd._state):
+        np.testing.assert_allclose(np.asarray(sb), np.asarray(sa),
+                                   atol=1e-12)

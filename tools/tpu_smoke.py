@@ -105,12 +105,13 @@ def smoke_hankel():
 
 
 def smoke_hankel_wide():
-    """Wide-drift Hankel tier (smax=32, binary carry select): ratios at
-    ~12% drift — beyond the narrow tier's bound — vs its own XLA oracle."""
+    """Wide-drift Hankel tier (smax=64, binary carry select — the
+    BatchedASRC auto default): ratios at ~20% drift, beyond the narrow
+    tier's bound, vs its own XLA oracle."""
     from art_tpu.ops.pallas_kernels import asrc_step_hankel, hankel_segl
     from art_tpu.parallel.asrc import _asrc_step
-    W = _asrc_inputs(drift=0.12)
-    kb, smax = 256, 32
+    W = _asrc_inputs(drift=0.20)
+    kb, smax = 256, 64
     kmx = W["k_max"]
     kp = -(-kmx // kb) * kb
     ow_hist, ow_out = _asrc_step(
@@ -275,7 +276,7 @@ from art_tpu.ops.pallas_kernels import split_f64_pairs  # noqa: E402
 
 record("fixed_stream_step", smoke_fixed_stream)
 record("asrc_step_hankel", smoke_hankel)
-record("asrc_step_hankel_wide_smax32", smoke_hankel_wide)
+record("asrc_step_hankel_wide_smax64", smoke_hankel_wide)
 record("asrc_step_hankel_ds_f64", smoke_hankel_ds)
 record("asrc_step_dense", smoke_dense)
 record("asrc_v1_kernel", smoke_v1)
