@@ -188,7 +188,6 @@ def _iir_y(f, b, yh, tables=None, sp=None):
         WQ = PW[::-1]                                         # [Q,4,4]
 
     fb = fp.reshape(nb, B, Sp)
-    hi = jax.lax.Precision.HIGHEST
     # One wide matmul instead of nb batched [B,B]x[B,Sp] products: the
     # batched einsum leaves the MXU lane tile 8/128 full (Sp lanes per
     # instance) and measured 42.6 ms per 2^19-frame 6-stream f64 chunk —
@@ -199,6 +198,24 @@ def _iir_y(f, b, yh, tables=None, sp=None):
     # independent of the batch width (the sharded == single-device
     # bit-identity contract).
     F2 = fb.transpose(1, 0, 2).reshape(B, nb * Sp)            # [j, k*s]
+    Y2 = _iir_core_F2(F2, yh, (T, G, Wv, AB, PW, W, WQ, ABQ), nb, Sp)
+    y = Y2.reshape(B, nb, Sp).transpose(1, 0, 2)
+    return y.reshape(nb * B, Sp)[:n, :S]
+
+
+def _iir_core_F2(F2, yh, tables, nb: int, Sp: int):
+    """The block-IIR solve in the lane-dense F2 layout: forcing
+    [B, nb*Sp] (row = in-block time, lane = block*stream) -> Y2
+    [B, nb*Sp].  This is _iir_y's computational core; the [n, S] wrapper
+    only adds the pad/reshape.  Kept layout-native so the refined solve
+    can run its pointwise residuals here — a [n, 6]-shaped pointwise op
+    wastes 122 of every 128 lanes PHYSICALLY (tile padding), which made
+    the first refined integration 9x slower than the exact solve it
+    replaced (54 GB of padded traffic, tools/exp_refine_dispatch.py)."""
+    T, G, Wv, AB, PW, W, WQ, ABQ = tables
+    B = T.shape[0]
+    dt = F2.dtype
+    hi = jax.lax.Precision.HIGHEST
     v2 = jnp.dot(Wv, F2, precision=hi)                        # [4, nb*Sp]
     v = v2.reshape(4, nb, Sp).transpose(1, 0, 2)              # [nb, 4, Sp]
 
@@ -232,9 +249,18 @@ def _iir_y(f, b, yh, tables=None, sp=None):
     # vs ~7.8 for the T dot alone, tools/exp_c4chain.py)
     TG = jnp.concatenate([T, G], axis=1)                      # [B, B+4]
     FS = jnp.concatenate([F2, S2], axis=0)                    # [B+4, N]
-    Y2 = jnp.dot(TG, FS, precision=hi)
-    y = Y2.reshape(B, nb, Sp).transpose(1, 0, 2)
-    return y.reshape(nb * B, Sp)[:n, :S]
+    return jnp.dot(TG, FS, precision=hi)
+
+
+def _shift_F2(Y, j: int, yh_oldfirst, B: int, Sp: int):
+    """Time-shift by j (1..4) in the F2 layout [B, nb*Sp]: rows t >= j
+    come from the same block j rows up; rows t < j come from the
+    PREVIOUS block's trailing rows = the same rows lane-shifted one
+    block (Sp lanes) right, with the chunk boundary history filling
+    block 0.  yh_oldfirst [4, Sp] is the boundary y oldest-first
+    (y_{-4}..y_{-1})."""
+    top = jnp.concatenate([yh_oldfirst[4 - j:], Y[B - j:, :-Sp]], axis=1)
+    return jnp.concatenate([top, Y[:B - j]], axis=0)
 
 
 def _iir_y_refined(f, b, yh, tables32, sp=None, passes: int = 2):
@@ -251,21 +277,136 @@ def _iir_y_refined(f, b, yh, tables32, sp=None, passes: int = 2):
     geometry, incl. streaming carries; ONE pass is NOT enough — its
     carry error compounds across chunks to ~1e-7; tools/exp_iir_refine.py).
 
+    Everything runs in the lane-dense F2 layout [B, nb*Sp] (shifts are
+    static row/lane slices, _shift_F2): the emulated-f64 pointwise
+    residual over a [n, 6]-shaped array pays the 128-lane tile padding
+    PHYSICALLY — the first [n, S]-layout version of this function
+    measured 9x slower than the exact solve it replaced (54 GB of padded
+    traffic for 3 GB of math, tools/exp_refine_dispatch.py).
+
     The first pass's boundary error (yh - f32(yh)) rides as the first
     correction's initial state; later passes start from zero state
     because the residual is formed against the exact f64 boundary."""
+    n, S = f.shape
+    B = tables32[0].shape[0]
+    nb = -(-n // B)
+    Sp = sp if sp is not None else -(-S // 8) * 8
+    assert Sp >= S and Sp % 2 == 0, (Sp, S)
+    if Sp != S:
+        f = jnp.concatenate(
+            [f, jnp.zeros((n, Sp - S), f.dtype)], axis=1)
+        yh = jnp.concatenate(
+            [yh, jnp.zeros((4, Sp - S), yh.dtype)], axis=1)
+    fp = jnp.concatenate(
+        [f, jnp.zeros((nb * B - n, Sp), f.dtype)], axis=0)
+    F2d = fp.reshape(nb, B, Sp).transpose(1, 0, 2).reshape(B, nb * Sp)
+
     yh32 = yh.astype(jnp.float32)
-    y = _iir_y(f.astype(jnp.float32), b, yh32, tables32, sp).astype(
-        jnp.float64)
+    Y = _iir_core_F2(F2d.astype(jnp.float32), yh32, tables32, nb,
+                     Sp).astype(jnp.float64)
     eh32 = (yh - yh32.astype(jnp.float64)).astype(jnp.float32)
+    yh_old = yh[::-1]                        # oldest-first f64 boundary
     for _ in range(passes):
-        ypad = jnp.concatenate([yh[::-1], y], axis=0)
-        r = f - (ypad[4:] + b[1] * ypad[3:-1] + b[2] * ypad[2:-2]
-                 + b[3] * ypad[1:-3] + b[4] * ypad[:-4])
-        e = _iir_y(r.astype(jnp.float32), b, eh32, tables32, sp)
-        y = y + e.astype(jnp.float64)
+        R = F2d - (Y
+                   + b[1] * _shift_F2(Y, 1, yh_old, B, Sp)
+                   + b[2] * _shift_F2(Y, 2, yh_old, B, Sp)
+                   + b[3] * _shift_F2(Y, 3, yh_old, B, Sp)
+                   + b[4] * _shift_F2(Y, 4, yh_old, B, Sp))
+        E = _iir_core_F2(R.astype(jnp.float32), eh32, tables32, nb, Sp)
+        Y = Y + E.astype(jnp.float64)
         eh32 = jnp.zeros_like(eh32)
-    return y
+    y = Y.reshape(B, nb, Sp).transpose(1, 0, 2)
+    return y.reshape(nb * B, Sp)[:n, :S]
+
+
+def _to_F2(x_sn, nb: int, B: int, Sp: int):
+    """[S, n] channel-major input -> lane-dense F2 [B, nb*Sp] without
+    ever materializing a [n, S] array (whose 128-lane tile padding
+    wastes 95% of the physical traffic at small S)."""
+    S, n = x_sn.shape
+    if Sp != S:
+        x_sn = jnp.concatenate(
+            [x_sn, jnp.zeros((Sp - S, n), x_sn.dtype)], axis=0)
+    if nb * B != n:
+        x_sn = jnp.concatenate(
+            [x_sn, jnp.zeros((Sp, nb * B - n), x_sn.dtype)], axis=1)
+    return x_sn.reshape(Sp, nb, B).transpose(2, 1, 0).reshape(B, nb * Sp)
+
+
+def _from_F2(Y2, nb: int, B: int, Sp: int, S: int, n: int):
+    """F2 [B, nb*Sp] -> [S, n] channel-major (inverse of _to_F2)."""
+    y = Y2.reshape(B, nb, Sp).transpose(2, 1, 0).reshape(Sp, nb * B)
+    return y[:S, :n]
+
+
+def _pick_rows_F2(Z2, n: int, B: int, Sp: int):
+    """The last 4 valid time rows (t = n-4..n-1) of an F2-layout array,
+    returned newest-first [4, Sp] — static row/lane picks."""
+    rows = []
+    for t in (n - 1, n - 2, n - 3, n - 4):
+        k, r = t // B, t % B
+        rows.append(jax.lax.slice(Z2, (r, k * Sp), (r + 1, (k + 1) * Sp)))
+    return jnp.concatenate(rows, axis=0)
+
+
+def assoc_core_full_T(x_sn, a, b, xh, yh, tables=None, sp=None,
+                      tables32=None):
+    """assoc_core_full with channel-major [S, n] input/output and the
+    ENTIRE computation in the lane-dense F2 layout: FIR prologue,
+    solve, and state extraction all avoid [n, S]-shaped intermediates
+    (at S=6, each such array physically pads 6 lanes to 128 — the
+    padded pointwise traffic dominated the cascade cost,
+    tools/exp_refine_dispatch.py).  Same products/sums per element as
+    assoc_core_full, so outputs and state are bitwise-identical."""
+    S, n = x_sn.shape
+    dt = x_sn.dtype
+    B = tables[0].shape[0] if tables is not None else (
+        tables32[0].shape[0] if tables32 is not None else _IIR_BLOCK)
+    nb = -(-n // B)
+    Sp = sp if sp is not None else -(-S // 8) * 8
+    assert Sp >= S and Sp % 2 == 0, (Sp, S)
+    a = jnp.asarray(a, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    xh = jnp.asarray(xh, jnp.float64)
+    yh = jnp.asarray(yh, jnp.float64)
+    if Sp != S:
+        zpad = jnp.zeros((4, Sp - S), jnp.float64)
+        xh = jnp.concatenate([xh, zpad], axis=1)
+        yh = jnp.concatenate([yh, zpad], axis=1)
+    X2 = _to_F2(x_sn.astype(jnp.float64), nb, B, Sp)
+    xh_old = xh[::-1]
+    f = (a[0] * X2
+         + a[1] * _shift_F2(X2, 1, xh_old, B, Sp)
+         + a[2] * _shift_F2(X2, 2, xh_old, B, Sp)
+         + a[3] * _shift_F2(X2, 3, xh_old, B, Sp)
+         + a[4] * _shift_F2(X2, 4, xh_old, B, Sp))
+    if tables32 is not None:
+        yh32 = yh.astype(jnp.float32)
+        Y = _iir_core_F2(f.astype(jnp.float32), yh32, tables32, nb,
+                         Sp).astype(jnp.float64)
+        eh32 = (yh - yh32.astype(jnp.float64)).astype(jnp.float32)
+        yh_old = yh[::-1]
+        for _ in range(2):
+            R = f - (Y
+                     + b[1] * _shift_F2(Y, 1, yh_old, B, Sp)
+                     + b[2] * _shift_F2(Y, 2, yh_old, B, Sp)
+                     + b[3] * _shift_F2(Y, 3, yh_old, B, Sp)
+                     + b[4] * _shift_F2(Y, 4, yh_old, B, Sp))
+            E = _iir_core_F2(R.astype(jnp.float32), eh32, tables32, nb,
+                             Sp)
+            Y = Y + E.astype(jnp.float64)
+            eh32 = jnp.zeros_like(eh32)
+        Y2 = Y
+    else:
+        if tables is None:
+            raise NotImplementedError(
+                "assoc_core_full_T needs precomputed iir_tables")
+        Y2 = _iir_core_F2(f, yh, tables, nb, Sp)
+    # state after n samples: last 4 valid x / y, newest-first (covers
+    # n >= 4; the streaming engines never call with shorter chunks)
+    xh_n = _pick_rows_F2(X2, n, B, Sp)[:, :S]
+    yh_n = _pick_rows_F2(Y2, n, B, Sp)[:, :S]
+    return _from_F2(Y2, nb, B, Sp, S, n).astype(dt), xh_n, yh_n
 
 
 def assoc_core_masked(x, a, b, xh, yh, K, tables=None, sp=None,
@@ -369,6 +510,24 @@ def _comb4_step_full(x, a, b, xh, yh, t, sp=None, t32=None):
     return assoc_core_full(x, a, b, xh, yh, t, sp, t32)
 
 
+@functools.partial(jax.jit, static_argnames=("sp",))
+def _cascade2_step_full_T(x_sn, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1,
+                          t2, sp=None, t1_32=None, t2_32=None):
+    """_cascade2_step_full on channel-major [S, n] data — the F2-native
+    fast path (assoc_core_full_T): no [n, S]-shaped intermediates."""
+    y1, xh1n, yh1n = assoc_core_full_T(x_sn, a1, b1, xh1, yh1, t1, sp,
+                                       t1_32)
+    y2, xh2n, yh2n = assoc_core_full_T(y1, a2, b2, xh2, yh2, t2, sp,
+                                       t2_32)
+    return y2, xh1n, yh1n, xh2n, yh2n
+
+
+@functools.partial(jax.jit, static_argnames=("sp",))
+def _comb4_step_full_T(x_sn, a, b, xh, yh, t, sp=None, t32=None):
+    """One combined order-4 section, full-chunk, channel-major [S, n]."""
+    return assoc_core_full_T(x_sn, a, b, xh, yh, t, sp, t32)
+
+
 def combine_biquads(bq1, bq2):
     """Combine a 2-section biquad cascade into ONE order-4 section.
 
@@ -415,14 +574,17 @@ class DeviceBiquadCascade:
     to a host PAIR mid-stream (pull_to raises — use the default cascade
     form where the CLI's host/device interleaving needs exact handoff).
 
-    ``refine=True`` solves each section by mixed-precision iterative
-    refinement (_iir_y_refined: f32 MXU solves + f64 pointwise
-    residuals) instead of the emulated-f64 Toeplitz dot — same accuracy
-    class as the exact solve (4.6e-15 rel incl. streaming carries,
-    tools/exp_iir_refine.py)."""
+    ``refine`` (default True) solves each section by mixed-precision
+    iterative refinement (_iir_y_refined: f32 MXU solves + f64 pointwise
+    residuals in the lane-dense F2 layout) instead of the emulated-f64
+    Toeplitz dot — the same accuracy class as the exact solve (~1e-14
+    rel on CPU, ~2.5e-13 on-chip, incl. streaming carries;
+    tools/exp_iir_refine.py) at a fraction of the cost (the emulated-f64
+    dot is output-tile-bound).  ``refine=False`` keeps the exact
+    emulated-f64 solve."""
 
     def __init__(self, bq1, bq2, combined: bool = False,
-                 refine: bool = False):
+                 refine: bool = True):
         self._combined = bool(combined)
         t32 = ((lambda b: iir_tables(b, dtype=np.float32)) if refine
                else (lambda b: None))
@@ -480,11 +642,16 @@ class DeviceBiquadCascade:
             (t,) = self._tabs
             (t32,) = self._tabs32
             if K == dev_out.shape[1]:
-                y, xh, yh = _comb4_step_full(dev_out.T, a, b, xh, yh, t,
-                                             sp=sp, t32=t32)
-            else:
-                y, xh, yh = _comb4_step(dev_out.T, a, b, xh, yh,
-                                        jnp.int32(K), t, sp=sp, t32=t32)
+                # F2-native full-chunk path: no [n, ch]-shaped arrays
+                # (each physically pads ch lanes to 128 at small ch —
+                # the padded traffic dominated the cascade cost,
+                # tools/exp_refine_dispatch.py)
+                y, xh, yh = _comb4_step_full_T(dev_out, a, b, xh, yh, t,
+                                               sp=sp, t32=t32)
+                self._state = (xh, yh)
+                return y
+            y, xh, yh = _comb4_step(dev_out.T, a, b, xh, yh,
+                                    jnp.int32(K), t, sp=sp, t32=t32)
             self._state = (xh, yh)
             return y.T
         a1, b1, a2, b2 = self._coef
@@ -493,15 +660,16 @@ class DeviceBiquadCascade:
         t1_32, t2_32 = self._tabs32
         if K == dev_out.shape[1]:
             # whole chunk valid (the steady-state streaming shape): the
-            # maskless variant skips three f64 pointwise where-passes per
-            # section, bitwise-identically
-            y, xh1, yh1, xh2, yh2 = _cascade2_step_full(
-                dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2,
+            # F2-native maskless path — no masks, no [n, ch]-shaped
+            # intermediates; bitwise-identical values to the masked form
+            y, xh1, yh1, xh2, yh2 = _cascade2_step_full_T(
+                dev_out, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2,
                 sp=sp, t1_32=t1_32, t2_32=t2_32)
-        else:
-            y, xh1, yh1, xh2, yh2 = _cascade2_step(
-                dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2,
-                jnp.int32(K), t1, t2, sp=sp, t1_32=t1_32, t2_32=t2_32)
+            self._state = (xh1, yh1, xh2, yh2)
+            return y
+        y, xh1, yh1, xh2, yh2 = _cascade2_step(
+            dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2,
+            jnp.int32(K), t1, t2, sp=sp, t1_32=t1_32, t2_32=t2_32)
         self._state = (xh1, yh1, xh2, yh2)
         return y.T
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from art_tpu.engines.biquad import Biquad, biquad_lowpass
-from art_tpu.ops.biquad_kernel import _iir_y, iir_tables
+from art_tpu.ops.biquad_kernel import _iir_y, _iir_y_refined, iir_tables
 
 reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 NS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -121,13 +121,19 @@ z4 = jnp.zeros((4, S), jnp.float64)
 
 
 def make(run):
+    # CONSUME THE FULL OUTPUT in the carry (power accumulator): a carry
+    # of y[-4:] alone lets XLA dead-code the big Toeplitz dot down to
+    # the last block (the first version of this harness did exactly
+    # that and reported a 3x win the shipped chain then contradicted)
     @jax.jit
     def go(yh):
         def body(c, _):
-            y = run(x1 + c[0, 0] * 1e-300, c)
-            return y[-4:][::-1] * 1.0, None
-        c, _ = jax.lax.scan(body, yh, None, length=NS)
-        return jnp.sum(c)
+            acc, st = c
+            y = run(x1 + acc * 1e-300, st)
+            return (acc + jnp.sum(y), y[-4:][::-1] * 1.0), None
+        (acc, _), _ = jax.lax.scan(body, (jnp.zeros((), jnp.float64), yh),
+                                   None, length=NS)
+        return acc
     return go
 
 
@@ -136,8 +142,9 @@ variants = {
     "f32": lambda f, yh: _iir_y(f.astype(jnp.float32), bj,
                                 yh.astype(jnp.float32), t32,
                                 sp).astype(jnp.float64),
-    "refine": refined,
-    "refine2": refined2,
+    # the SHIPPED lane-dense implementations (F2-layout residuals)
+    "refine": lambda f, yh: _iir_y_refined(f, bj, yh, t32, sp, passes=1),
+    "refine2": lambda f, yh: _iir_y_refined(f, bj, yh, t32, sp),
     "resid": resid_only,
 }
 jits = {}
