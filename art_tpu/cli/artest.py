@@ -224,6 +224,11 @@ def main(argv=None) -> int:
         raise SystemExit("--backend=device requires exact resampling (-e)!")
     if precise and backend != "device":
         raise SystemExit("--precise applies to --backend=device!")
+    if precise and dtype == np.float64:
+        # the f64 data path already accumulates natively in f64; the
+        # engine would silently drop the flag (streams.py _precise gate)
+        raise SystemExit("--precise is the f32 data path's f64-accumulate "
+                         "mode; the --f64 path is already f64!")
 
     def make_resampler(src, dst):
         if backend == "device":

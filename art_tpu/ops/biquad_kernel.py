@@ -273,9 +273,9 @@ def _iir_y_refined(f, b, yh, tables32, sp=None, passes: int = 2):
     But the system is linear, so iterative refinement applies: solve in
     f32 (error ~2^-24 * gain), form r = f - (y + sum b_j y_{t-j}) in f64
     (pointwise, cheap), solve the residual in f32, add.  Two passes land
-    at the exact solve's own accuracy class (4.6e-15 rel at the config-4
-    geometry, incl. streaming carries; ONE pass is NOT enough — its
-    carry error compounds across chunks to ~1e-7; tools/exp_iir_refine.py).
+    at the exact solve's own accuracy class (~5e-15 rel at the config-4
+    geometry incl. streaming carries; one pass reaches ~3e-12;
+    tools/exp_iir_refine.py).
 
     Everything runs in the lane-dense F2 layout [B, nb*Sp] (shifts are
     static row/lane slices, _shift_F2): the emulated-f64 pointwise
@@ -284,9 +284,14 @@ def _iir_y_refined(f, b, yh, tables32, sp=None, passes: int = 2):
     measured 9x slower than the exact solve it replaced (54 GB of padded
     traffic for 3 GB of math, tools/exp_refine_dispatch.py).
 
-    The first pass's boundary error (yh - f32(yh)) rides as the first
-    correction's initial state; later passes start from zero state
-    because the residual is formed against the exact f64 boundary."""
+    Every correction solve starts from ZERO state: each residual is
+    formed with the EXACT f64 boundary substituted into the shifted
+    terms (_shift_F2(..., yh_old)), so the remaining correction's own
+    pre-chunk values are identically zero.  (An earlier version seeded
+    pass 1 with yh - f32(yh) — the residual-against-y1's-own-boundary
+    formulation's seed — which injected a spurious ~2^-24*|yh| chunk
+    transient; caught in review.  Zero seeding took one-pass streaming
+    error from ~1e-7 to ~3e-12 and two-pass to ~5e-15.)"""
     n, S = f.shape
     B = tables32[0].shape[0]
     nb = -(-n // B)
@@ -300,11 +305,20 @@ def _iir_y_refined(f, b, yh, tables32, sp=None, passes: int = 2):
     fp = jnp.concatenate(
         [f, jnp.zeros((nb * B - n, Sp), f.dtype)], axis=0)
     F2d = fp.reshape(nb, B, Sp).transpose(1, 0, 2).reshape(B, nb * Sp)
+    Y = _refine_F2(F2d, b, yh, tables32, nb, Sp, passes)
+    y = Y.reshape(B, nb, Sp).transpose(1, 0, 2)
+    return y.reshape(nb * B, Sp)[:n, :S]
 
-    yh32 = yh.astype(jnp.float32)
-    Y = _iir_core_F2(F2d.astype(jnp.float32), yh32, tables32, nb,
-                     Sp).astype(jnp.float64)
-    eh32 = (yh - yh32.astype(jnp.float64)).astype(jnp.float32)
+
+def _refine_F2(F2d, b, yh, tables32, nb: int, Sp: int, passes: int = 2):
+    """The refinement loop on an F2-layout f64 forcing (shared by
+    _iir_y_refined and assoc_core_full_T): f32 solve, then ``passes``
+    rounds of exact-boundary f64 residual + zero-state f32 correction
+    solve.  Returns Y2 [B, nb*Sp] f64."""
+    B = tables32[0].shape[0]
+    Y = _iir_core_F2(F2d.astype(jnp.float32), yh.astype(jnp.float32),
+                     tables32, nb, Sp).astype(jnp.float64)
+    z32 = jnp.zeros((4, Sp), jnp.float32)
     yh_old = yh[::-1]                        # oldest-first f64 boundary
     for _ in range(passes):
         R = F2d - (Y
@@ -312,11 +326,9 @@ def _iir_y_refined(f, b, yh, tables32, sp=None, passes: int = 2):
                    + b[2] * _shift_F2(Y, 2, yh_old, B, Sp)
                    + b[3] * _shift_F2(Y, 3, yh_old, B, Sp)
                    + b[4] * _shift_F2(Y, 4, yh_old, B, Sp))
-        E = _iir_core_F2(R.astype(jnp.float32), eh32, tables32, nb, Sp)
+        E = _iir_core_F2(R.astype(jnp.float32), z32, tables32, nb, Sp)
         Y = Y + E.astype(jnp.float64)
-        eh32 = jnp.zeros_like(eh32)
-    y = Y.reshape(B, nb, Sp).transpose(1, 0, 2)
-    return y.reshape(nb * B, Sp)[:n, :S]
+    return Y
 
 
 def _to_F2(x_sn, nb: int, B: int, Sp: int):
@@ -381,22 +393,7 @@ def assoc_core_full_T(x_sn, a, b, xh, yh, tables=None, sp=None,
          + a[3] * _shift_F2(X2, 3, xh_old, B, Sp)
          + a[4] * _shift_F2(X2, 4, xh_old, B, Sp))
     if tables32 is not None:
-        yh32 = yh.astype(jnp.float32)
-        Y = _iir_core_F2(f.astype(jnp.float32), yh32, tables32, nb,
-                         Sp).astype(jnp.float64)
-        eh32 = (yh - yh32.astype(jnp.float64)).astype(jnp.float32)
-        yh_old = yh[::-1]
-        for _ in range(2):
-            R = f - (Y
-                     + b[1] * _shift_F2(Y, 1, yh_old, B, Sp)
-                     + b[2] * _shift_F2(Y, 2, yh_old, B, Sp)
-                     + b[3] * _shift_F2(Y, 3, yh_old, B, Sp)
-                     + b[4] * _shift_F2(Y, 4, yh_old, B, Sp))
-            E = _iir_core_F2(R.astype(jnp.float32), eh32, tables32, nb,
-                             Sp)
-            Y = Y + E.astype(jnp.float64)
-            eh32 = jnp.zeros_like(eh32)
-        Y2 = Y
+        Y2 = _refine_F2(f, b, yh, tables32, nb, Sp)
     else:
         if tables is None:
             raise NotImplementedError(
@@ -549,6 +546,15 @@ def combine_biquads(bq1, bq2):
     """
     a1, b1 = np.asarray(bq1.a, np.float64), np.asarray(bq1.b, np.float64)
     a2, b2 = np.asarray(bq2.a, np.float64), np.asarray(bq2.b, np.float64)
+    # the product of two order<=2 sections is the order-4 ceiling of the
+    # companion kernel; an order-3/4 input section would be silently
+    # truncated by the [:3] slices below, so refuse it
+    for a, b in ((a1, b1), (a2, b2)):
+        if np.any(a[3:] != 0.0) or np.any(b[3:] != 0.0):
+            raise ValueError(
+                "combine_biquads needs order<=2 sections (their product "
+                "is order 4, the block-IIR kernel's ceiling); got an "
+                "order-3/4 section — run it as a separate cascade stage")
     ac = np.convolve(a1[:3], a2[:3])
     bc = np.convolve(np.concatenate([[1.0], b1[1:3]]),
                      np.concatenate([[1.0], b2[1:3]]))

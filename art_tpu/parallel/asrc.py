@@ -208,16 +208,19 @@ class BatchedASRC:
                 raise ValueError("hankel_kb must be a multiple of 128")
             self._hkb = hankel_kb
             self._hsmax = hankel_smax
-            # second Hankel tier for wider drifts (|1/ratio - 1| up to
-            # smax_wide/(kb-1), ~25% at the defaults): the binary
-            # carry expansion makes its select cost log2(smax), so the
-            # wide kernel stays in the Hankel class instead of dropping
-            # to the dense-gather path (0 disables the tier).  smax=64
-            # was chosen over 32 because the +-10% endurance pattern
-            # peaks at |1/r - 1| ~ 13.6% > 32/255: the 32 tier fell to
-            # the dense kernel on ~1/3 of calls (61.8 M out/s sustained
-            # vs 131 M kernel-level; carry selects measured ~free,
-            # tools/exp_hankel_ablate.py, so wider costs nothing)
+            # second Hankel tier for wider drifts: covers |1/ratio - 1|
+            # up to smax_wide/(kb-1) — the bound depends on the RUNTIME
+            # kb the step picks (64/255 ~ 25% at the bench/smoke kb=256;
+            # ~50% at this constructor's hankel_kb=128 default).  The
+            # binary carry expansion makes the select cost log2(smax),
+            # so the wide kernel stays in the Hankel class instead of
+            # dropping to the dense-gather path (0 disables the tier).
+            # smax=64 was chosen over 32 because the +-10% endurance
+            # pattern peaks at |1/r - 1| ~ 13.6% > 32/255 at kb=256: the
+            # 32 tier fell to the dense kernel on ~1/3 of calls (61.8 M
+            # out/s sustained vs 131 M kernel-level; carry selects
+            # measured ~free, tools/exp_hankel_ablate.py, so wider
+            # costs nothing)
             self._hsmax_wide = hankel_smax_wide
             self._hsegl_fn = hankel_segl
         self.offsets = np.full(num_streams, float(num_taps // 2),

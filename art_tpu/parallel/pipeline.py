@@ -35,7 +35,8 @@ from ..ops import decimate_device as dd
 
 
 def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
-                        qn_local: int, q0, precise: bool = False):
+                        qn_local: int, q0, precise: bool = False,
+                        defer_round: bool = False):
     """Residue-split block-Toeplitz contraction.
 
     Output block i needs window elements [i*M, i*M + qn_pad*M) of the
@@ -61,7 +62,11 @@ def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
     unsupported on this deployment — tools/exp_splitk.py, exp_dotalg.py),
     while f64 accumulation lands -142.69 dB (0.4 dB BETTER than C) at
     ~4x dot cost (tools/exp_f64acc.py) — the within-0.1-dB operating
-    point for clients that need it.
+    point for clients that need it.  Under taps sharding each rank's dot
+    is only a PARTIAL K contraction, so rounding it here would add f32
+    partials across ranks and defeat the accumulate-in-f64-round-once
+    guarantee: such callers pass ``defer_round=True`` to receive the f64
+    partials and round AFTER the psum (caught in review).
     """
     S = win.shape[0]
     nr = nb_rs // qn_pad
@@ -107,7 +112,8 @@ def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
             Vr, P_local, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=acc_dt,
             precision=jax.lax.Precision.HIGHEST)
-        outs.append(d.astype(win.dtype) if precise else d)
+        outs.append(d.astype(win.dtype) if precise and not defer_round
+                    else d)
     # [S, nr, qn_pad, L2] -> [S, nb_rs, L2]; i = j*qn_pad + r, pure reshape
     return jnp.stack(outs, axis=2).reshape(S, nb_rs, -1)
 
@@ -149,11 +155,14 @@ def _resample_block(x, hist, P_local, start, K, *, M: int, L: int, nb: int,
     nb_rs = -(-nb // qn_pad) * qn_pad
     win, new_hist = _window_and_hist(x, hist, start,
                                      (nb_rs + qn_pad) * M, hist_len)
+    defer = precise and taps_axis is not None
     out = residue_window_dots(win, P_local, M=M, nb_rs=nb_rs,
                               qn_pad=qn_pad, qn_local=qn_local, q0=q0,
-                              precise=precise)
+                              precise=precise, defer_round=defer)
     if taps_axis is not None:
         out = jax.lax.psum(out, taps_axis)
+    if defer:
+        out = out.astype(x.dtype)
     return _mask_outputs(out, K, S, nb, L), new_hist
 
 

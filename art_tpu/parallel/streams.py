@@ -356,10 +356,14 @@ def _sharded_interp_body(hist, x, P2l, fracv, start, K, acc, *, M: int,
     q0 = jnp.int32(0)
     if taps_axis is not None:
         q0 = jax.lax.axis_index(taps_axis).astype(jnp.int32) * qn_local
+    defer = precise and taps_axis is not None
     dd = residue_window_dots(win, P2l, M=M, nb_rs=nb_rs, qn_pad=qn_pad,
-                             qn_local=qn_local, q0=q0, precise=precise)
+                             qn_local=qn_local, q0=q0, precise=precise,
+                             defer_round=defer)
     if taps_axis is not None:
         dd = jax.lax.psum(dd, taps_axis)
+    if defer:
+        dd = dd.astype(x.dtype)
     dd = jax.lax.slice(dd, (0, 0, 0), (ch, nb, 2 * L))
     f = fracv[None, None, :]
     out = dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f

@@ -227,8 +227,8 @@ def test_refined_solve_matches_exact(combined):
     """DeviceBiquadCascade(refine=True): the mixed-precision iterative
     refinement solve (f32 MXU block solves + f64 pointwise residuals,
     _iir_y_refined) stays in the exact emulated-f64 solve's own accuracy
-    class over streaming ragged chunks — 2 passes are load-bearing (one
-    pass's carry error compounds to ~1e-7, tools/exp_iir_refine.py)."""
+    class over streaming ragged chunks (~5e-15 vs a sequential oracle
+    with 2 passes; one pass reaches ~3e-12, tools/exp_iir_refine.py)."""
     import jax.numpy as jnp
 
     from art_tpu.engines.biquad import Biquad, biquad_lowpass
@@ -241,7 +241,9 @@ def test_refined_solve_matches_exact(combined):
         return (Biquad.init(coeffs, 1.0, ch, np.float64),
                 Biquad.init(coeffs, 1.0, ch, np.float64))
 
-    exact = DeviceBiquadCascade(*pair(), combined=combined)
+    # refine defaults True — the exact engine must opt OUT or this
+    # test compares the refined solve against itself (caught in review)
+    exact = DeviceBiquadCascade(*pair(), combined=combined, refine=False)
     refd = DeviceBiquadCascade(*pair(), combined=combined, refine=True)
     exact.push_from(*pair())
     refd.push_from(*pair())

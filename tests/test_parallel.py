@@ -937,3 +937,42 @@ def test_precise_mode_rejects_pallas():
     with pytest.raises(ValueError, match="precise"):
         DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL,
                               precise=True, pallas_step=True)
+
+
+@pytest.mark.parametrize("config", ["reduced", "interp"])
+def test_precise_mode_taps_sharded(config):
+    """precise=True under TAPS sharding: each rank's contraction is only
+    a partial K sum, so the f32 rounding must happen AFTER the psum
+    (residue_window_dots defer_round — caught in review: rounding the
+    partials re-introduced the f32 accumulation the mode exists to
+    avoid).  Sharded-precise must sit at the f32 rounding floor of
+    single-device-precise (not the looser default-dot floor), with
+    counts exact."""
+    from art_tpu.core.flags import NO_FILTER_REDUCTION
+    from art_tpu.parallel.sharding import make_mesh
+
+    if config == "reduced":
+        ctor = (2, 380, 380, 44100, 48000, 0, IBL)
+    else:
+        ctor = (2, 48, 48, 44100, 48000, 0,
+                SUBSAMPLE_INTERPOLATE | BLACKMAN_HARRIS
+                | NO_FILTER_REDUCTION)
+    e1 = DeviceStreamResampler(*ctor, precise=True)
+    e2 = DeviceStreamResampler(*ctor, precise=True, mesh=make_mesh(2, 4))
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32)
+                    * 0.25)
+    a1 = jnp.zeros((), jnp.float32)
+    a2 = jnp.zeros((), jnp.float32)
+    for _ in range(3):
+        o1, K1, a1 = e1.process(x, 4096, a1)
+        o2, K2, a2 = e2.process(x, 4096, a2)
+        assert K1 == K2
+        v1 = np.asarray(o1)[:, :K1]
+        v2 = np.asarray(o2)[:2, :K1]
+        # both sides round ONE f64-accumulated sum to f32, so they agree
+        # bitwise except for astronomically rare f64-reassociation ties
+        # at an f32 rounding boundary (measured 0 mismatches); the old
+        # round-partials-then-psum behavior flips the low bit on ~36% of
+        # samples — this fraction is the discriminating signal
+        assert (v1 != v2).mean() < 0.01, (v1 != v2).mean()
