@@ -48,35 +48,6 @@ t32 = iir_tables(bc, dtype=np.float32)
 n, S, sp = 160 * 3277, 6, 6
 
 
-def _resid(f, yh, y1):
-    ypad = jnp.concatenate([yh[::-1], y1], axis=0)
-    return f - (ypad[4:] + bc[1] * ypad[3:-1] + bc[2] * ypad[2:-2]
-                + bc[3] * ypad[1:-3] + bc[4] * ypad[:-4])
-
-
-def refined(f, yh, passes=1):
-    yh32 = yh.astype(jnp.float32)
-    y = _iir_y(f.astype(jnp.float32), bj, yh32, t32, sp).astype(
-        jnp.float64)
-    eh32 = (yh - yh32.astype(jnp.float64)).astype(jnp.float32)
-    for _ in range(passes):
-        r = _resid(f, yh, y)
-        e = _iir_y(r.astype(jnp.float32), bj, eh32, t32, sp)
-        y = y + e.astype(jnp.float64)
-        eh32 = jnp.zeros_like(eh32)
-    return y
-
-
-def refined2(f, yh):
-    return refined(f, yh, passes=2)
-
-
-def resid_only(f, yh):
-    ypad = jnp.concatenate([yh[::-1], f * 0.9999], axis=0)
-    return f - (ypad[4:] + bc[1] * ypad[3:-1] + bc[2] * ypad[2:-2]
-                + bc[3] * ypad[1:-3] + bc[4] * ypad[:-4])
-
-
 # ---- correctness vs sequential oracle ---------------------------------
 no = 32768
 rng = np.random.default_rng(7)
@@ -94,8 +65,10 @@ for name, fn in (("f64", lambda: _iir_y(fj, bj, yhj, t64, sp)),
                  ("f32", lambda: _iir_y(fj.astype(jnp.float32), bj,
                                         yhj.astype(jnp.float32), t32,
                                         sp).astype(jnp.float64)),
-                 ("refine", lambda: refined(fj, yhj)),
-                 ("refine2", lambda: refined2(fj, yhj))):
+                 ("refine", lambda: _iir_y_refined(fj, bj, yhj, t32,
+                                                   sp, passes=1)),
+                 ("refine2", lambda: _iir_y_refined(fj, bj, yhj, t32,
+                                                    sp))):
     err = float(jnp.max(jnp.abs(fn() - oracle))) / sc
     print(f"# acc {name:7s} max relerr vs oracle {err:.2e}", flush=True)
 
@@ -107,7 +80,7 @@ for pname, passes in (("refine", 1), ("refine2", 2)):
     worst = 0.0
     for c in range(nc):
         fcj = jnp.asarray(fo[c * cs:(c + 1) * cs])
-        y = refined(fcj, yh, passes)
+        y = _iir_y_refined(fcj, bj, yh, t32, sp, passes)
         err = float(jnp.max(jnp.abs(
             y - oracle[c * cs:(c + 1) * cs]))) / sc
         worst = max(worst, err)
@@ -145,7 +118,6 @@ variants = {
     # the SHIPPED lane-dense implementations (F2-layout residuals)
     "refine": lambda f, yh: _iir_y_refined(f, bj, yh, t32, sp, passes=1),
     "refine2": lambda f, yh: _iir_y_refined(f, bj, yh, t32, sp),
-    "resid": resid_only,
 }
 jits = {}
 for name, run in variants.items():
