@@ -406,6 +406,74 @@ def assoc_core_full_T(x_sn, a, b, xh, yh, tables=None, sp=None,
     return _from_F2(Y2, nb, B, Sp, S, n).astype(dt), xh_n, yh_n
 
 
+def _pick_time_F2(Z2, boundary_old, t, B: int, Sp: int):
+    """One [Sp] row at DYNAMIC time t of an F2-layout array, falling back
+    to the boundary history (oldest-first [4, Sp], time -4..-1) for
+    t < 0.  t is a traced int32 scalar in [-4, n)."""
+    tc = jnp.maximum(t, 0)
+    k, r = tc // B, tc % B
+    row = jax.lax.dynamic_slice(Z2, (r, k * Sp), (1, Sp))
+    brow = jax.lax.dynamic_slice(
+        boundary_old, (jnp.maximum(t + 4, 0), jnp.int32(0)), (1, Sp))
+    return jnp.where(t < 0, brow, row)
+
+
+def assoc_core_masked_T(x_sn, a, b, xh, yh, K, tables=None, sp=None,
+                        tables32=None):
+    """assoc_core_masked with channel-major [S, n] input/output, F2-native
+    like assoc_core_full_T (no [n, S]-shaped intermediates): the validity
+    mask is the static iota comparison (k*B + t) < K in F2 coordinates,
+    and the state-after-K extraction picks 4 dynamic time rows
+    (_pick_time_F2, boundary fallback for K < 4).  Same products/sums
+    per element as assoc_core_masked — outputs and state bitwise-equal
+    (tests/test_biquad.py)."""
+    S, n = x_sn.shape
+    dt = x_sn.dtype
+    B = tables[0].shape[0] if tables is not None else (
+        tables32[0].shape[0] if tables32 is not None else _IIR_BLOCK)
+    nb = -(-n // B)
+    Sp = sp if sp is not None else -(-S // 8) * 8
+    assert Sp >= S and Sp % 2 == 0, (Sp, S)
+    a = jnp.asarray(a, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    xh = jnp.asarray(xh, jnp.float64)
+    yh = jnp.asarray(yh, jnp.float64)
+    if Sp != S:
+        zpad = jnp.zeros((4, Sp - S), jnp.float64)
+        xh = jnp.concatenate([xh, zpad], axis=1)
+        yh = jnp.concatenate([yh, zpad], axis=1)
+    X2 = _to_F2(x_sn.astype(jnp.float64), nb, B, Sp)
+    trow = jnp.arange(B, dtype=jnp.int32)[:, None]
+    kblk = (jnp.arange(nb * Sp, dtype=jnp.int32) // Sp)[None, :]
+    active = (kblk * B + trow) < K
+    X2 = jnp.where(active, X2, 0.0)
+    xh_old = xh[::-1]
+    f = (a[0] * X2
+         + a[1] * _shift_F2(X2, 1, xh_old, B, Sp)
+         + a[2] * _shift_F2(X2, 2, xh_old, B, Sp)
+         + a[3] * _shift_F2(X2, 3, xh_old, B, Sp)
+         + a[4] * _shift_F2(X2, 4, xh_old, B, Sp))
+    f = jnp.where(active, f, 0.0)
+    if tables32 is not None:
+        Y2 = _refine_F2(f, b, yh, tables32, nb, Sp)
+    else:
+        if tables is None:
+            raise NotImplementedError(
+                "assoc_core_masked_T needs precomputed iir_tables")
+        Y2 = _iir_core_F2(f, yh, tables, nb, Sp)
+    Y2 = jnp.where(active, Y2, 0.0)
+    # state after exactly K samples: times K-4..K-1, newest-first
+    # (boundary history covers K < 4)
+    yh_old = yh[::-1]
+    xh_n = jnp.concatenate(
+        [_pick_time_F2(X2, xh_old, K - 1 - i, B, Sp) for i in range(4)],
+        axis=0)[:, :S]
+    yh_n = jnp.concatenate(
+        [_pick_time_F2(Y2, yh_old, K - 1 - i, B, Sp) for i in range(4)],
+        axis=0)[:, :S]
+    return _from_F2(Y2, nb, B, Sp, S, n).astype(dt), xh_n, yh_n
+
+
 def assoc_core_masked(x, a, b, xh, yh, K, tables=None, sp=None,
                       tables32=None):
     """Pure masked block-IIR biquad for the fused device pipeline.
@@ -505,6 +573,24 @@ def _comb4_step(x, a, b, xh, yh, K, t, sp=None, t32=None):
 def _comb4_step_full(x, a, b, xh, yh, t, sp=None, t32=None):
     """One combined order-4 section, full-chunk."""
     return assoc_core_full(x, a, b, xh, yh, t, sp, t32)
+
+
+@functools.partial(jax.jit, static_argnames=("sp",))
+def _cascade2_step_T(x_sn, a1, b1, xh1, yh1, a2, b2, xh2, yh2, K, t1,
+                     t2, sp=None, t1_32=None, t2_32=None):
+    """_cascade2_step on channel-major [S, n] data (masked F2-native
+    fast path, assoc_core_masked_T)."""
+    y1, xh1n, yh1n = assoc_core_masked_T(x_sn, a1, b1, xh1, yh1, K, t1,
+                                         sp, t1_32)
+    y2, xh2n, yh2n = assoc_core_masked_T(y1, a2, b2, xh2, yh2, K, t2,
+                                         sp, t2_32)
+    return y2, xh1n, yh1n, xh2n, yh2n
+
+
+@functools.partial(jax.jit, static_argnames=("sp",))
+def _comb4_step_T(x_sn, a, b, xh, yh, K, t, sp=None, t32=None):
+    """One combined order-4 section, masked, channel-major [S, n]."""
+    return assoc_core_masked_T(x_sn, a, b, xh, yh, K, t, sp, t32)
 
 
 @functools.partial(jax.jit, static_argnames=("sp",))
@@ -654,12 +740,11 @@ class DeviceBiquadCascade:
                 # tools/exp_refine_dispatch.py)
                 y, xh, yh = _comb4_step_full_T(dev_out, a, b, xh, yh, t,
                                                sp=sp, t32=t32)
-                self._state = (xh, yh)
-                return y
-            y, xh, yh = _comb4_step(dev_out.T, a, b, xh, yh,
-                                    jnp.int32(K), t, sp=sp, t32=t32)
+            else:
+                y, xh, yh = _comb4_step_T(dev_out, a, b, xh, yh,
+                                          jnp.int32(K), t, sp=sp, t32=t32)
             self._state = (xh, yh)
-            return y.T
+            return y
         a1, b1, a2, b2 = self._coef
         xh1, yh1, xh2, yh2 = self._state
         t1, t2 = self._tabs
@@ -671,13 +756,12 @@ class DeviceBiquadCascade:
             y, xh1, yh1, xh2, yh2 = _cascade2_step_full_T(
                 dev_out, a1, b1, xh1, yh1, a2, b2, xh2, yh2, t1, t2,
                 sp=sp, t1_32=t1_32, t2_32=t2_32)
-            self._state = (xh1, yh1, xh2, yh2)
-            return y
-        y, xh1, yh1, xh2, yh2 = _cascade2_step(
-            dev_out.T, a1, b1, xh1, yh1, a2, b2, xh2, yh2,
-            jnp.int32(K), t1, t2, sp=sp, t1_32=t1_32, t2_32=t2_32)
+        else:
+            y, xh1, yh1, xh2, yh2 = _cascade2_step_T(
+                dev_out, a1, b1, xh1, yh1, a2, b2, xh2, yh2,
+                jnp.int32(K), t1, t2, sp=sp, t1_32=t1_32, t2_32=t2_32)
         self._state = (xh1, yh1, xh2, yh2)
-        return y.T
+        return y
 
 
 @jax.jit

@@ -260,3 +260,38 @@ def test_refined_solve_matches_exact(combined):
     for sa, sb in zip(exact._state, refd._state):
         np.testing.assert_allclose(np.asarray(sb), np.asarray(sa),
                                    atol=1e-12)
+
+
+def test_masked_T_matches_masked_bitwise():
+    """assoc_core_masked_T (channel-major F2-native masked path, the CLI
+    device chain's per-chunk shape) is bitwise-identical to
+    assoc_core_masked — outputs AND state — across K edge cases incl.
+    K < 4 (boundary-history picks) and block-boundary K."""
+    import jax.numpy as jnp
+
+    from art_tpu.engines.biquad import Biquad, biquad_lowpass
+    from art_tpu.ops.biquad_kernel import (assoc_core_masked,
+                                           assoc_core_masked_T,
+                                           combine_biquads, iir_tables)
+
+    coeffs = biquad_lowpass(0.45 * 44100 / 48000)
+    b1 = Biquad.init(coeffs, 1.0, 6, np.float64)
+    ac, bc = combine_biquads(b1, Biquad.init(coeffs, 1.0, 6, np.float64))
+    aj, bj = jnp.asarray(ac), jnp.asarray(bc)
+    t64 = iir_tables(bc)
+    rng = np.random.default_rng(3)
+    n = 1500
+    x = rng.standard_normal((6, n)) * 0.5
+    xh = rng.standard_normal((4, 6)) * 0.1
+    yh = rng.standard_normal((4, 6)) * 0.1
+    for K in (0, 3, 4, 255, 256, 257, 1499, 1500):
+        ya, xa, yha = assoc_core_masked(jnp.asarray(x.T), aj, bj,
+                                        jnp.asarray(xh), jnp.asarray(yh),
+                                        jnp.int32(K), t64, 6)
+        yb, xb, yhb = assoc_core_masked_T(jnp.asarray(x), aj, bj,
+                                          jnp.asarray(xh),
+                                          jnp.asarray(yh),
+                                          jnp.int32(K), t64, 6)
+        np.testing.assert_array_equal(np.asarray(ya).T, np.asarray(yb))
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+        np.testing.assert_array_equal(np.asarray(yha), np.asarray(yhb))
