@@ -422,7 +422,7 @@ def main():
     # ~-141.5 dB, ~0.8 dB above the C reference; f64 accumulation lands
     # BETTER than C — residue_window_dots docstring, tools/exp_f64acc.py)
     diff_db_p = _measure_roundtrip_snr(60, precise=True)
-    engp = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IBL,
+    engp = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB,
                                  precise=True)
     engp.advance_position(190)
     engp.prewarm()

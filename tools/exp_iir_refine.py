@@ -10,13 +10,15 @@ the moderate-Q ART -p lowpass biquads.  The f64 work drops from one
 [B,B+4] @ [B+4, nb*Sp] emulated dot (~4.7 ms/section on config-4) to
 ~3 pointwise passes over n*Sp elements.
 
-Variants (combined order-4 section, config-4 geometry n=524320 S=6):
-  f64      shipped exact solve (_iir_y, f64 tables)
+Variants (combined order-4 section, config-4 geometry n=524320 S=6),
+all through the SHIPPED library entry points:
+  f64      exact solve (_iir_y, f64 tables)
   f32      one f32 solve alone (cost floor; accuracy ~2^-24 * gain)
-  refine   f32 solve -> f64 5-tap residual -> f32 solve -> f64 add
-  resid    the f64 pointwise residual alone (decomposition)
+  refine   _iir_y_refined passes=1 (~1e-12 class)
+  refine2  _iir_y_refined passes=2, the shipped default (~exact class)
 
-Accuracy vs a sequential numpy f64 oracle at n=32768.
+Accuracy vs a sequential numpy f64 oracle at n=32768, incl. streaming
+carries over 8 chunks.
 
 Usage: exp_iir_refine.py [reps] [NS]
 """
