@@ -158,6 +158,22 @@ def _chunk_scan_step_static(hist, xs, P, acc, start: int, K: int, M: int,
     return hist, outs, acc
 
 
+def _group_buf(hist, xs_flat, start: int, xlen: int, G: int, n: int,
+               hist_len: int):
+    """Shared flat-group prologue: ONE contiguous stream [hist ++ xs_flat
+    (++ zero tail)] so chunk g's block-Toeplitz window is a STATIC slice
+    at g*n + start, plus the advanced history (the last hist_len columns
+    of hist++xs)."""
+    ch = xs_flat.shape[0]
+    tail = (G - 1) * n + start + xlen - (hist_len + G * n)
+    parts = [hist, xs_flat]
+    if tail > 0:
+        parts.append(jnp.zeros((ch, tail), dtype=xs_flat.dtype))
+    buf = jnp.concatenate(parts, axis=1)
+    new_hist = jax.lax.slice(buf, (0, G * n), (ch, hist_len + G * n))
+    return buf, new_hist
+
+
 @functools.partial(jax.jit, static_argnames=(
     "start", "K", "G", "n", "M", "L", "nb", "qn", "hist_len", "precise"))
 def _chunk_group_static(hist, xs_flat, P, acc, start: int, K: int, G: int,
@@ -183,11 +199,7 @@ def _chunk_group_static(hist, xs_flat, P, acc, start: int, K: int, G: int,
     ch = xs_flat.shape[0]
     nb_rs = -(-nb // qn) * qn
     xlen = (nb_rs + qn) * M
-    tail = (G - 1) * n + start + xlen - (hist_len + G * n)
-    parts = [hist, xs_flat]
-    if tail > 0:
-        parts.append(jnp.zeros((ch, tail), dtype=xs_flat.dtype))
-    buf = jnp.concatenate(parts, axis=1)
+    buf, new_hist = _group_buf(hist, xs_flat, start, xlen, G, n, hist_len)
     valid = (jnp.arange(nb * L, dtype=jnp.int32) < K)
     for g in range(G):
         off = g * n + start
@@ -198,8 +210,6 @@ def _chunk_group_static(hist, xs_flat, P, acc, start: int, K: int, G: int,
         out = jax.lax.slice(out, (0, 0, 0), (ch, nb, L)).reshape(ch, nb * L)
         out = out * valid.astype(out.dtype)[None, :]
         acc = acc + jnp.sum(out * out)
-    new_hist = jax.lax.slice(
-        buf, (0, G * n), (ch, hist_len + G * n))
     return new_hist, acc
 
 
@@ -217,11 +227,7 @@ def _chunk_group_static_interp(hist, xs_flat, P2, fracv, acc, start: int,
     ch = xs_flat.shape[0]
     nb_rs = -(-nb // qn) * qn
     xlen = (nb_rs + qn) * M
-    tail = (G - 1) * n + start + xlen - (hist_len + G * n)
-    parts = [hist, xs_flat]
-    if tail > 0:
-        parts.append(jnp.zeros((ch, tail), dtype=xs_flat.dtype))
-    buf = jnp.concatenate(parts, axis=1)
+    buf, new_hist = _group_buf(hist, xs_flat, start, xlen, G, n, hist_len)
     valid = (jnp.arange(nb * L, dtype=jnp.int32) < K)
     f = fracv[None, None, :]
     for g in range(G):
@@ -234,8 +240,123 @@ def _chunk_group_static_interp(hist, xs_flat, P2, fracv, acc, start: int,
         out = dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f
         out = out.reshape(ch, nb * L) * valid.astype(out.dtype)[None, :]
         acc = acc + jnp.sum(out * out)
-    new_hist = jax.lax.slice(buf, (0, G * n), (ch, hist_len + G * n))
     return new_hist, acc
+
+
+def _group_chunk_out(buf, P2, fracv, g: int, *, start: int, K: int, n: int,
+                     M: int, L: int, nb: int, qn: int,
+                     precise: bool = False):
+    """One flat-group chunk's VALID output samples [ch, K]: static window
+    slice -> residue dots (banked + lerp when ``fracv`` is given) -> static
+    slice to the first K columns.  K is a compile-time constant in the
+    flat-group form, so slicing replaces the validity mask (identical
+    values on the kept columns — the mask only zeroes the discarded
+    tail)."""
+    ch = buf.shape[0]
+    nb_rs = -(-nb // qn) * qn
+    xlen = (nb_rs + qn) * M
+    off = g * n + start
+    win = jax.lax.slice(buf, (0, off), (ch, off + xlen))
+    dd = residue_window_dots(win, P2, M=M, nb_rs=nb_rs, qn_pad=qn,
+                             qn_local=qn, q0=jnp.int32(0), precise=precise)
+    if fracv is not None:
+        dd = jax.lax.slice(dd, (0, 0, 0), (ch, nb, 2 * L))
+        f = fracv[None, None, :]
+        out = dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f
+    else:
+        out = jax.lax.slice(dd, (0, 0, 0), (ch, nb, L))
+    out = out.reshape(ch, nb * L)
+    return jax.lax.slice(out, (0, 0), (ch, K))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "start", "K", "G", "n", "M", "L", "nb", "qn", "hist_len", "precise"))
+def _chunk_group_static_out(hist, xs_flat, P2, fracv, start: int, K: int,
+                            G: int, n: int, M: int, L: int, nb: int,
+                            qn: int, hist_len: int, precise: bool = False):
+    """Flat-group steady state DELIVERING the audio: G periodic chunks as
+    one fully-static dispatch (see _chunk_group_static) whose result is
+    the valid output samples [ch, G*K] materialized to HBM — the form for
+    callers that receive real output buffers (reference
+    resampler.c:523-527).  No validity mask and no power pass: K is
+    static, so each chunk's valid prefix is a static slice and XLA fuses
+    the concat write into the dot epilogues (the kept samples are
+    bitwise-identical to the masked stats form).  ``fracv=None`` selects
+    the reduced mode; otherwise P2/fracv are the banked interp matrix and
+    lerp fractions.  Returns (out [ch, G*K], new_hist)."""
+    nb_rs = -(-nb // qn) * qn
+    xlen = (nb_rs + qn) * M
+    buf, new_hist = _group_buf(hist, xs_flat, start, xlen, G, n, hist_len)
+    outs = [_group_chunk_out(buf, P2, fracv, g, start=start, K=K, n=n,
+                             M=M, L=L, nb=nb, qn=qn, precise=precise)
+            for g in range(G)]
+    return jnp.concatenate(outs, axis=1), new_hist
+
+
+def _floor_half_up_exact(code):
+    """floor(float64(code) + 0.5) computed exactly in f32/int32 ops.
+
+    float64(code) + 0.5 is exact (24-bit mantissa shifted <= 2^16 for the
+    |code| < 2^23 quantizer range), so the f64 floor equals
+    floor(code) + (code - floor(code) >= 0.5); both floor(code) and the
+    fractional part are exact in f32 (Sterbenz), and the >= compare is
+    exact — bit-identical to the reference's double rounding
+    (decimator.c:163) without any f64 pointwise math on device (f64
+    elementwise chains cost ~2 ms per 512K elements on this chip)."""
+    f = jnp.floor(code)
+    return f.astype(jnp.int32) + (code - f >= 0.5).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "start", "K", "G", "n", "M", "L", "nb", "qn", "hist_len",
+    "output_bits", "output_bytes", "precise"))
+def _chunk_group_static_packed(hist, xs_flat, P2, fracv, scaler, clips,
+                               start: int, K: int, G: int, n: int, M: int,
+                               L: int, nb: int, qn: int, hist_len: int,
+                               highclip: int, lowclip: int,
+                               output_bits: int, output_bytes: int,
+                               precise: bool = False):
+    """Flat-group steady state fused through ditherless quantization and
+    LE byte packing: resample -> scale -> round-half-up -> clip -> pack,
+    all in the lane-dense [ch, nK] orientation, packed bytes [ch,
+    G*K*output_bytes] as the only audio leaving the graph (half the HBM
+    bytes of the f32 form at 16-bit).  The quantizer is the no-dither
+    no-shaping decimator configuration (reference decimator.c:152-194
+    with dither=0, feedback=0), bit-exact via _floor_half_up_exact;
+    clipped-sample counts accumulate into ``clips`` (i32).  Returns
+    (packed u8 [ch, G*K*output_bytes], clips', new_hist)."""
+    nb_rs = -(-nb // qn) * qn
+    xlen = (nb_rs + qn) * M
+    buf, new_hist = _group_buf(hist, xs_flat, start, xlen, G, n, hist_len)
+    from ..ops.decimate_device import _mul_for
+    mul = _mul_for(xs_flat.dtype)
+    sc = jnp.asarray(scaler, xs_flat.dtype)
+    pre_zeros = output_bytes - ((output_bits + 7) // 8)
+    offset = 128 if output_bits <= 8 else 0
+    leftshift = (24 - output_bits) % 8
+    packs = []
+    for g in range(G):
+        out = _group_chunk_out(buf, P2, fracv, g, start=start, K=K, n=n,
+                               M=M, L=L, nb=nb, qn=qn, precise=precise)
+        ch = out.shape[0]
+        code = mul(out, sc)
+        ov = _floor_half_up_exact(code)
+        clips = clips + jnp.sum((ov > highclip) | (ov < lowclip),
+                                dtype=jnp.int32)
+        ov = jnp.clip(ov, lowclip, highclip)
+        v = (ov.astype(jnp.uint32) << jnp.uint32(leftshift)) \
+            + jnp.uint32(offset)
+        planes = [jnp.zeros((ch, K), jnp.uint8)] * pre_zeros
+        planes.append((v & 0xFF).astype(jnp.uint8))
+        if output_bits > 8:
+            planes.append(((v >> 8) & 0xFF).astype(jnp.uint8))
+            if output_bits > 16:
+                planes.append(((v >> 16) & 0xFF).astype(jnp.uint8))
+        planes += [jnp.zeros((ch, K), jnp.uint8)] \
+            * (output_bytes - len(planes))
+        packs.append(jnp.stack(planes, axis=2).reshape(
+            ch, K * output_bytes))
+    return jnp.concatenate(packs, axis=1), clips, new_hist
 
 
 def _chunk_body_interp(hist, x, P2, fracv, start, K, acc, M: int, L: int,
@@ -618,19 +739,15 @@ class DeviceStreamResampler:
             return outs, np.asarray(Ks)
         return outs, np.asarray(Ks), acc_out
 
-    def process_flat(self, xs_flat, n_in: int, acc):
-        """G periodic steady-state chunks over a FLAT [ch, G*n_in] buffer
-        in one fully-static dispatch, outputs consumed in-graph by the
-        power accumulator (see _chunk_group_static — the fastest shipped
-        form of the headline steady state: no scan, no per-chunk input
-        copies).  Works in both the reduced and the interpolated
-        single-shard modes; requires an exactly periodic plan (n_in a
-        multiple of the fundamental input period — use an M-multiple
-        chunk and absorb the first non-periodic chunk with process()
-        first; the interpolated mode additionally needs the repeating
-        phase pattern to pass the exact-tie oracle).  Raises ValueError
-        otherwise, with no state consumed.  Returns (Ks int array [G],
-        acc')."""
+    def _flat_plan(self, xs_flat, n_in: int):
+        """Shared flat-group plan validation: checks the group shape,
+        advances the consume/emit state G chunks, and returns
+        (G, K0, start0, nb, P2, fracv, state0) where P2/fracv are the
+        chunk matrix and lerp fractions (fracv=None in reduced mode) and
+        state0 is the pre-call (output_offset, input_index) for rollback.
+        Raises ValueError with the state ROLLED BACK when the plan is not
+        exactly periodic (or, interp mode, the phase pattern is not a
+        repeating verified one).  G == 0 signals the FLUSHED latch."""
         if self.mesh is not None:
             raise NotImplementedError("flat grouping is single-shard only")
         ch, total = xs_flat.shape
@@ -640,7 +757,7 @@ class DeviceStreamResampler:
         if self._flushed:
             # FLUSHED latch (reference resampler.c:438-439): input after
             # flush is ignored; state does not advance
-            return np.zeros((G,), np.int64), acc
+            return 0, 0, 0, 1, None, None, None
         if G * n_in < self.num_samples:
             raise ValueError("group must cover at least one history length")
         state0 = (self.output_offset, self.input_index)
@@ -673,15 +790,7 @@ class DeviceStreamResampler:
                                  "this configuration")
             K0, start0 = metas[0][0], metas[0][1]
             nb = max(-(-K0 // self.L), 1)
-            try:
-                self.hist, acc = _chunk_group_static_interp(
-                    self.hist, xs_flat, metas[0][2], metas[0][3], acc,
-                    int(start0), int(K0), G, n_in, self.M, self.L, nb,
-                    self.qn, self.num_samples, self._precise)
-            except BaseException:
-                self.output_offset, self.input_index = state0
-                raise
-            return np.asarray([m[0] for m in metas]), acc
+            return G, K0, start0, nb, metas[0][2], metas[0][3], state0
         plans = [self._plan(n_in) for _ in range(G)]
         if not all(p[:3] == plans[0][:3] for p in plans):
             self.output_offset, self.input_index = state0
@@ -691,15 +800,93 @@ class DeviceStreamResampler:
                              "first chunk with process()")
         K0, start0, j0 = plans[0][:3]
         nb = max(-(-K0 // self.L), 1)
+        return G, K0, start0, nb, self._matrix(j0), None, state0
+
+    def process_flat(self, xs_flat, n_in: int, acc):
+        """G periodic steady-state chunks over a FLAT [ch, G*n_in] buffer
+        in one fully-static dispatch, outputs consumed in-graph by the
+        power accumulator (see _chunk_group_static — the fastest shipped
+        form of the headline steady state: no scan, no per-chunk input
+        copies).  Works in both the reduced and the interpolated
+        single-shard modes; requires an exactly periodic plan (n_in a
+        multiple of the fundamental input period — use an M-multiple
+        chunk and absorb the first non-periodic chunk with process()
+        first; the interpolated mode additionally needs the repeating
+        phase pattern to pass the exact-tie oracle).  Raises ValueError
+        otherwise, with no state consumed.  Returns (Ks int array [G],
+        acc')."""
+        G, K0, start0, nb, Pm, fracv, state0 = self._flat_plan(xs_flat,
+                                                               n_in)
+        if G == 0:
+            return np.zeros((xs_flat.shape[1] // n_in,), np.int64), acc
         try:
-            self.hist, acc = _chunk_group_static(
-                self.hist, xs_flat, self._matrix(j0), acc, int(start0),
-                int(K0), G, n_in, self.M, self.L, nb, self.qn,
-                self.num_samples, self._precise)
+            if fracv is not None:
+                self.hist, acc = _chunk_group_static_interp(
+                    self.hist, xs_flat, Pm, fracv, acc, int(start0),
+                    int(K0), G, n_in, self.M, self.L, nb, self.qn,
+                    self.num_samples, self._precise)
+            else:
+                self.hist, acc = _chunk_group_static(
+                    self.hist, xs_flat, Pm, acc, int(start0), int(K0), G,
+                    n_in, self.M, self.L, nb, self.qn, self.num_samples,
+                    self._precise)
         except BaseException:
             self.output_offset, self.input_index = state0
             raise
-        return np.asarray([p[0] for p in plans]), acc
+        return np.full((G,), K0, np.int64), acc
+
+    def process_flat_out(self, xs_flat, n_in: int):
+        """Flat-group steady state DELIVERING the audio: same plan
+        contract as process_flat, but the dispatch's result is the valid
+        output samples [ch, G*K0] materialized to HBM (the reference
+        always hands callers real output buffers, resampler.c:523-527) —
+        no validity mask, no power pass; the samples are bitwise-identical
+        to process() / process_flat's masked prefix.  Returns
+        (out [ch, G*K0] device array, Ks int array [G])."""
+        G, K0, start0, nb, Pm, fracv, state0 = self._flat_plan(xs_flat,
+                                                               n_in)
+        if G == 0:
+            ch = xs_flat.shape[0]
+            return jnp.zeros((ch, 0), xs_flat.dtype), \
+                np.zeros((xs_flat.shape[1] // n_in,), np.int64)
+        try:
+            out, self.hist = _chunk_group_static_out(
+                self.hist, xs_flat, Pm, fracv, int(start0), int(K0), G,
+                n_in, self.M, self.L, nb, self.qn, self.num_samples,
+                self._precise)
+        except BaseException:
+            self.output_offset, self.input_index = state0
+            raise
+        return out, np.full((G,), K0, np.int64)
+
+    def process_flat_packed(self, xs_flat, n_in: int, clips, *,
+                            scaler: float, highclip: int, lowclip: int,
+                            output_bits: int = 16, output_bytes: int = 2):
+        """Flat-group steady state fused through the ditherless
+        no-shaping decimator configuration: the only audio leaving the
+        graph is packed little-endian PCM bytes [ch, G*K0*output_bytes]
+        (planar per-channel packing, reference decimateProcessLE
+        decimator.c:112-199 with dither/shaping off) — at 16-bit, half
+        the HBM bytes of the f32 form.  Quantization is bit-exact to the
+        host/device decimators (see _floor_half_up_exact).  ``clips``
+        accumulates the clipped-sample count on device.  Returns
+        (packed u8 [ch, G*K0*output_bytes], Ks int array [G], clips')."""
+        G, K0, start0, nb, Pm, fracv, state0 = self._flat_plan(xs_flat,
+                                                               n_in)
+        if G == 0:
+            ch = xs_flat.shape[0]
+            return jnp.zeros((ch, 0), jnp.uint8), \
+                np.zeros((xs_flat.shape[1] // n_in,), np.int64), clips
+        try:
+            packed, clips, self.hist = _chunk_group_static_packed(
+                self.hist, xs_flat, Pm, fracv, scaler, clips, int(start0),
+                int(K0), G, n_in, self.M, self.L, nb, self.qn,
+                self.num_samples, highclip, lowclip, output_bits,
+                output_bytes, self._precise)
+        except BaseException:
+            self.output_offset, self.input_index = state0
+            raise
+        return packed, np.full((G,), K0, np.int64), clips
 
     def _process_scan_interp(self, xs, n_in: int, acc, stats: bool = False):
         """Interpolated-mode scan batching: the per-chunk banked matrices

@@ -645,6 +645,74 @@ def test_process_flat_matches_sequential(ctor):
     assert (b.output_offset, b.input_index) == state
 
 
+@pytest.mark.parametrize("ctor", [
+    # reduced mode
+    (2, 64, 380, 44100, 48000, 0, IBL),
+    # interpolated mode, dyadic period (flat path engages)
+    (1, 48, 48, 5000, 256000, 0, IB),
+])
+def test_process_flat_out_and_packed_match_sequential(ctor):
+    """process_flat_out delivers [ch, G*K] output samples bitwise equal
+    to sequential process()'s valid prefixes (the audio-materializing
+    flat form: static-slice instead of mask, concat fused into the dot
+    epilogues), and process_flat_packed's bytes equal the device
+    quantizer (quantize_flat_dev with no dither) + pack on those
+    samples, with matching clip counts.  State (hist/position/Ks)
+    advances identically across all three engines."""
+    from art_tpu.ops import decimate_device as dd
+
+    lcg = NoiseLCG()
+    ch = ctor[0]
+    a = DeviceStreamResampler(*ctor)                  # sequential oracle
+    b = DeviceStreamResampler(*ctor)                  # flat_out
+    c = DeviceStreamResampler(*ctor)                  # flat_packed
+    for e in (a, b, c):
+        e.advance_position(ctor[1] // 2)
+    G = 5
+    n = max(8, -(-a.num_samples // (G * a.M)) + 1) * a.M
+    xs = jnp.asarray(lcg.fill(G * ch * n).reshape(G, ch, n))
+    first = jnp.asarray(lcg.fill(ch * n).reshape(ch, n))
+    for e in (a, b, c):
+        e.process(first, n)
+    outs_a, Ks_a = [], []
+    for g in range(G):
+        o, K = a.process(xs[g], n)
+        outs_a.append(np.asarray(o)[:, :K])
+        Ks_a.append(K)
+    flat = jnp.concatenate([xs[g] for g in range(G)], axis=1)
+    out_b, Ks_b = b.process_flat_out(flat, n)
+    assert list(Ks_b) == Ks_a
+    np.testing.assert_array_equal(np.asarray(out_b),
+                                  np.concatenate(outs_a, axis=1))
+    np.testing.assert_array_equal(np.asarray(b.hist), np.asarray(a.hist))
+    assert a.get_position() == b.get_position()
+
+    # packed: 16-bit, gain 1.5 (drives a few clips on the LCG noise)
+    scaler, hi, lo = 32768.0 * 1.5, 32767, -32768
+    clips0 = jnp.zeros((), jnp.int32)
+    packed, Ks_c, clips = c.process_flat_packed(
+        flat, n, clips0, scaler=scaler, highclip=hi, lowclip=lo)
+    assert list(Ks_c) == Ks_a
+    np.testing.assert_array_equal(np.asarray(c.hist), np.asarray(a.hist))
+    # oracle: the shipped device quantizer + packer on the exact samples
+    samples = jnp.asarray(np.concatenate(outs_a, axis=1).T)   # [nK, ch]
+    ov, clipf = dd.quantize_flat_dev(samples, None, scaler,
+                                     jnp.zeros((ch,), samples.dtype),
+                                     hi, lo)
+    want = np.asarray(dd.pack_bytes_dev(ov, 16, 2))           # [nK, ch*2]
+    got = np.asarray(packed)                                  # [ch, nK*2]
+    nK = samples.shape[0]
+    got_il = got.reshape(ch, nK, 2).transpose(1, 0, 2).reshape(nK, ch * 2)
+    np.testing.assert_array_equal(got_il, want)
+    assert int(clips) == int(jnp.sum(clipf))
+    assert int(clips) > 0  # the gain choice actually exercises clipping
+
+    # FLUSHED latch: no audio, no state advance
+    b._flushed = True
+    out0, Ks0 = b.process_flat_out(flat, n)
+    assert out0.shape == (ch, 0) and list(Ks0) == [0] * G
+
+
 def test_process_scan_rejects_mesh_mode():
     from art_tpu.parallel.sharding import make_mesh
     eng = DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL,
