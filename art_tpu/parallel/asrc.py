@@ -149,7 +149,7 @@ class BatchedASRC:
                  *, dtype=np.float32, blackman_harris: bool = True,
                  kernel: str = "auto", mesh=None, dense_kb: int = 128,
                  hankel_kb: int = 128, hankel_smax: int = 4,
-                 hankel_smax_wide: int = 64):
+                 hankel_smax_wide: int = 64, lowpass_ratio: float = 1.0):
         """``mesh``: optional jax.sharding.Mesh with a "streams" axis; stream
         state and chunks are sharded across it (streams are independent, so
         scale-out needs no hot-path collectives).
@@ -169,8 +169,12 @@ class BatchedASRC:
         self.num_filters = num_filters
         self.num_samples = num_taps * HISTORY_MULTIPLE
         self.kernel = kernel
-        self.bank = make_filter_bank(num_taps, num_filters, 1.0,
-                                     blackman_harris, self.dtype.type)
+        # lowpass folds into the sinc argument exactly like the fixed
+        # engines (reference init_filter, resampler.c:1111); 1.0 = none
+        self.lowpass_ratio = float(lowpass_ratio)
+        self.bank = make_filter_bank(num_taps, num_filters,
+                                     self.lowpass_ratio, blackman_harris,
+                                     self.dtype.type)
         self._bank_dev = jnp.asarray(self.bank)
         self._bank_pallas = None
         self._bank_dense = None
