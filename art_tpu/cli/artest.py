@@ -47,8 +47,9 @@ USAGE = """
            -p          = precise (doubles) convolution
            -v          = test non-interleaved (planar) API path
            --f64       = 64-bit data path
-           --backend=<numpy|jax|device> (device = the TPU streaming
-                         engine for the -e resample path, host edges)
+           --backend=<numpy|jax|device> (device = the TPU engines: the
+                         fixed-ratio streaming engine with -e, the
+                         runtime-ratio BatchedASRC without)
            --precise   = device backend: f64-accumulated contraction
                          dots (the within-0.1-dB-of-C operating point)
            --timing    = per-stage wall-clock summary
@@ -217,18 +218,21 @@ def main(argv=None) -> int:
                   f"{int(lr * src / 2.0)} Hz, {interp} interpolation",
                   file=sys.stderr)
 
-    if backend == "device" and not exact:
-        # the device streaming engine is the fixed-ratio steady-state path
-        # (reference resampleFixedRatioInit, resampler.c:310-356); the
-        # runtime-ratio interpolated mode stays on the host engines
-        raise SystemExit("--backend=device requires exact resampling (-e)!")
     if precise and backend != "device":
         raise SystemExit("--precise applies to --backend=device!")
+    if precise and not exact:
+        raise SystemExit("--precise applies to the exact (-e) device "
+                         "path; the runtime-ratio ASRC engine has no "
+                         "precise mode!")
     if precise and dtype == np.float64:
         # the f64 data path already accumulates natively in f64; the
         # engine would silently drop the flag (streams.py _precise gate)
         raise SystemExit("--precise is the f32 data path's f64-accumulate "
                          "mode; the --f64 path is already f64!")
+    if backend == "device" and not exact \
+            and (flags & EXTRAPOLATE_ENDPOINTS):
+        raise SystemExit("-x is not modeled by the runtime-ratio device "
+                         "engine; drop -x or use -e!")
 
     def make_resampler(src, dst):
         if backend == "device":
@@ -252,15 +256,24 @@ def main(argv=None) -> int:
                              "w2 --> w4")
                 inv_ratio = ratio = 0.0
             else:
-                resampler = Resampler(chans, taps, filters,
-                                      lowpass_freq * 2.0 / source_rate,
-                                      flags, dtype=dtype, backend=backend)
+                def make_interp(lp_ratio):
+                    if backend == "device":
+                        # the runtime-ratio interpolated path on device:
+                        # channels ride as BatchedASRC streams (the
+                        # reference resampleProcess-with-ratio contract,
+                        # resampler.c:433-541 / artest.c:380-437)
+                        from ..parallel.asrc import ASRCStreamResampler
+                        return ASRCStreamResampler(chans, taps, filters,
+                                                   lp_ratio, flags,
+                                                   dtype=dtype)
+                    return Resampler(chans, taps, filters, lp_ratio,
+                                     flags, dtype=dtype, backend=backend)
+
+                resampler = make_interp(lowpass_freq * 2.0 / source_rate)
                 describe(resampler, source_rate, destin_rate, "w1 --> w2")
                 if inv_resample:
-                    inv_resampler = Resampler(
-                        chans, taps, filters,
-                        lowpass_freq * 2.0 / destin_rate,
-                        flags, dtype=dtype, backend=backend)
+                    inv_resampler = make_interp(
+                        lowpass_freq * 2.0 / destin_rate)
                     describe(inv_resampler, destin_rate, source_rate,
                              "w2 --> w4")
             resampler.advance_position(taps / 2.0)

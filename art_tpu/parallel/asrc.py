@@ -651,3 +651,135 @@ class BatchedASRC:
         out = asrc_apply_pallas(bufp, self._bank_pallas, base, fip, frp,
                                 kb=kb, interpret=interpret)
         return out[:, :k_max], new_hist
+
+
+class ASRCStreamResampler:
+    """artest/host-API adapter over BatchedASRC: the runtime-ratio
+    interpolated resampler on device, channels riding as streams.
+
+    This is the device form of the reference's plain ``resampleInit`` +
+    per-call-ratio ``resampleProcess`` contract (reference
+    resampler.c:433-541 with SUBSAMPLE_INTERPOLATE; the ASRC usage
+    pattern, SURVEY §3.5) — the path ``artest`` takes WITHOUT ``-e``
+    (reference artest.c:380-437).  Exposes the host engine's
+    ``process_interleaved`` / ``process_and_flush_interleaved`` surface
+    so the artest CLI is agnostic.
+
+    Channel rows pad up to the pallas-kernel lane geometry (8) so the
+    Hankel/dense kernels engage; pad rows carry zero history and inert
+    ratios.  Counts and positions are exact vs the C semantics (the
+    engine's ring-tie bracket, core.accounting); output samples sit in
+    the f32 kernel class of the host engine (f64-exact positions are
+    tracked on host; device positions run double-single f32).
+    """
+
+    def __init__(self, num_channels: int, num_taps: int, num_filters: int,
+                 lowpass_ratio: float, flags: int, *, dtype=np.float32,
+                 kernel: str | None = None):
+        from ..core.flags import (BLACKMAN_HARRIS, EXTRAPOLATE_ENDPOINTS,
+                                  SUBSAMPLE_INTERPOLATE)
+        if kernel is None:
+            # pallas-family kernels only run natively on TPU; off-chip
+            # (tests, CPU fallback deployments) the interpret-mode kernel
+            # is orders of magnitude slower than the portable XLA step,
+            # whose equality to the kernels is tested separately
+            kernel = "auto" if jax.default_backend() == "tpu" else "xla"
+        from ..core.filters import resolve_lowpass
+        if not (flags & SUBSAMPLE_INTERPOLATE):
+            raise ValueError("ASRCStreamResampler is the interpolated "
+                             "runtime-ratio engine; pass "
+                             "SUBSAMPLE_INTERPOLATE (use the fixed-ratio "
+                             "device engines otherwise)")
+        if flags & EXTRAPOLATE_ENDPOINTS:
+            raise ValueError("EXTRAPOLATE_ENDPOINTS is not modeled by the "
+                             "device ASRC engine; use the host Resampler")
+        lowpass_ratio, flags = resolve_lowpass(lowpass_ratio, flags)
+        self._ch = num_channels
+        self._S = max(8, -(-num_channels // 8) * 8)
+        self.flags = flags
+        self.lowpass_ratio = lowpass_ratio
+        self.num_taps = num_taps
+        self.asrc = BatchedASRC(self._S, num_taps, num_filters,
+                                dtype=dtype,
+                                blackman_harris=bool(flags
+                                                     & BLACKMAN_HARRIS),
+                                kernel=kernel,
+                                lowpass_ratio=lowpass_ratio)
+        self.dtype = self.asrc.dtype
+
+    # ------------------------------------------------------------- queries
+    def advance_position(self, delta: float) -> None:
+        self.asrc.advance_position(float(delta))
+
+    def get_position(self) -> float:
+        return float(self.asrc.get_position()[0])
+
+    def get_lowpass_ratio(self) -> float:
+        return self.lowpass_ratio
+
+    def get_num_filters(self) -> int:
+        return self.asrc.num_filters
+
+    def interpolation_used(self) -> int:
+        return 1
+
+    # ------------------------------------------------------------- process
+    def _ratios(self, ratio: float) -> np.ndarray:
+        if not ratio or ratio <= 0.0:
+            raise ValueError("the runtime-ratio engine needs a positive "
+                             "per-call ratio (reference resampleProcess "
+                             "ratio argument)")
+        return np.full(self._S, float(ratio), np.float64)
+
+    def process_interleaved(self, data, n_in: int, n_out: int,
+                            ratio: float = 0.0):
+        """Reference resampleProcessInterleaved semantics for the artest
+        harness shape: consumes all n_in frames (the harness sizes n_out
+        to worst case and treats saturation as fatal, artest.c:486-489);
+        flush via n_in < 0.  Returns ([K, ch] host array,
+        ResampleResult)."""
+        from ..engines.resampler import ResampleResult
+        if n_in is not None and n_in < 0:
+            return self._flush(n_out, ratio)
+        host = np.zeros((self._S, n_in), self.dtype)
+        host[:self._ch] = np.asarray(data)[:n_in].T
+        x = jnp.asarray(host)
+        out, Ks = self.asrc.process(x, self._ratios(ratio), k_max=n_out)
+        K = int(Ks[0])
+        assert (Ks[:self._ch] == K).all()
+        buf = np.ascontiguousarray(
+            np.asarray(out[:self._ch, :K]).T.astype(self.dtype))
+        return buf, ResampleResult(n_in, K)
+
+    def _flush(self, n_out: int, ratio: float):
+        from ..engines.resampler import ResampleResult
+        out, Ks = self.asrc.flush(self._ratios(ratio), k_max=n_out)
+        K = int(Ks[0])
+        assert (Ks[:self._ch] == K).all()
+        buf = np.ascontiguousarray(
+            np.asarray(out[:self._ch, :K]).T.astype(self.dtype))
+        return buf, ResampleResult(0, K)
+
+    def process(self, data, n_in: int, n_out: int, ratio: float = 0.0):
+        """Planar form (host-engine contract: [ch, n] in, [ch, K] out)."""
+        inter = None if data is None else \
+            np.ascontiguousarray(np.asarray(data).T)
+        out, res = self.process_interleaved(inter, n_in, n_out, ratio)
+        return np.ascontiguousarray(out.T), res
+
+    def process_and_flush_interleaved(self, data, n_in: int, n_out: int,
+                                      ratio: float = 0.0):
+        """Process the final block then flush in one call (reference
+        resampleProcessAndFlushInterleaved, resampler.c:741-758)."""
+        out1, res = self.process_interleaved(data, n_in, n_out, ratio)
+        out2, fres = self._flush(n_out - res.output_generated, ratio)
+        res.output_generated += fres.output_generated
+        return np.concatenate([out1, out2], axis=0), res
+
+    def process_and_flush(self, data, n_in: int, n_out: int,
+                          ratio: float = 0.0):
+        inter = None if data is None else \
+            np.ascontiguousarray(np.asarray(data).T)
+        out, res = self.process_and_flush_interleaved(inter, n_in, n_out,
+                                                      ratio)
+        return np.ascontiguousarray(out.T), res

@@ -22,6 +22,8 @@ threaded == unthreaded guarantee).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from .._jaxinit import ensure_jax
@@ -68,12 +70,22 @@ def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
     guarantee: such callers pass ``defer_round=True`` to receive the f64
     partials and round AFTER the psum (caught in review).
     """
+    if isinstance(P_local, OzakiPlan):
+        # int8 fixed-point mode (precise="int8"): single-shard only —
+        # the engines gate mesh configurations out before reaching here
+        assert qn_local == qn_pad
+        return ozaki_window_dots(win, P_local, M=M, nb_rs=nb_rs,
+                                 qn_pad=qn_pad)
+    if precise == "int8":
+        raise TypeError("precise='int8' needs an OzakiPlan operand; this "
+                        "path received a raw matrix (unsupported "
+                        "combination — engine gates should prevent this)")
     S = win.shape[0]
     nr = nb_rs // qn_pad
     KQ = qn_pad * M
-    acc_dt = jnp.float64 if precise else win.dtype
+    acc_dt = jnp.float64 if precise is True else win.dtype
     if (qn_pad > 1 and qn_local == qn_pad
-            and (precise or win.dtype == jnp.float64)):
+            and (precise is True or win.dtype == jnp.float64)):
         # f64-accumulated: ONE banded-wide dot instead of qn_pad anchor
         # dots.  The emulated-f64 (or f64-ACCUMULATED — same cost) dot is
         # output-tile-bound with strong lane-tile sensitivity (N = L2 <
@@ -120,6 +132,210 @@ def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
             precision=jax.lax.Precision.HIGHEST)
         outs.append(d.astype(win.dtype) if precise and not defer_round
                     else d)
+    # [S, nr, qn_pad, L2] -> [S, nb_rs, L2]; i = j*qn_pad + r, pure reshape
+    return jnp.stack(outs, axis=2).reshape(S, nb_rs, -1)
+
+
+class OzakiPlan:
+    """Per-anchor operands for the int8 fixed-point (Ozaki-split)
+    contraction — see ozaki_window_dots.  ``Pstack`` int8 [ndv*rows,
+    NW*L2] stacks the static P digit planes so weight group w's column
+    block sums digit pairs (i, j = w - i) exactly in the MXU's int32
+    accumulator; ``P32`` is the f32 matrix for the residual dot; ``wts``
+    the group significances.  Registered as a pytree (leaves: Pstack,
+    P32) so plans flow through the existing jitted chunk steps in the
+    P-matrix operand slot."""
+
+    SV = 19          # |input| < 2 headroom; vi = round(v * 2^SV) int32
+    NDV = 3          # 21-bit V capture, 3 signed base-128 digits
+    NDP = 5          # 35-bit P capture; the w=4 group is REQUIRED
+    NW = 5           # groups w = 0..4 (w >= 5 are <= 2^-35-relative)
+
+    def __init__(self, Pstack, P32, wts):
+        self.Pstack, self.P32, self.wts = Pstack, P32, tuple(wts)
+
+    @classmethod
+    def scale_for(cls, max_abs: float) -> int:
+        """Largest sp with round(p * 2^sp) inside the NDP-digit range for
+        |p| <= max_abs (the +0.5 rint overshoot covered by the -1)."""
+        lim = 1 << (7 * cls.NDP - 1)         # leading digit fits int8
+        maxp = max(float(max_abs), 2.0 ** -40)
+        sp = int(np.floor(np.log2((lim - 1) / maxp)))
+        while np.rint(maxp * 2.0 ** sp) >= lim:
+            sp -= 1
+        return sp
+
+    @classmethod
+    def weights(cls, sp: int):
+        return tuple(
+            np.float32(2.0 ** (7 * (cls.NDV - 1) + 7 * (cls.NDP - 1)
+                               - 7 * w - cls.SV - sp))
+            for w in range(cls.NW))
+
+    @classmethod
+    def from_host(cls, P_np: np.ndarray, sp: int | None = None):
+        rows, L2 = P_np.shape
+        if sp is None:
+            sp = cls.scale_for(np.abs(P_np).max())
+        pi = np.rint(P_np.astype(np.float64) * 2.0 ** sp).astype(np.int64)
+        assert np.abs(pi).max() < (1 << (7 * cls.NDP - 1))
+        eds, rem = [], pi
+        for _ in range(cls.NDP - 1):
+            low = ((rem + 64) & 127) - 64
+            eds.append(low)
+            rem = (rem - low) >> 7
+        eds.append(rem)
+        eds = eds[::-1]                       # most significant first
+        stack = np.zeros((cls.NDV * rows, cls.NW * L2), np.int8)
+        for w in range(cls.NW):
+            for i in range(cls.NDV):
+                j = w - i
+                if 0 <= j < cls.NDP:
+                    stack[i * rows:(i + 1) * rows,
+                          w * L2:(w + 1) * L2] = eds[j]
+        return cls(jnp.asarray(stack), jnp.asarray(P_np.astype(np.float32)),
+                   cls.weights(sp))
+
+    @classmethod
+    def from_device(cls, P_dev, sp: int):
+        """Build the digit stack ON DEVICE from an f32 matrix already
+        there (one-time per anchor/pattern; avoids re-uploading ~MB digit
+        planes through the tunnel).  The f64 pointwise split is exact for
+        |pi| < 2^53 and runs once, off the hot path."""
+        Pstack = _ozaki_pstack_dev(P_dev, sp)
+        return cls(Pstack, P_dev.astype(jnp.float32), cls.weights(sp))
+
+
+def _ozaki_plan_flatten(p):
+    return (p.Pstack, p.P32), p.wts
+
+
+def _ozaki_plan_unflatten(wts, leaves):
+    return OzakiPlan(leaves[0], leaves[1], wts)
+
+
+jax.tree_util.register_pytree_node(OzakiPlan, _ozaki_plan_flatten,
+                                   _ozaki_plan_unflatten)
+
+
+@functools.partial(jax.jit, static_argnames=("sp",))
+def _ozaki_pstack_dev(P_dev, sp: int):
+    """Device-side P digit-plane builder (see OzakiPlan.from_device)."""
+    rows, L2 = P_dev.shape
+    pi = jnp.rint(P_dev.astype(jnp.float64) * 2.0 ** sp)
+    eds, rem = [], pi
+    for _ in range(OzakiPlan.NDP - 1):
+        low = jnp.mod(rem + 64.0, 128.0) - 64.0
+        eds.append(low)
+        rem = (rem - low) * (1.0 / 128.0)
+    eds.append(rem)
+    eds = [e.astype(jnp.int32).astype(jnp.int8) for e in eds[::-1]]
+    stack = jnp.zeros((OzakiPlan.NDV * rows, OzakiPlan.NW * L2), jnp.int8)
+    for w in range(OzakiPlan.NW):
+        for i in range(OzakiPlan.NDV):
+            j = w - i
+            if 0 <= j < OzakiPlan.NDP:
+                stack = jax.lax.dynamic_update_slice(
+                    stack, eds[j], (i * rows, w * L2))
+    return stack
+
+
+def _two_sum(a, b):
+    """Knuth branch-free exact addition (adds/subs only — no FMA
+    contraction hazard).  Exact on TPU hardware; XLA:CPU can corrupt EFT
+    chains graph-shape-dependently (CLAUDE.md), so CPU tests bound the
+    int8 mode at f32-class tolerances and exactness is validated on-chip
+    (tools/exp_ozaki*.py, mosaic smoke)."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _ds_round_once(parts):
+    """Sum parts (descending significance) with a double-single
+    accumulator and round once: the combine contributes ~2^-48-class
+    error on-chip, so the mode's total error is the single output
+    rounding plus the tiny residual-dot noise."""
+    hi = parts[0]
+    lo = jnp.zeros_like(hi)
+    for p in parts[1:]:
+        hi, e = _two_sum(hi, p)
+        lo = lo + e
+    return hi + lo
+
+
+def _ozaki_digit_planes(win):
+    """Slice an f32 window into the int8 digit planes + exact residual.
+
+    vi = round(win * 2^SV) clamped to the 3-digit range (out-of-range
+    peaks — |v| >= 2 — degrade gracefully: the clamp excess moves to the
+    exact f32 residual and is handled by the residual dot at its
+    precision); digit extraction is pure int32 arithmetic, and
+    vm = vi * 2^-SV / vr = win - vm are exact in f32 (vi < 2^21; the
+    difference is representable)."""
+    sv = OzakiPlan.SV
+    lim = (1 << (7 * OzakiPlan.NDV - 1)) - 1
+    vi = jnp.clip(jnp.rint(win * np.float32(2.0 ** sv)),
+                  -lim, lim).astype(jnp.int32)
+    digs = []
+    rem = vi
+    for _ in range(OzakiPlan.NDV - 1):
+        low = ((rem + 64) & 127) - 64
+        digs.append(low)
+        rem = (rem - low) >> 7
+    digs.append(rem)
+    planes = jnp.concatenate(
+        [d.astype(jnp.int8) for d in digs[::-1]], axis=0)  # [ndv*S, xlen]
+    vr = win - vi.astype(jnp.float32) * np.float32(2.0 ** -sv)
+    return planes, vr
+
+
+def ozaki_window_dots(win, plan: OzakiPlan, *, M: int, nb_rs: int,
+                      qn_pad: int):
+    """Residue-split block-Toeplitz contraction at the int8 fixed-point
+    (Ozaki-split) operating point: ~the f64-accumulate single-rounding
+    floor (0.305x the HIGHEST dot's error; round-trip lands BETTER than
+    the C reference) at ~1.15x the f32 HIGHEST cost (tools/exp_ozaki.py,
+    on-chip).  The MXU's f32 accumulator noise cannot be reduced by any
+    K-split (tools/exp_fid_schemes.py: 0.94-0.98x even with f64 partial
+    combination), so the escape is EXACT accumulation: V rides as 3
+    signed base-128 digits of round(v*2^19) through ONE int8 [.., 3K] @
+    [3K, 5*L2] -> int32 dot whose col block w sums digit pairs i+j == w
+    (each block <= 3*K*64^2 < 2^24: int32 accumulation and the
+    int32->f32 convert are both exact); P rides as 5 static digits
+    (the w=4 group is required — dropping it costs 6.1x); the exact f32
+    remainder Vr = v - vi*2^-19 contracts against the f32 matrix in one
+    DEFAULT-precision dot (its noise enters at 2^-20 relative); the
+    weighted groups + residual combine through a two_sum chain and round
+    once.  Single-shard form (qn_local == qn_pad).
+
+    Returns [S, nb_rs, L2] f32 — same contract as residue_window_dots.
+    """
+    S = win.shape[0]
+    nr = nb_rs // qn_pad
+    KQ = qn_pad * M
+    L2 = plan.P32.shape[1]
+    planes, vr = _ozaki_digit_planes(win)
+    outs = []
+    for r in range(qn_pad):
+        # digit-plane views of anchor r's window rows, stacked along K:
+        # [S, nr, ndv*KQ] — each plane slice is the same pure
+        # reshape-of-slice view residue_window_dots uses
+        Vd = [jax.lax.slice(planes, (d * S, r * M),
+                            ((d + 1) * S, r * M + nr * KQ))
+              .reshape(S, nr, KQ) for d in range(OzakiPlan.NDV)]
+        V8 = jnp.concatenate(Vd, axis=2)
+        blk = jax.lax.dot_general(
+            V8, plan.Pstack, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        Vr = jax.lax.slice(vr, (0, r * M), (S, r * M + nr * KQ)) \
+            .reshape(S, nr, KQ)
+        t2 = jax.lax.dot_general(
+            Vr, plan.P32, dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT)
+        parts = [blk[:, :, w * L2:(w + 1) * L2].astype(jnp.float32)
+                 * plan.wts[w] for w in range(OzakiPlan.NW)]
+        outs.append(_ds_round_once(parts + [t2]))
     # [S, nr, qn_pad, L2] -> [S, nb_rs, L2]; i = j*qn_pad + r, pure reshape
     return jnp.stack(outs, axis=2).reshape(S, nb_rs, -1)
 

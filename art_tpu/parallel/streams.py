@@ -578,15 +578,32 @@ class DeviceStreamResampler:
         # on-chip A/B
         self._pallas = bool(pallas_step and self.dtype == np.float32
                             and mesh is None)
-        # precise mode: f64-accumulated contraction dots, rounded once to
-        # the data dtype (residue_window_dots docstring) — the shipped
-        # within-0.1-dB-of-C operating point.  f32 data only (the f64
-        # path accumulates in f64 natively); exclusive with the Pallas
-        # body.
-        self._precise = bool(precise and self.dtype == np.float32)
+        # precise modes, f32 data only (the f64 path accumulates in f64
+        # natively); both exclusive with the Pallas body:
+        #   True   — f64-accumulated contraction dots, rounded once
+        #            (residue_window_dots docstring; ~4x dot cost);
+        #   "int8" — int8 fixed-point (Ozaki-split) dots at the SAME
+        #            single-rounding accuracy floor for ~1.15x dot cost
+        #            (ozaki_window_dots docstring; round-trip lands
+        #            BETTER than the C reference) — the joint
+        #            throughput+fidelity operating point.
+        if precise == "int8":
+            if self.dtype != np.float32:
+                raise ValueError("precise='int8' is the f32 data path's "
+                                 "fixed-point mode")
+            if mesh is not None:
+                raise NotImplementedError("precise='int8' is single-shard "
+                                          "(use precise=True under a mesh)")
+            self._precise = "int8"
+            from .pipeline import OzakiPlan
+            self._ozaki_sp = OzakiPlan.scale_for(
+                max(float(np.abs(self.bank).max()), 1.0))
+            self._plans: dict[int, object] = {}
+        else:
+            self._precise = bool(precise and self.dtype == np.float32)
         if self._precise and self._pallas:
-            raise ValueError("precise (f64-accumulate) mode is the XLA "
-                             "body only; drop pallas_step")
+            raise ValueError("precise modes are the XLA body only; drop "
+                             "pallas_step")
         self._interp_cache: dict = {}
         self._pattern_safe_cache: dict = {}
         self._last_interp = None           # steady-state pattern reuse
@@ -656,6 +673,16 @@ class DeviceStreamResampler:
             P[:pm.S, :] = pm.P.T
             m = jnp.asarray(P)
             self._mats[j0] = m
+        if self._precise == "int8":
+            pl = self._plans.get(j0)
+            if pl is None:
+                from .pipeline import OzakiPlan
+                # digit planes built on device from the uploaded f32
+                # matrix (one jitted f64 pointwise split per anchor,
+                # off the hot path)
+                pl = OzakiPlan.from_device(m, self._ozaki_sp)
+                self._plans[j0] = pl
+            return pl
         return m
 
     def _stacked_matrices(self):
@@ -718,6 +745,29 @@ class DeviceStreamResampler:
                     self.hist, xs, self._matrix(j0), acc_in, int(start0),
                     int(K0), self.M, self.L, nb, self.qn, self.num_samples,
                     self._pallas, stats, self._precise)
+            elif self._precise == "int8":
+                # mixed plans cannot ride the stacked-anchor-bank scan in
+                # int8 mode (each anchor's operand is an OzakiPlan, not a
+                # bank row): fall back to sequential chunks
+                self.output_offset, self.input_index = state0
+                outs, Ks, accs = [], [], acc
+                for g in range(G):
+                    r = self.process(xs[g], n_in, accs)
+                    outs.append(r[0])
+                    Ks.append(r[1])
+                    if acc is not None:
+                        accs = r[2]
+                if stats:
+                    return None, np.asarray(Ks), accs
+                nbL = max(o.shape[1] for o in outs)
+                outs = jnp.stack([
+                    jnp.concatenate(
+                        [o, jnp.zeros((o.shape[0], nbL - o.shape[1]),
+                                      o.dtype)], axis=1)
+                    if o.shape[1] != nbL else o for o in outs])
+                if acc is None:
+                    return outs, np.asarray(Ks)
+                return outs, np.asarray(Ks), accs
             else:
                 # mixed plans: dynamic meta + stacked anchor bank (built/
                 # validated inside the try so a size rejection rolls the
@@ -911,8 +961,13 @@ class DeviceStreamResampler:
             self.output_offset = plan.new_output_offset
             self.input_index = plan.new_input_index
             metas.append((K, start, P2, fracv))
-        if not safe:
-            # restore and take the slow exact path chunk by chunk
+        same = safe and all(m[0] == metas[0][0] and m[1] == metas[0][1]
+                            and m[2] is metas[0][2] and m[3] is metas[0][3]
+                            for m in metas)
+        if not safe or (not same and self._precise == "int8"):
+            # restore and take the slow exact path chunk by chunk (tie
+            # class — or a mixed-pattern group in int8 mode, whose plans
+            # cannot ride the stacked-operand scan)
             self.output_offset, self.input_index = state0
             outs, Ks, accs = [], [], acc
             for g in range(G):
@@ -938,9 +993,7 @@ class DeviceStreamResampler:
         nb = max(max(-(-k // self.L) for k in Ks), 1)
         try:
             acc_in = acc if acc is not None else jnp.zeros((), self.dtype)
-            if all(m[0] == metas[0][0] and m[1] == metas[0][1]
-                   and m[2] is metas[0][2] and m[3] is metas[0][3]
-                   for m in metas):
+            if same:
                 # periodic steady state with a repeating phase pattern
                 # (cache identity on the banked matrix/fractions): static
                 # plan, one matrix operand — see _chunk_scan_step_static
@@ -1135,6 +1188,11 @@ class DeviceStreamResampler:
                 self._bank_dev, jnp.asarray(d.astype(np.int32)),
                 jnp.asarray(fi.astype(np.int32)),
                 qn_rows * self.M, self.L, self.num_taps)
+            if self._precise == "int8":
+                # int8 mode: the pattern's dot operand is its OzakiPlan
+                # (digit planes split on device, once per cached pattern)
+                from .pipeline import OzakiPlan
+                P2 = OzakiPlan.from_device(P2, self._ozaki_sp)
             m = (P2, jnp.asarray(frac.astype(self.dtype)), d, fi, frac)
             if len(self._interp_cache) > 64:
                 # evict ONE oldest entry (dict preserves insertion order):

@@ -148,6 +148,12 @@ DEVICE_CONFIGS = [
     ["-1", "-s44.1k", "-d48k", "-c1", "-n2", "-e", "-i"],
     # decimate tap + planar API path + extrapolated endpoints (host edges)
     ["-2", "-s96k", "-d44.1k", "-c2", "-n2", "-e", "-i", "-o16", "-v", "-x"],
+    # runtime-ratio interpolated path WITHOUT -e: BatchedASRC via
+    # ASRCStreamResampler (reference artest.c:380-437; VERDICT r04
+    # item 3) — the baseline interp config class (C: -114.1 dB)
+    ["-1", "-s44.1k", "-d48k", "-c2", "-n2", "-i"],
+    # same with decimate tap + planar API path
+    ["-1", "-s44.1k", "-d48k", "-c1", "-n2", "-i", "-o16", "-v"],
 ]
 
 

@@ -1007,6 +1007,133 @@ def test_precise_mode_rejects_pallas():
                               precise=True, pallas_step=True)
 
 
+@pytest.mark.parametrize("ctor", [
+    # reduced mode (the headline config class)
+    (2, 64, 380, 44100, 48000, 0, IBL),
+    # interpolated mode, dyadic period (flat path engages)
+    (1, 48, 48, 5000, 256000, 0, IB),
+])
+def test_int8_mode_accuracy_and_invariance(ctor):
+    """precise='int8' (int8 fixed-point / Ozaki-split dots,
+    ozaki_window_dots docstring): counts/positions identical to the
+    default engine; outputs within ~1-2 f32 ulp of the f64-accumulate
+    mode (both are single-rounding-floor schemes; on-chip the measured
+    rel error is 0.305x the default dot's — tools/exp_ozaki.py); and the
+    flat/scan/flat_out group forms advance bitwise-identically to
+    sequential process().  (EFT two_sum combine exactness is validated
+    on-chip; CPU agreement here is an invariance check of the shipped
+    graphs, not the accuracy claim — CLAUDE.md EFT-on-CPU caveat.)"""
+    lcg = NoiseLCG()
+    ch = ctor[0]
+    a = DeviceStreamResampler(*ctor)                      # default
+    p = DeviceStreamResampler(*ctor, precise=True)        # f64acc
+    q = DeviceStreamResampler(*ctor, precise="int8")      # sequential
+    r = DeviceStreamResampler(*ctor, precise="int8")      # flat
+    s = DeviceStreamResampler(*ctor, precise="int8")      # scan
+    engs = (a, p, q, r, s)
+    for e in engs:
+        e.advance_position(ctor[1] // 2)
+    G = 5
+    n = max(8, -(-a.num_samples // (G * a.M)) + 1) * a.M
+    xs = jnp.asarray(lcg.fill(G * ch * n).reshape(G, ch, n))
+    first = jnp.asarray(lcg.fill(ch * n).reshape(ch, n))
+    for e in engs:
+        e.process(first, n)
+    outs_q, Ks_q = [], []
+    acc_q = jnp.zeros((), jnp.float32)
+    for g in range(G):
+        oa, Ka = a.process(xs[g], n)
+        op, Kp = p.process(xs[g], n)
+        oq, Kq, acc_q = q.process(xs[g], n, acc_q)
+        assert Ka == Kp == Kq
+        outs_q.append(np.asarray(oq)[:, :Kq])
+        Ks_q.append(Kq)
+        # single-rounding-floor schemes agree to ~1-2 ulp; both sit at
+        # the f32 rounding floor of the default engine
+        assert float(jnp.max(jnp.abs(oq - op))) < 3e-7
+        assert float(jnp.max(jnp.abs(oq - oa))) < 2e-6
+    assert a.get_position() == q.get_position()
+
+    flat = jnp.concatenate([xs[g] for g in range(G)], axis=1)
+    acc_r = jnp.zeros((), jnp.float32)
+    Ks_r, acc_r = r.process_flat(flat, n, acc_r)
+    assert list(Ks_r) == Ks_q
+    np.testing.assert_array_equal(np.asarray(r.hist), np.asarray(q.hist))
+    assert float(acc_r) == float(acc_q)
+
+    acc_s = jnp.zeros((), jnp.float32)
+    outs_s, Ks_s, acc_s = s.process_scan(xs, n, acc_s)
+    assert list(Ks_s) == Ks_q
+    for g in range(G):
+        np.testing.assert_array_equal(
+            np.asarray(outs_s[g])[:, :Ks_q[g]], outs_q[g])
+    assert float(acc_s) == float(acc_q)
+
+
+def test_batched_stream_rows_bitwise_equal_single():
+    """Serving N independent mono streams as engine ROWS (the
+    small-config serving form, BENCH_ALL 'serving aggregate' record):
+    each row's outputs are bitwise the 1-row engine's on the same
+    stream — rows are independent in the block-Toeplitz contraction, so
+    batching changes throughput, never samples."""
+    ctor_n = (4, 48, 48, 44100, 48000, 0, IB)
+    lcg = NoiseLCG()
+    multi = DeviceStreamResampler(*ctor_n)
+    singles = [DeviceStreamResampler(1, *ctor_n[1:]) for _ in range(4)]
+    multi.advance_position(24)
+    for s in singles:
+        s.advance_position(24)
+    n = 4 * multi.M
+    for _ in range(3):
+        x = jnp.asarray(lcg.fill(4 * n).reshape(4, n))
+        om, Km = multi.process(x, n)
+        for i, s in enumerate(singles):
+            oi, Ki = s.process(x[i:i + 1], n)
+            assert Ki == Km
+            np.testing.assert_array_equal(np.asarray(oi)[0],
+                                          np.asarray(om)[i])
+
+
+def test_int8_mode_guards():
+    from art_tpu.parallel.sharding import make_mesh
+    with pytest.raises(ValueError, match="f32"):
+        DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL,
+                              precise="int8", dtype=np.float64)
+    with pytest.raises(NotImplementedError, match="single-shard"):
+        DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL,
+                              precise="int8", mesh=make_mesh(2, 1))
+    with pytest.raises(ValueError, match="precise"):
+        DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL,
+                              precise="int8", pallas_step=True)
+
+
+def test_int8_mode_mixed_plan_scan_fallback():
+    """Non-periodic chunk sizes make per-chunk plans differ; the int8
+    mode cannot ride the stacked-operand scans, so process_scan must
+    fall back to sequential chunks with identical results and state."""
+    ctor = (2, 64, 380, 44100, 48000, 0, IBL)
+    lcg = NoiseLCG()
+    a = DeviceStreamResampler(*ctor, precise="int8")
+    b = DeviceStreamResampler(*ctor, precise="int8")
+    a.advance_position(32)
+    b.advance_position(32)
+    G, n = 4, 1000                     # NOT an M-multiple: mixed plans
+    xs = jnp.asarray(lcg.fill(G * 2 * n).reshape(G, 2, n))
+    outs_a, Ks_a = [], []
+    for g in range(G):
+        o, K = a.process(xs[g], n)
+        outs_a.append(np.asarray(o))
+        Ks_a.append(K)
+    outs_b, Ks_b = b.process_scan(xs, n)
+    assert list(Ks_b) == Ks_a
+    for g in range(G):
+        K = Ks_a[g]
+        np.testing.assert_array_equal(np.asarray(outs_b[g])[:, :K],
+                                      outs_a[g][:, :K])
+    np.testing.assert_array_equal(np.asarray(b.hist), np.asarray(a.hist))
+    assert a.get_position() == b.get_position()
+
+
 @pytest.mark.parametrize("config", ["reduced", "interp"])
 def test_precise_mode_taps_sharded(config):
     """precise=True under TAPS sharding: each rank's contraction is only
