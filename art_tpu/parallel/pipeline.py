@@ -295,8 +295,9 @@ def ozaki_window_dots(win, plan: OzakiPlan, *, M: int, nb_rs: int,
     """Residue-split block-Toeplitz contraction at the int8 fixed-point
     (Ozaki-split) operating point: ~the f64-accumulate single-rounding
     floor (0.305x the HIGHEST dot's error; round-trip lands BETTER than
-    the C reference) at ~1.15x the f32 HIGHEST cost (tools/exp_ozaki.py,
-    on-chip).  The MXU's f32 accumulator noise cannot be reduced by any
+    the C reference) at ~0.98x the f32 HIGHEST engine-body cost
+    (tools/exp_int8_engine2.py dense3d, on-chip — i.e. the fidelity is
+    effectively free at the bench geometry).  The MXU's f32 accumulator noise cannot be reduced by any
     K-split (tools/exp_fid_schemes.py: 0.94-0.98x even with f64 partial
     combination), so the escape is EXACT accumulation: V rides as 3
     signed base-128 digits of round(v*2^19) through ONE int8 [.., 3K] @
@@ -315,27 +316,50 @@ def ozaki_window_dots(win, plan: OzakiPlan, *, M: int, nb_rs: int,
     nr = nb_rs // qn_pad
     KQ = qn_pad * M
     L2 = plan.P32.shape[1]
-    planes, vr = _ozaki_digit_planes(win)
+    rows = nb_rs + qn_pad
+    assert win.shape[1] == rows * M, (win.shape, nb_rs, qn_pad, M)
+    # LAYOUT IS THE WHOLE GAME here: the obvious flat digit planes
+    # ([ndv*S, xlen] int8, _ozaki_digit_planes) physically pad their 6
+    # sublanes to int8's (32, 128) tile — 5.3x the logical traffic on an
+    # array the size of the window — and the batched-3D int8 dot lowers
+    # poorly; together they made the mode 2.4x the f32 body.  Dense 3D
+    # planes ([S, rows, M] int8, row r = window columns r*M..(r+1)*M)
+    # with 2D-flattened dots measure 0.984x the f32 body at the bench
+    # geometry (tools/exp_int8_engine2.py: ship 17.90 / flat2d 16.51 /
+    # sep3 16.65 / dense3d 7.34 vs f32 7.46 ms/chunk) — anchor r's
+    # operand view is rows r..r+nr*qn (the same pure reshape-of-slice
+    # residue_window_dots uses, one row = one M-sample shift).
+    w3 = win.reshape(S, rows, M)
+    sv = OzakiPlan.SV
+    lim = (1 << (7 * OzakiPlan.NDV - 1)) - 1
+    vi = jnp.clip(jnp.rint(w3 * np.float32(2.0 ** sv)),
+                  -lim, lim).astype(jnp.int32)
+    digs, rem = [], vi
+    for _ in range(OzakiPlan.NDV - 1):
+        low = ((rem + 64) & 127) - 64
+        digs.append(low)
+        rem = (rem - low) >> 7
+    digs.append(rem)
+    digs = [d.astype(jnp.int8) for d in digs[::-1]]   # most significant 1st
+    vr = w3 - vi.astype(jnp.float32) * np.float32(2.0 ** -sv)
+
+    def view(p3, r):
+        return jax.lax.slice(
+            p3, (0, r, 0), (S, r + nr * qn_pad, M)).reshape(S * nr, KQ)
+
     outs = []
     for r in range(qn_pad):
-        # digit-plane views of anchor r's window rows, stacked along K:
-        # [S, nr, ndv*KQ] — each plane slice is the same pure
-        # reshape-of-slice view residue_window_dots uses
-        Vd = [jax.lax.slice(planes, (d * S, r * M),
-                            ((d + 1) * S, r * M + nr * KQ))
-              .reshape(S, nr, KQ) for d in range(OzakiPlan.NDV)]
-        V8 = jnp.concatenate(Vd, axis=2)
+        V8 = jnp.concatenate([view(d, r) for d in digs], axis=1)
         blk = jax.lax.dot_general(
-            V8, plan.Pstack, dimension_numbers=(((2,), (0,)), ((), ())),
+            V8, plan.Pstack, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        Vr = jax.lax.slice(vr, (0, r * M), (S, r * M + nr * KQ)) \
-            .reshape(S, nr, KQ)
         t2 = jax.lax.dot_general(
-            Vr, plan.P32, dimension_numbers=(((2,), (0,)), ((), ())),
+            view(vr, r), plan.P32,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT)
-        parts = [blk[:, :, w * L2:(w + 1) * L2].astype(jnp.float32)
+        parts = [blk[:, w * L2:(w + 1) * L2].astype(jnp.float32)
                  * plan.wts[w] for w in range(OzakiPlan.NW)]
-        outs.append(_ds_round_once(parts + [t2]))
+        outs.append(_ds_round_once(parts + [t2]).reshape(S, nr, L2))
     # [S, nr, qn_pad, L2] -> [S, nb_rs, L2]; i = j*qn_pad + r, pure reshape
     return jnp.stack(outs, axis=2).reshape(S, nb_rs, -1)
 

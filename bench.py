@@ -236,6 +236,17 @@ def _bench_all():
     results.append(("preset-1 mono 44.1k->48k device resample",
                     r / 1e6, "Mframes/s (output)", 32.0))
 
+    # 1b. small-config SERVING record (round-5 verdict item 4): N
+    # independent mono preset-1 streams batched as engine rows — the
+    # deployment answer for small configs, where a single 48-tap mono
+    # strip leaves the MXU nearly idle.  Per-stream outputs are bitwise
+    # equal to single-stream runs (test_parallel.py::
+    # test_batched_stream_rows_bitwise_equal_single); vs_baseline is the
+    # aggregate against ONE C stream (the reference has no batched mode)
+    r = _bench_device_fixed(64, 48, 48, 44100, 48000, IB, 1 << 19, 16)
+    results.append(("preset-1 64-stream serving aggregate (mono rows)",
+                    r / 1e6, "Mframes/s (output)", 32.0))
+
     # 2. stereo 44.1k->96k preset -3, implicit lowpass (reduced to 320)
     r = _bench_device_fixed(2, 380, 380, 44100, 96000,
                             IB | F.INCLUDE_LOWPASS, 1 << 21, 16)
@@ -383,7 +394,14 @@ def main():
     zeros_flush = jnp.zeros((2, 190), jnp.float32)   # built ONCE (no
     # per-run host->device upload inside the timed region)
 
-    eng = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB)
+    # THE HEADLINE ENGINE RUNS THE int8 FIXED-POINT (Ozaki-split) MODE:
+    # dense-3D digit planes + 2D int8 dots cost 0.984x the f32 HIGHEST
+    # body at this geometry (tools/exp_int8_engine2.py, on-chip) while
+    # the round-trip diff RMS lands BETTER than the C reference (-142.67
+    # vs -142.29 dB) — one operating point carrying both halves of the
+    # north-star (round-5 verdict item 1)
+    eng = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB,
+                                precise="int8")
     eng.advance_position(190)
     eng.prewarm()
     # absorb the non-periodic first chunk so every timed group is static
@@ -422,8 +440,9 @@ def main():
     # window 1
     rates = [window()]
 
-    # fidelity (also spaces the windows): device round-trip diff RMS
-    diff_db = _measure_roundtrip_snr(60)
+    # fidelity (also spaces the windows): device round-trip diff RMS on
+    # the SAME int8 mode + flat-group code path as the timed headline
+    diff_db = _measure_roundtrip_snr(60, precise="int8")
     print(f"# device round-trip diff RMS: {diff_db:.2f} dB "
           f"(C reference: {REF_DIFF_RMS_DB} dB)", file=sys.stderr)
 
@@ -433,6 +452,62 @@ def main():
     print(json.dumps({"metric": name5, "value": round(rate5, 2),
                       "unit": unit5,
                       "vs_baseline": round(rate5 / base5, 2)}))
+
+    # AUDIO-DELIVERING records (round-5 verdict item 2): the caller
+    # receives real output buffers (reference resampler.c:523-527) —
+    # (a) f32 audio via the flat-group delivery dispatch
+    # (process_flat_out: valid samples [ch, G*K] materialized, no mask
+    # or power pass), (b) int16 PCM via the fused ditherless
+    # quantize+pack (process_flat_packed: HALF the HBM bytes; bit-exact
+    # quantization, clip counts on device).  Sync: (a) fetches one
+    # sample of the last group's buffer (each dispatch's outputs are jit
+    # results — materialized by construction; groups chain through the
+    # history carry), (b) fetches the device clip accumulator.
+    engd = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB)
+    engd.advance_position(190)
+    engd.prewarm()
+    engd.process(xs[0], chunk)
+
+    def run_deliver(n):
+        produced, last = 0, None
+        for _ in range(n // G):
+            out, Ks = engd.process_flat_out(xs_flat, chunk)
+            produced += int(Ks.sum())
+            last = out
+        float(last[0, -1])
+        return produced
+
+    produced_d = run_deliver(nchunks)
+    rate_del = _median_rate(lambda: run_deliver(nchunks), produced_d)
+    print(json.dumps({
+        "metric": "preset-3 fixed-ratio resample, f32 audio DELIVERED "
+                  "(flat-group materialized output)",
+        "value": round(rate_del / 1e6, 2), "unit": "Mframes/s (output)",
+        "vs_baseline": round(rate_del / 1e6 / C_BASELINE_MFPS, 2)}))
+
+    engp16 = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB)
+    engp16.advance_position(190)
+    engp16.prewarm()
+    engp16.process(xs[0], chunk)
+
+    def run_packed(n):
+        produced = 0
+        clips = jnp.zeros((), jnp.int32)
+        for _ in range(n // G):
+            packed, Ks, clips = engp16.process_flat_packed(
+                xs_flat, chunk, clips, scaler=32768.0, highclip=32767,
+                lowclip=-32768)
+            produced += int(Ks.sum())
+        int(clips)
+        return produced
+
+    produced_p16 = run_packed(nchunks)
+    rate_p16 = _median_rate(lambda: run_packed(nchunks), produced_p16)
+    print(json.dumps({
+        "metric": "preset-3 fixed-ratio resample, int16 PCM DELIVERED "
+                  "(fused quantize+pack, no dither/shaping)",
+        "value": round(rate_p16 / 1e6, 2), "unit": "Mframes/s (output)",
+        "vs_baseline": round(rate_p16 / 1e6 / C_BASELINE_MFPS, 2)}))
 
     # secondary record: the same loop with outputs STACKED to HBM
     # ([G, ch, nb*L] per dispatch) for consumers that want the audio
@@ -448,10 +523,37 @@ def main():
     # wins — tunnel drift discipline, CLAUDE.md)
     rates.append(window())
 
-    # precise (f64-accumulate) mode: the within-0.1-dB-of-C operating
-    # point for clients that need it (the MXU's f32 algorithm bottoms at
-    # ~-141.5 dB, ~0.8 dB above the C reference; f64 accumulation lands
-    # BETTER than C — residue_window_dots docstring, tools/exp_f64acc.py)
+    # default (f32 HIGHEST) mode as a secondary record: the same speed
+    # class as the int8 headline (exp_int8_engine2: int8 = 0.984x) at
+    # the MXU f32 floor of ~-141.4 dB
+    engf = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB)
+    engf.advance_position(190)
+    engf.prewarm()
+    engf.process(xs[0], chunk)
+    nchf = max(G, nchunks // 4 // G * G)
+
+    def run_f():
+        produced = 0
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(nchf // G):
+            Ks, acc = engf.process_flat(xs_flat, chunk, acc)
+            produced += int(Ks.sum())
+        float(acc)
+        return produced
+
+    produced_f = run_f()
+    rate_f = _median_rate(run_f, produced_f)
+    print(json.dumps({
+        "metric": "preset-3 44.1k->48k stereo fixed-ratio resample, "
+                  "default f32 mode",
+        "value": round(rate_f / 1e6, 2),
+        "unit": "Mframes/s (output)",
+        "vs_baseline": round(rate_f / 1e6 / C_BASELINE_MFPS, 2)}))
+
+    # precise (f64-accumulate) mode: a second within-0.1-dB-of-C
+    # operating point (the MXU's f32 algorithm bottoms at ~-141.5 dB,
+    # ~0.8 dB above the C reference; f64 accumulation lands BETTER than
+    # C — residue_window_dots docstring, tools/exp_f64acc.py)
     diff_db_p = _measure_roundtrip_snr(60, precise=True)
     engp = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB,
                                  precise=True)
@@ -484,10 +586,13 @@ def main():
     mframes = max(rates) / 1e6
     print(f"# window medians: {[round(r / 1e6, 1) for r in rates]} "
           "Mframes/s", file=sys.stderr)
-    # the HEADLINE record, last so it is the driver-parsed line: both
-    # halves of the north-star (throughput multiple + fidelity)
+    # the HEADLINE record, last so it is the driver-parsed line: BOTH
+    # halves of the north-star in ONE operating point — the int8
+    # fixed-point mode's throughput multiple AND its round-trip fidelity
+    # (better than the C reference's -142.29 dB)
     print(json.dumps({
-        "metric": "preset-3 44.1k->48k stereo fixed-ratio resample throughput",
+        "metric": "preset-3 44.1k->48k stereo fixed-ratio resample "
+                  "throughput (int8 fixed-point mode)",
         "value": round(mframes, 2),
         "unit": "Mframes/s (output)",
         "vs_baseline": round(mframes / C_BASELINE_MFPS, 2),

@@ -1069,6 +1069,18 @@ def test_int8_mode_accuracy_and_invariance(ctor):
             np.asarray(outs_s[g])[:, :Ks_q[g]], outs_q[g])
     assert float(acc_s) == float(acc_q)
 
+    # flat_out (the audio-delivering form the bench fidelity leg rides,
+    # _stream_flat_out with precise="int8"): bitwise the sequential
+    # engine's valid prefixes
+    t = DeviceStreamResampler(*ctor, precise="int8")
+    t.advance_position(ctor[1] // 2)
+    t.process(first, n)
+    out_t, Ks_t = t.process_flat_out(flat, n)
+    assert list(Ks_t) == Ks_q
+    np.testing.assert_array_equal(np.asarray(out_t),
+                                  np.concatenate(outs_q, axis=1))
+    np.testing.assert_array_equal(np.asarray(t.hist), np.asarray(q.hist))
+
 
 def test_batched_stream_rows_bitwise_equal_single():
     """Serving N independent mono streams as engine ROWS (the
