@@ -334,11 +334,17 @@ def _chunk_group_static_packed(hist, xs_flat, P2, fracv, scaler, clips,
     pre_zeros = output_bytes - ((output_bits + 7) // 8)
     offset = 128 if output_bits <= 8 else 0
     leftshift = (24 - output_bits) % 8
+    # container dtype: the packed samples stay LANE-DENSE [ch, K] in a
+    # u8/u16/u32 whose little-endian byte view IS the packed stream —
+    # a byte-interleaved [ch, K, output_bytes] u8 minor dim pads its
+    # last dim to 128 lanes on TPU (~64x physical traffic; measured
+    # +11 ms/chunk, exactly the padded bytes) and is never materialized
+    cdt = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32}[output_bytes]
+    used_mask = jnp.uint32((1 << (8 * ((output_bits + 7) // 8))) - 1)
     packs = []
     for g in range(G):
         out = _group_chunk_out(buf, P2, fracv, g, start=start, K=K, n=n,
                                M=M, L=L, nb=nb, qn=qn, precise=precise)
-        ch = out.shape[0]
         code = mul(out, sc)
         ov = _floor_half_up_exact(code)
         clips = clips + jnp.sum((ov > highclip) | (ov < lowclip),
@@ -346,16 +352,8 @@ def _chunk_group_static_packed(hist, xs_flat, P2, fracv, scaler, clips,
         ov = jnp.clip(ov, lowclip, highclip)
         v = (ov.astype(jnp.uint32) << jnp.uint32(leftshift)) \
             + jnp.uint32(offset)
-        planes = [jnp.zeros((ch, K), jnp.uint8)] * pre_zeros
-        planes.append((v & 0xFF).astype(jnp.uint8))
-        if output_bits > 8:
-            planes.append(((v >> 8) & 0xFF).astype(jnp.uint8))
-            if output_bits > 16:
-                planes.append(((v >> 16) & 0xFF).astype(jnp.uint8))
-        planes += [jnp.zeros((ch, K), jnp.uint8)] \
-            * (output_bytes - len(planes))
-        packs.append(jnp.stack(planes, axis=2).reshape(
-            ch, K * output_bytes))
+        v = (v & used_mask) << jnp.uint32(8 * pre_zeros)
+        packs.append(v.astype(cdt))
     return jnp.concatenate(packs, axis=1), clips, new_hist
 
 
@@ -914,18 +912,30 @@ class DeviceStreamResampler:
                             output_bits: int = 16, output_bytes: int = 2):
         """Flat-group steady state fused through the ditherless
         no-shaping decimator configuration: the only audio leaving the
-        graph is packed little-endian PCM bytes [ch, G*K0*output_bytes]
-        (planar per-channel packing, reference decimateProcessLE
-        decimator.c:112-199 with dither/shaping off) — at 16-bit, half
-        the HBM bytes of the f32 form.  Quantization is bit-exact to the
-        host/device decimators (see _floor_half_up_exact).  ``clips``
-        accumulates the clipped-sample count on device.  Returns
-        (packed u8 [ch, G*K0*output_bytes], Ks int array [G], clips')."""
+        graph is packed little-endian PCM (planar per-channel packing,
+        reference decimateProcessLE decimator.c:112-199 with
+        dither/shaping off) — at 16-bit, half the HBM bytes of the f32
+        form.  The packed samples are returned LANE-DENSE as a
+        u{8*output_bytes} container array [ch, G*K0] whose little-endian
+        byte view is the packed byte stream
+        (``np.asarray(packed).view(np.uint8)`` == the reference's bytes;
+        a byte-interleaved u8 minor dim would pad to 128 lanes on TPU —
+        ~64x the traffic).  output_bytes must be 1, 2 or 4 (3-byte
+        packing has no dense container; use the decimator path).
+        Quantization is bit-exact to the host/device decimators (see
+        _floor_half_up_exact).  ``clips`` accumulates the clipped-sample
+        count on device.  Returns (packed [ch, G*K0] u{8*output_bytes},
+        Ks int array [G], clips')."""
+        if output_bytes not in (1, 2, 4):
+            raise ValueError("process_flat_packed: output_bytes must be "
+                             "1, 2 or 4 (dense LE containers); 3-byte "
+                             "packing goes through the decimator path")
         G, K0, start0, nb, Pm, fracv, state0 = self._flat_plan(xs_flat,
                                                                n_in)
         if G == 0:
             ch = xs_flat.shape[0]
-            return jnp.zeros((ch, 0), jnp.uint8), \
+            cdt = {1: jnp.uint8, 2: jnp.uint16, 4: jnp.uint32}[output_bytes]
+            return jnp.zeros((ch, 0), cdt), \
                 np.zeros((xs_flat.shape[1] // n_in,), np.int64), clips
         try:
             packed, clips, self.hist = _chunk_group_static_packed(

@@ -700,7 +700,10 @@ def test_process_flat_out_and_packed_match_sequential(ctor):
                                      jnp.zeros((ch,), samples.dtype),
                                      hi, lo)
     want = np.asarray(dd.pack_bytes_dev(ov, 16, 2))           # [nK, ch*2]
-    got = np.asarray(packed)                                  # [ch, nK*2]
+    # packed is the lane-dense u16 container [ch, nK]; its LE byte view
+    # is the packed stream (process_flat_packed docstring)
+    assert packed.dtype == jnp.uint16
+    got = np.asarray(packed).view(np.uint8)                   # [ch, nK*2]
     nK = samples.shape[0]
     got_il = got.reshape(ch, nK, 2).transpose(1, 0, 2).reshape(nK, ch * 2)
     np.testing.assert_array_equal(got_il, want)
