@@ -308,7 +308,7 @@ def _floor_half_up_exact(code):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "start", "K", "G", "n", "M", "L", "nb", "qn", "hist_len",
+    "scaler", "start", "K", "G", "n", "M", "L", "nb", "qn", "hist_len",
     "output_bits", "output_bytes", "precise"))
 def _chunk_group_static_packed(hist, xs_flat, P2, fracv, scaler, clips,
                                start: int, K: int, G: int, n: int, M: int,
@@ -328,9 +328,19 @@ def _chunk_group_static_packed(hist, xs_flat, P2, fracv, scaler, clips,
     nb_rs = -(-nb // qn) * qn
     xlen = (nb_rs + qn) * M
     buf, new_hist = _group_buf(hist, xs_flat, start, xlen, G, n, hist_len)
-    from ..ops.decimate_device import _mul_for
-    mul = _mul_for(xs_flat.dtype)
     sc = jnp.asarray(scaler, xs_flat.dtype)
+    # scaler = 2^(bits-1) * gain; at gain 1.0 (the delivery configs) it
+    # is a power of two, and fl32(u * 2^k) is EXACT (pure exponent
+    # shift; overflow -> inf on both routes), so the plain f32 multiply
+    # is bit-identical to the reference's double-precision product
+    # rounding — and avoids _mul_for's emulated-f64 pointwise chain +
+    # reduce_precision barrier on device (tools/exp_delivery3.py).
+    if float(scaler) > 0 and math.frexp(float(scaler))[0] == 0.5:
+        def mul(u, v):
+            return u * v
+    else:
+        from ..ops.decimate_device import _mul_for
+        mul = _mul_for(xs_flat.dtype)
     pre_zeros = output_bytes - ((output_bits + 7) // 8)
     offset = 128 if output_bits <= 8 else 0
     leftshift = (24 - output_bits) % 8
@@ -939,8 +949,8 @@ class DeviceStreamResampler:
                 np.zeros((xs_flat.shape[1] // n_in,), np.int64), clips
         try:
             packed, clips, self.hist = _chunk_group_static_packed(
-                self.hist, xs_flat, Pm, fracv, scaler, clips, int(start0),
-                int(K0), G, n_in, self.M, self.L, nb, self.qn,
+                self.hist, xs_flat, Pm, fracv, float(scaler), clips,
+                int(start0), int(K0), G, n_in, self.M, self.L, nb, self.qn,
                 self.num_samples, highclip, lowclip, output_bits,
                 output_bytes, self._precise)
         except BaseException:

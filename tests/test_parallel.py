@@ -716,6 +716,49 @@ def test_process_flat_out_and_packed_match_sequential(ctor):
     assert out0.shape == (ch, 0) and list(Ks0) == [0] * G
 
 
+def test_process_flat_packed_pow2_scaler_matches_f64_route():
+    """The power-of-two-scaler fast path (plain f32 multiply — exact
+    exponent shift) is bit-identical to the quantizer oracle's
+    f64-route-and-round product (_mul_for): gain 1.0 configs always
+    have scaler = 2^(bits-1), and the delivery path drops the
+    emulated-f64 pointwise chain there (tools/exp_delivery3.py)."""
+    from art_tpu.ops import decimate_device as dd
+
+    lcg = NoiseLCG()
+    ctor = (2, 64, 380, 44100, 48000, 0, IBL)
+    a = DeviceStreamResampler(*ctor)                  # sequential oracle
+    c = DeviceStreamResampler(*ctor)                  # flat_packed
+    for e in (a, c):
+        e.advance_position(ctor[1] // 2)
+    G = 4
+    ch = ctor[0]
+    n = max(8, -(-a.num_samples // (G * a.M)) + 1) * a.M
+    xs = jnp.asarray(3.0 * lcg.fill(G * ch * n).reshape(G, ch, n))
+    first = jnp.asarray(lcg.fill(ch * n).reshape(ch, n))
+    for e in (a, c):
+        e.process(first, n)
+    outs_a = []
+    for g in range(G):
+        o, K = a.process(xs[g], n)
+        outs_a.append(np.asarray(o)[:, :K])
+    flat = jnp.concatenate([xs[g] for g in range(G)], axis=1)
+    scaler, hi, lo = 32768.0, 32767, -32768           # 2^15: fast path
+    packed, Ks_c, clips = c.process_flat_packed(
+        flat, n, jnp.zeros((), jnp.int32), scaler=scaler, highclip=hi,
+        lowclip=lo)
+    samples = jnp.asarray(np.concatenate(outs_a, axis=1).T)   # [nK, ch]
+    ov, clipf = dd.quantize_flat_dev(samples, None, scaler,
+                                     jnp.zeros((ch,), samples.dtype),
+                                     hi, lo)           # f64-route oracle
+    want = np.asarray(dd.pack_bytes_dev(ov, 16, 2))
+    got = np.asarray(packed).view(np.uint8)
+    nK = samples.shape[0]
+    got_il = got.reshape(ch, nK, 2).transpose(1, 0, 2).reshape(nK, ch * 2)
+    np.testing.assert_array_equal(got_il, want)
+    assert int(clips) == int(jnp.sum(clipf))
+    assert int(clips) > 0  # the 3x input gain drives real clipping
+
+
 def test_process_scan_rejects_mesh_mode():
     from art_tpu.parallel.sharding import make_mesh
     eng = DeviceStreamResampler(2, 64, 380, 44100, 48000, 0, IBL,
