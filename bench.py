@@ -583,6 +583,11 @@ def main():
         "ref_diff_rms_db": REF_DIFF_RMS_DB,
     }))
 
+    # window 3 (spaced from window 2 by the f32/precise sections): the
+    # service speed drifts ~1.7x by hour, so a third spaced sample
+    # meaningfully tightens the best-median estimate at ~25 s cost
+    rates.append(window())
+
     mframes = max(rates) / 1e6
     print(f"# window medians: {[round(r / 1e6, 1) for r in rates]} "
           "Mframes/s", file=sys.stderr)
