@@ -530,7 +530,11 @@ def main():
     engf.advance_position(190)
     engf.prewarm()
     engf.process(xs[0], chunk)
-    nchf = max(G, nchunks // 4 // G * G)
+    # FULL-length loop: a shortened loop amortizes the ~25 ms sync fetch
+    # over 4x less work and under-reports ~30% relative to the headline
+    # window (f32 read 662 vs the int8 window's 1011 on one run — the
+    # dots cost the SAME class, exp_int8_engine2)
+    nchf = nchunks
 
     def run_f():
         produced = 0
@@ -560,7 +564,9 @@ def main():
     engp.advance_position(190)
     engp.prewarm()
     engp.process(xs[0], chunk)
-    nchp = max(G, nchunks // 4 // G * G)
+    # half-length loop: precise runs ~5x slower so the fetch skew is
+    # ~1% here; half keeps the bench wall-clock bounded
+    nchp = max(G, nchunks // 2 // G * G)
 
     def run_p():
         produced = 0
