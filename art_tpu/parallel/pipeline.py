@@ -84,22 +84,29 @@ def residue_window_dots(win, P_local, *, M: int, nb_rs: int, qn_pad: int,
     nr = nb_rs // qn_pad
     KQ = qn_pad * M
     acc_dt = jnp.float64 if precise is True else win.dtype
-    if (qn_pad > 1 and qn_local == qn_pad
-            and (precise is True or win.dtype == jnp.float64)):
-        # f64-accumulated: ONE banded-wide dot instead of qn_pad anchor
-        # dots.  The emulated-f64 (or f64-ACCUMULATED — same cost) dot is
-        # output-tile-bound with strong lane-tile sensitivity (N = L2 <
-        # 128 wastes over a third of every output tile); fusing the
+    if qn_pad > 1 and qn_local == qn_pad:
+        # ONE banded-wide dot instead of qn_pad anchor dots, for EVERY
+        # full (single-shard) contraction.  f64/f64-accumulated: the dot
+        # is output-tile-bound with strong lane-tile sensitivity (N = L2
+        # < 128 wastes over a third of every output tile); fusing the
         # qn_pad anchors' columns into one [*, qn_pad * L2] dot against a
         # banded phase matrix (anchor r's P rows offset by r*M, zeros
-        # elsewhere — zeros add exactly 0 in f64, so the accumulated
-        # value is bitwise the per-anchor dot's) trades 1.75x
-        # structural-zero flops for 4x fewer output passes: 7.26 ms vs
-        # 8.67 same-process on the config-4 strip (tools/exp_ds_concat.py
-        # "wide" vs exp_f64orient "cur"); the same lever applies to
-        # precise=True (f32 data, f64 accumulate) where the per-anchor
-        # form left it on the table (round-4 verdict weak #1).  The
-        # overlapped operand is a concat of two pure reshape views.
+        # elsewhere) trades 1.75x structural-zero flops for 4x fewer
+        # output passes: 7.26 ms vs 8.67 same-process on the config-4
+        # strip (tools/exp_ds_concat.py "wide" vs exp_f64orient "cur");
+        # the same lever applies to precise=True (round-4 verdict weak
+        # #1).  f32: the win is even larger — 0.677x the per-anchor
+        # stats-form time (tools/exp_delivery4.py, on-chip): ONE operand
+        # pass instead of qn_pad (bytes accessed 13.1 -> 7.9 GiB) and
+        # 100% lane fill (qn_pad*L2 = 640 = 5 exact tiles vs L2 = 160
+        # padding to 256), and the flat row-major order of the
+        # [S, nr, qn_pad*L2] result IS the output sample order, so
+        # delivery forms materialize with no physical relayout.  f32
+        # values move at the MXU reassociation floor vs the per-anchor
+        # form (~5e-7 abs at 0.5 scale — the documented f32 parity
+        # class); f64 accumulation is unchanged (zeros add exactly 0 in
+        # sequential K order).  The overlapped operand is a concat of
+        # two pure reshape views.
         L2 = P_local.shape[1]
         KW = KQ + (qn_pad - 1) * M
         Va = jax.lax.slice(win, (0, 0), (S, nr * KQ)).reshape(S, nr, KQ)

@@ -259,13 +259,19 @@ def _group_chunk_out(buf, P2, fracv, g: int, *, start: int, K: int, n: int,
     win = jax.lax.slice(buf, (0, off), (ch, off + xlen))
     dd = residue_window_dots(win, P2, M=M, nb_rs=nb_rs, qn_pad=qn,
                              qn_local=qn, q0=jnp.int32(0), precise=precise)
+    # flatten at nb_rs (the contraction's own row-major order — a pure
+    # reshape of the banded dot's [ch, nr, qn*L2] result) and slice the
+    # valid K prefix directly: slicing to nb FIRST forces a physical
+    # relayout of the lane-dense dot output (the delivered form measured
+    # ~13 ms/group ~ 7x below the HBM stream anchor before this —
+    # tools/exp_delivery4.py); K <= nb*L <= nb_rs*L so the kept samples
+    # are identical either way
     if fracv is not None:
-        dd = jax.lax.slice(dd, (0, 0, 0), (ch, nb, 2 * L))
         f = fracv[None, None, :]
         out = dd[:, :, :L] * (1.0 - f) + dd[:, :, L:] * f
+        out = out.reshape(ch, nb_rs * L)
     else:
-        out = jax.lax.slice(dd, (0, 0, 0), (ch, nb, L))
-    out = out.reshape(ch, nb * L)
+        out = dd.reshape(ch, nb_rs * L)
     return jax.lax.slice(out, (0, 0), (ch, K))
 
 

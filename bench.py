@@ -395,11 +395,15 @@ def main():
     # per-run host->device upload inside the timed region)
 
     # THE HEADLINE ENGINE RUNS THE int8 FIXED-POINT (Ozaki-split) MODE:
-    # dense-3D digit planes + 2D int8 dots cost 0.984x the f32 HIGHEST
-    # body at this geometry (tools/exp_int8_engine2.py, on-chip) while
-    # the round-trip diff RMS lands BETTER than the C reference (-142.67
-    # vs -142.29 dB) — one operating point carrying both halves of the
-    # north-star (round-5 verdict item 1)
+    # dense-3D digit planes + 2D int8 dots, round-trip diff RMS BETTER
+    # than the C reference (-142.67 vs -142.29 dB) — one operating point
+    # carrying both halves of the north-star (round-5 verdict item 1).
+    # Cost vs the default body: 0.984x the per-anchor f32 HIGHEST form
+    # (tools/exp_int8_engine2.py); after the banded-wide f32 contraction
+    # shipped it is 1.227x the NEW f32 floor (exp_ship_banded.py:
+    # int8 872.6 vs f32 1092.9 Mframes/s = 110.7x vs 138.7x C) — still
+    # >=100x, and the banded int8 analog measured slower
+    # (tools/exp_int8_banded.py), so per-anchor Ozaki stays.
     eng = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB,
                                 precise="int8")
     eng.advance_position(190)

@@ -207,7 +207,11 @@ def test_hybrid_cli_backend_matches_numpy(tmp_path):
         cnt = int.from_bytes(d[i + 4:i + 8], "little")
         outs[be] = np.frombuffer(d[i + 8:i + 8 + cnt], "<f4")
     assert len(outs["numpy"]) == len(outs["device"])
-    assert np.abs(outs["numpy"] - outs["device"]).max() < 1e-6
+    # f32 floor class: the banded-wide contraction reassociates the K sum
+    # vs the host's sequential loop (~5e-7 abs at 0.5 scale, proportional
+    # to signal scale — tools/exp_delivery4.py); this clipped-to-1.0
+    # signal sits at ~1.6e-6
+    assert np.abs(outs["numpy"] - outs["device"]).max() < 3e-6
 
 
 def test_device_interpolated_matches_host():
@@ -880,8 +884,13 @@ def test_sharded_step_perdevice_flops_scale():
         ratio = f[a] / f[b]
         assert 1.85 < ratio < 2.15, (a, b, f)
     # taps axis: splitting the contraction 2-way on top of 4-way streams
-    # lands within 10% of 8-way streams (psum epilogue adds a little)
-    assert abs(f[(4, 2)] / f[(8, 1)] - 1.0) < 0.10, f
+    # runs the per-anchor dots (qn_local < qn_pad gates the banded-wide
+    # form off), so its flops are 1/banded_factor of 8-way streams'
+    # banded dot (structural zeros: KW/KQ = (2*qn-1)/qn); corrected, it
+    # lands within 10% (psum epilogue adds a little)
+    eng = DeviceStreamResampler(8, 380, 380, 44100, 48000, 0, IBL)
+    banded_factor = (2 * eng.qn - 1) / eng.qn
+    assert abs(f[(4, 2)] * banded_factor / f[(8, 1)] - 1.0) < 0.10, f
 
 
 def test_process_scan_size_rejection_preserves_state(monkeypatch):
