@@ -91,12 +91,18 @@ def _mult_chunk(target: int, M: int) -> int:
 
 
 def _bench_device_fixed(ch, taps, filters, src, dst, flags, chunk_target,
-                        nchunks, G=8):
+                        nchunks, G=8, aggregate_rows=False):
     """Fixed-ratio device resample throughput (output Mframes/s) via the
     scan-batched steady state (G chunks per dispatch; M-multiple chunks
     keep the plan static; outputs consumed in-graph by the power
     accumulator — the harness-analog headline methodology, see the module
-    docstring)."""
+    docstring).
+
+    ``aggregate_rows``: the engine's rows are N INDEPENDENT mono streams
+    (the serving form), so the aggregate output count is rows * frames —
+    ``Ks`` counts frames once per row-batch, exactly like the stereo
+    configs count stereo frames (where the C baseline counts the same
+    way, so no multiplier applies)."""
     import jax
     import jax.numpy as jnp
 
@@ -135,6 +141,8 @@ def _bench_device_fixed(ch, taps, filters, src, dst, flags, chunk_target,
         return produced
 
     produced = run_once()                 # warm (compiles)
+    if aggregate_rows:
+        produced *= ch
     return _median_rate(run_once, produced)
 
 
@@ -243,9 +251,10 @@ def _bench_all():
     # equal to single-stream runs (test_parallel.py::
     # test_batched_stream_rows_bitwise_equal_single); vs_baseline is the
     # aggregate against ONE C stream (the reference has no batched mode)
-    r = _bench_device_fixed(64, 48, 48, 44100, 48000, IB, 1 << 19, 16)
+    r = _bench_device_fixed(64, 48, 48, 44100, 48000, IB, 1 << 21, 16,
+                            aggregate_rows=True)
     results.append(("preset-1 64-stream serving aggregate (mono rows)",
-                    r / 1e6, "Mframes/s (output)", 32.0))
+                    r / 1e6, "M out/s (aggregate)", 32.0))
 
     # 2. stereo 44.1k->96k preset -3, implicit lowpass (reduced to 320)
     r = _bench_device_fixed(2, 380, 380, 44100, 96000,
@@ -527,9 +536,9 @@ def main():
     # wins — tunnel drift discipline, CLAUDE.md)
     rates.append(window())
 
-    # default (f32 HIGHEST) mode as a secondary record: the same speed
-    # class as the int8 headline (exp_int8_engine2: int8 = 0.984x) at
-    # the MXU f32 floor of ~-141.4 dB
+    # default (f32 HIGHEST) mode as a secondary record: the fastest mode
+    # since the banded-wide contraction shipped (exp_ship_banded: f32
+    # 1092.9 vs int8 872.6 Mframes/s), at the MXU f32 floor of ~-141.4 dB
     engf = DeviceStreamResampler(2, 380, 380, 44100, 48000, 0, IB)
     engf.advance_position(190)
     engf.prewarm()
